@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``hyrise_generalized_dedup_spark`` package;
+this module only aggregates the per-module query registries.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from hyrise_generalized_dedup_spark.plans.relational import (  # noqa: E402
+    RELATIONAL_ORACLES,
+    RELATIONAL_QUERIES,
+)
+
+
+def _all_registries() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    queries.update(RELATIONAL_QUERIES)
+    oracles.update(RELATIONAL_ORACLES)
+
+    # Optional registries — added as modules land; import-gated so a broken
+    # module never takes down the whole contract.
+    for modpath, qname, oname in [
+        ("hyrise_generalized_dedup_spark.dedup.queries", "DEDUP_QUERIES", "DEDUP_ORACLES"),
+        ("hyrise_generalized_dedup_spark.functions.queries", "TEXT_QUERIES", "TEXT_ORACLES"),
+        ("hyrise_generalized_dedup_spark.ann.queries", "ANN_QUERIES", "ANN_ORACLES"),
+        ("hyrise_generalized_dedup_spark.streaming.queries", "STREAM_QUERIES", "STREAM_ORACLES"),
+    ]:
+        try:
+            mod = __import__(modpath, fromlist=[qname, oname])
+            queries.update(getattr(mod, qname))
+            oracles.update(getattr(mod, oname))
+        except ImportError:
+            pass
+    return queries, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Flagship = the generalized-dedup segment statistics over `documents`
+    once dedup.queries lands; until then TPC-H Q1 shape."""
+    qs, _ = _all_registries()
+    flagship = qs.get("gd_dedup_ratio", qs["q1_pricing_summary"])
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return _all_registries()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted for genuinely
+    non-SQL-expressible ops -> driver records rows-only check)."""
+    return _all_registries()[1]

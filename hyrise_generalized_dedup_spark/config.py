@@ -1,0 +1,68 @@
+"""Pipeline configuration.
+
+ONE frozen dataclass; its hash is baked into every checkpoint path so a
+resume with a different config never silently reuses stale stage output
+(SURVEY.md §7.0). All randomness anywhere in the engine derives from
+``seed`` — no wall clock, no PYTHONHASHSEED-dependent ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class GDConfig:
+    """Canonical config (FIXTURES.md F3 golden config)."""
+
+    # --- generalized-dedup transform (chunk -> base/deviation) ---
+    chunk_size: int = 64          # bytes per segment (reference analog: Chunk::DEFAULT_SIZE, chunk.hpp:53)
+    gd_mode: str = "lowbits"      # "lowbits": base = bytes & ~mask, deviation = packed low bits
+                                  # "prefix":  base = first chunk_size-dev_bytes bytes (SQL-expressible oracle)
+    dev_bits: int = 2             # low bits per byte that go to the deviation (lowbits mode)
+    dev_bytes: int = 8            # trailing bytes that go to the deviation (prefix mode)
+
+    # --- MinHash / LSH ---
+    shingle_k: int = 8            # k-shingle width (bytes) over base payloads / document text
+    num_hashes: int = 128         # minhash signature length
+    bands: int = 32               # LSH bands; rows_per_band = num_hashes // bands
+    jaccard_threshold: float = 0.7
+
+    # --- SimHash ---
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3
+    simhash_blocks: int = 4       # hamming<=3 guaranteed found by 4-block keying
+
+    # --- suffix-array substring pass ---
+    suffix_min_len: int = 256     # minimum shared-substring length to flag
+    suffix_max_cluster: int = 256 # hard cap on cluster size for the partition-local pass
+
+    # --- skew handling ---
+    hot_band_threshold: int = 1000  # band-bucket size above which we salt
+    salt_buckets: int = 16
+
+    seed: int = 42
+
+    def __post_init__(self) -> None:
+        if self.num_hashes % self.bands != 0:
+            raise ValueError("num_hashes must be divisible by bands")
+        if not (0 <= self.dev_bits <= 7):
+            raise ValueError("dev_bits must be in [0,7]")
+        if self.gd_mode not in ("lowbits", "prefix"):
+            raise ValueError(f"unknown gd_mode {self.gd_mode!r}")
+        if self.gd_mode == "prefix" and self.dev_bytes >= self.chunk_size:
+            raise ValueError("dev_bytes must be < chunk_size")
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_hashes // self.bands
+
+    def config_hash(self) -> str:
+        """Deterministic 12-hex-digit hash of the full config (checkpoint key)."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:12]
+
+
+DEFAULT_CONFIG = GDConfig()

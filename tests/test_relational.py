@@ -1,0 +1,36 @@
+"""Layer-3-style golden-oracle tests (SURVEY.md §5): every relational query
+vs DuckDB on the tiny fixture — the same comparison the driver's
+correctness gate performs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from hyrise_generalized_dedup_spark.plans.relational import (
+    RELATIONAL_ORACLES,
+    RELATIONAL_QUERIES,
+)
+from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+
+@pytest.mark.parametrize("name", sorted(RELATIONAL_QUERIES))
+def test_relational_query_matches_duckdb(spark, sf_tiny, name):
+    fn = RELATIONAL_QUERIES[name]
+    df = fn(spark, sf_tiny)
+    assert name in RELATIONAL_ORACLES, f"{name} must have an oracle"
+    ok, msg = compare_to_duckdb(df, RELATIONAL_ORACLES[name], sf_tiny)
+    assert ok, f"{name}: {msg}"
+
+
+def test_all_queries_have_oracles():
+    assert set(RELATIONAL_ORACLES) == set(RELATIONAL_QUERIES)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 25

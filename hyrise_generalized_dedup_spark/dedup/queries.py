@@ -1,0 +1,197 @@
+"""Driver-gate queries for the dedup stack over the `documents` table.
+
+The SQL-expressible subset (prefix-mode GD, exact dedup) gets a DuckDB
+oracle that recomputes the transform in pure ANSI SQL — so the whole
+distributed mapInPandas path is value-checked end to end. The
+approximate stages (MinHash/LSH, SimHash) are not SQL-expressible; they
+get rows-only driver checks here and brute-force oracles in pytest
+(tests/test_minhash.py, tests/test_pipeline.py).
+
+NOTE on the oracle encoding: documents.text is pure ASCII in the driver
+corpus (verified: octet_length == length at every sf), so DuckDB VARCHAR
+substring == byte slicing and sha256(VARCHAR) == sha256 of the UTF-8
+bytes. The byte-exact invariant for arbitrary unicode is covered by the
+pytest round-trip suite instead (DuckDB 1.0 has no BLOB substring).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import GDConfig
+from ..sources.tables import load_table
+from .gd import dedup_stats, gd_segments
+
+# prefix-mode config used for the SQL-checkable gate queries
+GATE_CFG = GDConfig(gd_mode="prefix", chunk_size=64, dev_bytes=8)
+# lowbits-mode canonical config (FIXTURES.md golden config)
+CANON_CFG = GDConfig()
+
+DEDUP_QUERIES = {}
+DEDUP_ORACLES = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        DEDUP_QUERIES[name] = fn
+        if oracle is not None:
+            DEDUP_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str, cfg: GDConfig) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return gd_segments(docs, cfg, content_col="text", key_cols=("doc_id",))
+
+
+_SEG_ORACLE_CTE = """
+WITH seg AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(length(text) / 64.0) AS BIGINT))) AS seg_idx,
+         text
+  FROM documents
+), parts AS (
+  SELECT doc_id, seg_idx,
+         substring(text, CAST(seg_idx * 64 + 1 AS BIGINT), 64) AS seg,
+         substring(text, CAST(seg_idx * 64 + 1 AS BIGINT), 56) AS base
+  FROM seg
+)
+"""
+
+
+@_register(
+    "gd_segments",
+    _SEG_ORACLE_CTE
+    + """
+    SELECT doc_id, seg_idx,
+           substring(sha256(base), 1, 32) AS base_fp,
+           CAST(length(seg) AS BIGINT) AS seg_len,
+           CAST(length(seg) - length(base) AS BIGINT) AS dev_len
+    FROM parts
+    """,
+)
+def gd_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GD transform itself, segment granularity: every (doc, segment)
+    with its base fingerprint and deviation length. DuckDB recomputes the
+    chunking + prefix split + sha256 in SQL — a full-value check of the
+    distributed transform."""
+    segs = _doc_segments(spark, sf_dir, GATE_CFG)
+    return segs.select(
+        "doc_id",
+        "seg_idx",
+        F.lower(F.hex("base_fp")).alias("base_fp"),
+        F.col("seg_len").cast("long").alias("seg_len"),
+        F.length("deviation").cast("long").alias("dev_len"),
+    )
+
+
+@_register(
+    "gd_dedup_ratio",
+    _SEG_ORACLE_CTE
+    + """
+    SELECT COUNT(*) AS total_segments,
+           COUNT(DISTINCT base) AS distinct_bases,
+           CAST(SUM(length(seg)) AS BIGINT) AS total_bytes,
+           CAST(SUM(length(seg) - length(base)) AS BIGINT) AS deviation_bytes,
+           1.0 - COUNT(DISTINCT base) / CAST(COUNT(*) AS DOUBLE) AS dedup_ratio
+    FROM parts
+    """,
+)
+def gd_dedup_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup ratio — the flagship metric (reference analog: encoding
+    compression accounting, AbstractSegment::memory_usage). distinct/total
+    division of exact longs -> cross-engine-deterministic double."""
+    segs = _doc_segments(spark, sf_dir, GATE_CFG)
+    return dedup_stats(segs).select(
+        "total_segments",
+        "distinct_bases",
+        "total_bytes",
+        "deviation_bytes",
+        (F.lit(1.0) - F.col("distinct_bases") / F.col("total_segments").cast("double")).alias(
+            "dedup_ratio"
+        ),
+    )
+
+
+@_register(
+    "gd_base_table",
+    _SEG_ORACLE_CTE
+    + """
+    SELECT substring(sha256(base), 1, 32) AS base_fp,
+           COUNT(*) AS ref_count
+    FROM parts GROUP BY 1
+    """,
+)
+def gd_base_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated base table (dictionary analog): fingerprint +
+    reference count. groupBy(base_fp) with map-side partial aggregation."""
+    segs = _doc_segments(spark, sf_dir, GATE_CFG)
+    return segs.groupBy(F.lower(F.hex("base_fp")).alias("base_fp")).agg(
+        F.count(F.lit(1)).alias("ref_count")
+    )
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT content_sha, COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc
+    FROM (SELECT doc_id, sha256(text) AS content_sha FROM documents)
+    GROUP BY content_sha
+    """,
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection: hash-groupBy on full content — the
+    simplest dedup tier (training-data pipeline staple). JVM-side sha2,
+    no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_doc"))
+    )
+
+
+@_register(
+    "gd_roundtrip_check",
+    _SEG_ORACLE_CTE
+    + """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE ok) AS n_roundtrip_ok
+    FROM (
+      SELECT p.doc_id,
+             string_agg(p.base || substring(p.seg, length(p.base) + 1),
+                        '' ORDER BY p.seg_idx) = MIN(d.text) AS ok
+      FROM parts p JOIN documents d ON p.doc_id = d.doc_id
+      GROUP BY p.doc_id
+    )
+    """,
+)
+def gd_roundtrip_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip invariant as a query: reassemble base+deviation per doc
+    and compare with the original content hash (BASELINE.json per-row
+    invariant). Spark side verifies sha256(concat(segments)) == content_sha
+    computed at encode time."""
+    segs = _doc_segments(spark, sf_dir, GATE_CFG)
+    reassembled = (
+        segs.withColumn("seg", F.concat(F.col("base"), F.col("deviation")))
+        .groupBy("doc_id")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    "", F.transform(F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))), lambda s: s["seg"].cast("string"))
+                ),
+                256,
+            ).alias("rt_sha"),
+            F.lower(F.hex(F.first("content_sha"))).alias("orig_sha"),
+        )
+    )
+    return reassembled.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rt_sha") == F.col("orig_sha"), 1).otherwise(0)).alias(
+            "n_roundtrip_ok"
+        ),
+    )

@@ -1,0 +1,86 @@
+"""Connected components over candidate edges — pure DataFrame iteration.
+
+Min-label propagation with per-iteration localCheckpoint (lineage cut —
+without it the plan doubles every iteration and the driver OOMs compiling
+it; this IS the "checkpointed" in checkpointed resumability for the
+clustering stage). Deterministic: labels are keys, merged with min(), so
+the cluster id is always the lexicographically smallest member key —
+reproducible across runs/partitionings for the recall comparison.
+
+Convergence: edges from LSH/SimHash form near-cliques and star
+structures (hot buckets emit stars by construction, lsh.py), so the
+label graph's effective diameter is small; iteration count is bounded
+and logged, never silent (north-rule: no silent truncation).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    key_col: str = "doc_key",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(key_a, key_b) [+ optional nodes(key_col)] -> (key_col, cluster_id).
+
+    Every node gets a cluster id (singletons map to themselves when a
+    `nodes` frame is supplied)."""
+    sym = (
+        edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        .union(edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for it in range(max_iter):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "dst_node"),
+                     sym.dst == F.col("dst_node"))
+            .select(F.col("src").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            log.info("connected_components converged after %d iterations", it + 1)
+            break
+    else:
+        log.warning("connected_components hit max_iter=%d without convergence", max_iter)
+
+    result = labels.select(F.col("node").alias(key_col), F.col("label").alias("cluster_id"))
+    if nodes is not None:
+        result = (
+            nodes.select(key_col)
+            .distinct()
+            .join(result, key_col, "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", F.col(key_col)))
+        )
+    return result

@@ -1,0 +1,112 @@
+"""LSH candidate generation with explicit hot-bucket (skew) handling.
+
+The north rule demands explicit shuffle/skew management: a vendored
+library duplicated across 20% of repos puts millions of documents in ONE
+(band_id, band_hash) bucket; a naive self-join on that key is O(m^2)
+pairs in one task — the exact failure mode AQE alone cannot fix (AQE
+splits partitions, not a single key's quadratic output).
+
+Strategy (reference analog: the radix-partition sizing logic inside
+JoinHash, join_hash.cpp:58-80, is the single-node version of "make each
+build side fit" — here we bound per-bucket join output instead):
+
+1. band table: posexplode of the per-doc band-hash array (JVM-side).
+2. bucket census: groupBy(band_id, band_hash).count() — map-side partial
+   agg, cheap. Buckets with count > hot_band_threshold are "hot".
+3. cold buckets: hash self-join on (band_id, band_hash) with key_a < key_b
+   -> all candidate pairs (the LSH semantics).
+4. hot buckets: star edges — every member joins to the bucket's minimum
+   key (window min, one shuffle) -> O(m) edges, cluster-equivalent to the
+   O(m^2) clique for connected components, diameter 2 instead of 1.
+5. the hot-key list is tiny -> broadcast to route rows (no second shuffle
+   of the band table).
+
+Candidate verification happens downstream in JVM code only:
+signature-estimated Jaccard via zip_with/aggregate — no Python in the
+pair path (pairs >> docs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..config import GDConfig
+
+
+def band_table(signatures: DataFrame, key_col: str = "doc_key") -> DataFrame:
+    """(key, band_id, band_hash) — one row per doc per band."""
+    return signatures.select(
+        key_col, F.posexplode("band").alias("band_id", "band_hash")
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    cfg: GDConfig,
+    key_col: str = "doc_key",
+) -> DataFrame:
+    """-> (key_a, key_b, n_shared_bands) candidate pairs, skew-safe."""
+    counts = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
+    hot = counts.filter(F.col("bucket_n") > cfg.hot_band_threshold).select("band_id", "band_hash")
+
+    routed = bands.join(F.broadcast(hot.withColumn("is_hot", F.lit(True))),
+                        ["band_id", "band_hash"], "left")
+    cold = routed.filter(F.col("is_hot").isNull()).drop("is_hot")
+    hot_rows = routed.filter(F.col("is_hot")).drop("is_hot")
+
+    # cold: classic LSH self-join; dedupe multi-band hits via groupBy
+    a = cold.select(F.col("band_id"), F.col("band_hash"), F.col(key_col).alias("key_a"))
+    b = cold.select(F.col("band_id"), F.col("band_hash"), F.col(key_col).alias("key_b"))
+    cold_pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+    # hot: star edges to the bucket minimum (O(m) per bucket)
+    w = Window.partitionBy("band_id", "band_hash")
+    hot_pairs = (
+        hot_rows.withColumn("bucket_min", F.min(key_col).over(w))
+        .filter(F.col(key_col) != F.col("bucket_min"))
+        .select(
+            F.col("bucket_min").alias("key_a"),
+            F.col(key_col).alias("key_b"),
+        )
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def verified_edges(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: GDConfig,
+    key_col: str = "doc_key",
+    margin: float = 0.1,
+) -> DataFrame:
+    """Attach signature-estimated Jaccard; keep pairs >= threshold - margin.
+
+    Entirely JVM-side (zip_with + aggregate over the two signature
+    arrays); the margin compensates 128-hash estimation noise so pairs
+    whose TRUE Jaccard clears the threshold aren't dropped by a noisy
+    estimate (recall >= 0.99 gate; precision is reported, not gated).
+    """
+    sig = signatures.select(key_col, "minhash")
+    sig_a = sig.select(F.col(key_col).alias("key_a"), F.col("minhash").alias("sig_a"))
+    sig_b = sig.select(F.col(key_col).alias("key_b"), F.col("minhash").alias("sig_b"))
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0))
+    est = (
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+        / F.lit(cfg.num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "key_a")
+        .join(sig_b, "key_b")
+        .withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= cfg.jaccard_threshold - margin)
+        .select("key_a", "key_b", "jaccard_est", F.lit("lsh").alias("source"))
+    )

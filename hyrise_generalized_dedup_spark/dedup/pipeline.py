@@ -1,0 +1,218 @@
+"""The dedup pipeline: a checkpointed DAG of DataFrame stages.
+
+config -> read -> gd -> signatures -> bands -> candidates -> edges
+(lsh + simhash) -> clusters -> suffix -> summary.
+
+Each stage is a pure function DataFrame -> DataFrame whose output is
+written to ``{out}/checkpoint/{config_hash}/{stage}`` with a ``_DONE``
+marker; re-running resumes from the first missing marker (idempotent —
+FIXTURES.md F4.4 requires byte-identical re-runs). The config hash in
+the path makes stale-checkpoint reuse under a changed config impossible.
+
+Spark-scale notes:
+- `content` never crosses a shuffle after the signature stage; the pair
+  path carries only (key, sig/band) columns — the late-materialization
+  lesson (reference: ReferenceSegment, SURVEY §4.2).
+- every stage boundary is a parquet write = a durable shuffle barrier;
+  on a 1000-executor cluster the same layout gives per-stage restart
+  instead of whole-job restart.
+
+CLI (spark-submit entry):
+  python -m hyrise_generalized_dedup_spark.dedup.pipeline \
+    --input synth:5000 --output /tmp/gd_out --master "local[8]" \
+    [--resume] [--cores 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import GDConfig
+from .cluster import connected_components
+from .gd import dedup_stats, gd_segments
+from .lsh import band_table, candidate_pairs, verified_edges
+from .metrics import MetricsCollector
+from .minhash import signatures
+from .simhash import simhash_edges
+from .suffix import suffix_edges
+
+STAGES = ("gd", "signatures", "candidates", "edges", "clusters", "suffix", "summary")
+
+
+class Checkpointer:
+    def __init__(self, spark: SparkSession, out_dir: str, cfg: GDConfig, resume: bool = True):
+        self.spark = spark
+        self.root = os.path.join(out_dir, "checkpoint", cfg.config_hash())
+        self.resume = resume
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def done(self, stage: str) -> bool:
+        return self.resume and os.path.exists(os.path.join(self.path(stage), "_DONE"))
+
+    def materialize(self, stage: str, df: DataFrame) -> DataFrame:
+        """Write stage output + _DONE marker, read back (lineage cut)."""
+        p = self.path(stage)
+        df.write.mode("overwrite").parquet(p)
+        with open(os.path.join(p, "_DONE"), "w") as fh:
+            fh.write("done\n")
+        return self.spark.read.parquet(p)
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    code_files: DataFrame,
+    out_dir: str,
+    cfg: GDConfig | None = None,
+    resume: bool = True,
+    with_suffix_stage: bool = True,
+) -> dict[str, object]:
+    """Execute the full dedup DAG; returns the summary dict."""
+    cfg = cfg or GDConfig()
+    ckpt = Checkpointer(spark, out_dir, cfg, resume=resume)
+    metrics = MetricsCollector(spark, out_dir, cfg.config_hash())
+
+    docs = code_files.withColumn(
+        "doc_key", F.concat_ws("|", "repo", "path", "commit")
+    )
+
+    # --- stage: gd (segment table; content stays columnar-local) ---
+    if ckpt.done("gd"):
+        segments = ckpt.load("gd")
+    else:
+        metrics.start("gd")
+        segments = gd_segments(
+            docs, cfg, content_col="content", key_cols=("doc_key",), keep_base=False
+        )
+        segments = ckpt.materialize("gd", segments)
+        metrics.finish("gd", segments)
+
+    # --- stage: signatures (minhash + simhash + band keys, one pass) ---
+    if ckpt.done("signatures"):
+        sigs = ckpt.load("signatures")
+    else:
+        metrics.start("signatures")
+        sigs = signatures(docs, cfg, text_col="content", key_col="doc_key")
+        sigs = ckpt.materialize("signatures", sigs)
+        metrics.finish("signatures", sigs)
+
+    # --- stage: candidates (LSH buckets, skew-routed) ---
+    if ckpt.done("candidates"):
+        pairs = ckpt.load("candidates")
+    else:
+        metrics.start("candidates")
+        pairs = candidate_pairs(band_table(sigs), cfg)
+        pairs = ckpt.materialize("candidates", pairs)
+        metrics.finish("candidates", pairs)
+
+    # --- stage: edges (verified LSH + simhash) ---
+    if ckpt.done("edges"):
+        edges = ckpt.load("edges")
+    else:
+        metrics.start("edges")
+        lsh_e = verified_edges(pairs, sigs, cfg).select(
+            "key_a", "key_b", F.col("jaccard_est").alias("score"), "source"
+        )
+        sim_e = simhash_edges(sigs, cfg).select(
+            "key_a",
+            "key_b",
+            (1.0 - F.col("hamming") / F.lit(cfg.simhash_bits)).alias("score"),
+            "source",
+        )
+        edges = ckpt.materialize("edges", lsh_e.unionByName(sim_e))
+        metrics.finish("edges", edges)
+
+    # --- stage: clusters (connected components, deterministic min-key id) ---
+    if ckpt.done("clusters"):
+        clusters = ckpt.load("clusters")
+    else:
+        metrics.start("clusters")
+        strong = edges.filter(
+            (F.col("source") == "lsh") & (F.col("score") >= cfg.jaccard_threshold)
+            | (F.col("source") == "simhash")
+        )
+        clusters = connected_components(strong, nodes=docs.select("doc_key"))
+        clusters = ckpt.materialize("clusters", clusters)
+        metrics.finish("clusters", clusters)
+
+    # --- stage: suffix (exact substring pass within clusters) ---
+    if with_suffix_stage:
+        if ckpt.done("suffix"):
+            suffix = ckpt.load("suffix")
+        else:
+            metrics.start("suffix")
+            clustered_docs = docs.select("doc_key", "content").join(clusters, "doc_key")
+            suffix = suffix_edges(clustered_docs, cfg)
+            suffix = ckpt.materialize("suffix", suffix)
+            metrics.finish("suffix", suffix)
+    else:
+        suffix = None
+
+    # --- summary ---
+    stats = dedup_stats(segments).collect()[0].asDict()
+    n_docs = docs.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    n_multi = (
+        clusters.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
+    )
+    metrics.add(
+        n_files=n_docs,
+        n_candidate_pairs=pairs.count(),
+        n_edges=edges.count(),
+        n_clusters=n_clusters,
+        n_multi_doc_clusters=n_multi,
+        n_suffix_edges=suffix.filter(F.col("source") == "suffix").count() if suffix is not None else None,
+        n_suffix_overflows=suffix.filter(F.col("source") == "suffix_overflow").count() if suffix is not None else None,
+        **stats,
+    )
+    metrics.write_summary()
+    return metrics.summary
+
+
+def _load_input(spark: SparkSession, spec: str) -> DataFrame:
+    if spec.startswith("synth:"):
+        from ..synth import generate, to_spark
+
+        n = int(spec.split(":", 1)[1])
+        return to_spark(spark, generate(n_rows=n))
+    return spark.read.parquet(spec)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="generalized-dedup pipeline")
+    ap.add_argument("--input", required=True, help="parquet path or synth:N")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-suffix", action="store_true")
+    ap.add_argument("--fresh", action="store_true", help="delete output dir first")
+    args = ap.parse_args()
+
+    from ..session import get_spark
+
+    if args.fresh and os.path.exists(args.output):
+        shutil.rmtree(args.output)
+    spark = get_spark(app_name="gd-pipeline", master=args.master)
+    summary = run_pipeline(
+        spark,
+        _load_input(spark, args.input),
+        args.output,
+        resume=args.resume,
+        with_suffix_stage=not args.no_suffix,
+    )
+    print(json.dumps(summary, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

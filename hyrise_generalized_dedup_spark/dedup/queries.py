@@ -156,6 +156,84 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "minhash_shingle_stats",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(CAST(greatest(length(text) - 8 + 1, 1) AS BIGINT))) AS i
+      FROM documents
+    )
+    SELECT doc_id, COUNT(DISTINCT substring(text, CAST(i + 1 AS BIGINT), 8)) AS n_shingles
+    FROM pos GROUP BY doc_id
+    """,
+)
+def minhash_shingle_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct k-shingle count per document — the input cardinality of the
+    MinHash stage, recomputed by DuckDB over raw substrings. Verifies the
+    vectorized FNV shingling end to end (64-bit collisions are measure-zero
+    at this scale). Docs shorter than k yield one sentinel shingle on both
+    sides."""
+    from .minhash import signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = signatures(docs, CANON_CFG, text_col="text", key_col="doc_id")
+    return sigs.select("doc_id", "n_shingles")
+
+
+@_register("neardup_cluster_sizes", None)  # LSH is not SQL-expressible -> rows-only gate
+def neardup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline over documents: signatures -> LSH candidates
+    -> verified edges -> connected components -> cluster-size histogram.
+    (Histogram is non-empty even for an all-singleton corpus.) Verified
+    against brute-force oracles in tests/test_neardup.py."""
+    import pyspark.sql.functions as FF
+
+    from .cluster import connected_components
+    from .lsh import band_table, candidate_pairs, verified_edges
+    from .minhash import signatures
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    sigs = signatures(docs, CANON_CFG, text_col="text", key_col="doc_key")
+    pairs = candidate_pairs(band_table(sigs), CANON_CFG)
+    edges = verified_edges(pairs, sigs, CANON_CFG).filter(
+        FF.col("jaccard_est") >= CANON_CFG.jaccard_threshold
+    )
+    cc = connected_components(edges, nodes=docs.select("doc_key"))
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@_register("simhash_blocks_docs", None)  # rows-only: simhash itself is not SQL-expressible
+def simhash_blocks_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit block table over documents (the hamming-block join
+    keys): per-band bucket-size distribution — the skew census the salting
+    logic consumes."""
+    from .minhash import signatures
+    from .simhash import simhash_block_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    sigs = signatures(docs, CANON_CFG, text_col="text", key_col="doc_key")
+    blocks = simhash_block_table(sigs, CANON_CFG)
+    return (
+        blocks.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_n").alias("max_bucket"),
+        )
+    )
+
+
+@_register(
     "gd_roundtrip_check",
     _SEG_ORACLE_CTE
     + """

@@ -1,0 +1,223 @@
+"""Near-dup stack vs brute-force oracles on the synthetic code corpus —
+the north-star recall gate (BASELINE.json: dup-pair recall >= 0.99 vs
+reference clustering at identical shingle/signature config)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from hyrise_generalized_dedup_spark.config import GDConfig
+from hyrise_generalized_dedup_spark.dedup.cluster import connected_components
+from hyrise_generalized_dedup_spark.dedup.lsh import band_table, candidate_pairs, verified_edges
+from hyrise_generalized_dedup_spark.dedup.minhash import (
+    _hash_params,
+    estimated_jaccard,
+    exact_jaccard,
+    minhash_signature,
+    shingle_hashes,
+    signatures,
+    simhash64,
+)
+from hyrise_generalized_dedup_spark.dedup.simhash import simhash_edges
+from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+CFG = GDConfig()  # canonical: k=8, 128 hashes, 32 bands
+
+
+# ---------------------------------------------------------------- kernel ---
+
+def test_signature_deterministic():
+    a, b = _hash_params(CFG)
+    blob = b"def f():\n    return 42\n" * 20
+    s1 = minhash_signature(shingle_hashes(blob, 8), a, b)
+    s2 = minhash_signature(shingle_hashes(blob, 8), a, b)
+    assert np.array_equal(s1, s2)
+    a2, b2 = _hash_params(CFG)  # re-derived params identical (seeded)
+    assert np.array_equal(a, a2) and np.array_equal(b, b2)
+
+
+def test_identical_content_identical_signature():
+    a, b = _hash_params(CFG)
+    x = b"some code content here padded out" * 10
+    assert np.array_equal(
+        minhash_signature(shingle_hashes(x, 8), a, b),
+        minhash_signature(shingle_hashes(bytes(x), 8), a, b),
+    )
+    assert simhash64(shingle_hashes(x, 8)) == simhash64(shingle_hashes(bytes(x), 8))
+
+
+@pytest.mark.parametrize("n_edits", [0, 2, 10, 50])
+def test_estimated_vs_exact_jaccard(n_edits):
+    import random
+
+    rng = random.Random(7)
+    base = ("\n".join(f"line_{i} = value_{rng.randrange(100)}" for i in range(80))).encode()
+    edited = bytearray(base)
+    for _ in range(n_edits):
+        pos = rng.randrange(len(edited))
+        edited[pos : pos + 1] = rng.choice(b"abcdefgh").to_bytes(1, "little")
+    edited = bytes(edited)
+    a, b = _hash_params(CFG)
+    exact = exact_jaccard(base, edited, CFG.shingle_k)
+    est = estimated_jaccard(
+        minhash_signature(shingle_hashes(base, 8), a, b),
+        minhash_signature(shingle_hashes(edited, 8), a, b),
+    )
+    assert abs(est - exact) < 0.15  # 128 hashes -> se ~ sqrt(j(1-j)/128) ~ 0.044
+    if n_edits == 0:
+        assert est == exact == 1.0
+
+
+def test_simhash_unrelated_docs_far_apart():
+    """Regression: FNV bit bias once collapsed 60%+ of docs to simhash -1;
+    unrelated docs must sit near hamming 32, far above the <=3 cut."""
+    import random
+
+    rng = random.Random(11)
+    hams = []
+    prev = None
+    for _ in range(30):
+        blob = ("\n".join(f"w{rng.randrange(10**9)}" for _ in range(60))).encode()
+        h = simhash64(shingle_hashes(blob, 8))
+        if prev is not None:
+            hams.append(bin(h ^ prev).count("1"))
+        prev = h
+    assert min(hams) > 10, f"degenerate simhash spacing: {sorted(hams)[:5]}"
+    assert 20 < sum(hams) / len(hams) < 44
+
+
+def test_short_and_empty_docs():
+    a, b = _hash_params(CFG)
+    e1 = minhash_signature(shingle_hashes(b"", 8), a, b)
+    e2 = minhash_signature(shingle_hashes(b"", 8), a, b)
+    s1 = minhash_signature(shingle_hashes(b"ab", 8), a, b)
+    s2 = minhash_signature(shingle_hashes(b"cd", 8), a, b)
+    assert np.array_equal(e1, e2)
+    assert not np.array_equal(s1, s2)  # distinct short docs stay distinct
+
+
+# ---------------------------------------------------------- end-to-end ----
+
+def _oracle_pairs(corpus, threshold):
+    blobs = {c[2]: c[4].encode() for c in corpus.rows}
+    shingle_sets = {k: set(shingle_hashes(v, CFG.shingle_k).tolist()) for k, v in blobs.items()}
+    keys = sorted(shingle_sets)
+    out = set()
+    for i, ka in enumerate(keys):
+        sa = shingle_sets[ka]
+        for kb in keys[i + 1 :]:
+            sb = shingle_sets[kb]
+            inter = len(sa & sb)
+            if inter == 0 and (sa or sb):
+                continue
+            union = len(sa | sb)
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out.add((min(ka, kb), max(ka, kb)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate(n_rows=200, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pipeline_edges(spark, corpus):
+    df = to_spark(spark, corpus).withColumn("doc_key", F.col("commit"))
+    sigs = signatures(df, CFG, text_col="content", key_col="doc_key").cache()
+    bands = band_table(sigs)
+    pairs = candidate_pairs(bands, CFG)
+    edges = verified_edges(pairs, sigs, CFG).cache()
+    return sigs, edges
+
+
+def test_lsh_recall_against_oracle(corpus, pipeline_edges):
+    """THE gate: every oracle pair (true jaccard >= threshold) must be
+    found, recall >= 0.99."""
+    oracle = _oracle_pairs(corpus, CFG.jaccard_threshold)
+    assert len(oracle) > 50, "fixture must contain a meaningful dup population"
+    _, edges = pipeline_edges
+    found = {(min(r.key_a, r.key_b), max(r.key_a, r.key_b)) for r in edges.collect()}
+    missed = oracle - found
+    recall = 1 - len(missed) / len(oracle)
+    assert recall >= 0.99, f"recall {recall:.4f}, missed {len(missed)}/{len(oracle)}: {list(missed)[:5]}"
+
+
+def test_cluster_assignments_match_oracle(spark, corpus, pipeline_edges):
+    """Cluster-level recall: oracle union-find vs pipeline connected
+    components — co-clustered oracle pairs must co-cluster here."""
+    oracle = _oracle_pairs(corpus, CFG.jaccard_threshold)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in oracle:
+        parent[find(a)] = find(b)
+
+    _, edges = pipeline_edges
+    cc = connected_components(edges.filter(F.col("jaccard_est") >= CFG.jaccard_threshold))
+    assign = {r.doc_key: r.cluster_id for r in cc.collect()}
+    co_clustered = sum(
+        1 for a, b in oracle if assign.get(a) is not None and assign.get(a) == assign.get(b)
+    )
+    assert co_clustered / len(oracle) >= 0.99
+
+
+def test_exact_dups_share_cluster(spark, corpus, pipeline_edges):
+    _, edges = pipeline_edges
+    cc = connected_components(edges)
+    assign = {r.doc_key: r.cluster_id for r in cc.collect()}
+    for group in corpus.exact_groups:
+        ids = {assign.get(c) for c in group}
+        assert len(ids) == 1 and None not in ids, f"exact group split: {group} -> {ids}"
+
+
+def test_simhash_exact_dups_zero_hamming(spark, corpus, pipeline_edges):
+    sigs, _ = pipeline_edges
+    edges = simhash_edges(sigs, CFG)
+    zero = edges.filter(F.col("hamming") == 0)
+    pairs = {(r.key_a, r.key_b) for r in zero.collect()}
+    for group in corpus.exact_groups:
+        g = sorted(group)
+        covered = any((min(a, b), max(a, b)) in pairs for i, a in enumerate(g) for b in g[i + 1 :])
+        assert covered or len(g) < 2
+
+
+def test_hot_bucket_star_path(spark):
+    """Force the hot-bucket branch with a tiny threshold: a 40-copy family
+    must still land in one cluster via star edges (O(m), not O(m^2))."""
+    cfg = GDConfig(hot_band_threshold=5)
+    rows = [("r", f"p{i}", f"c{i:03d}", "js", "var vendored = 1;\n" * 30) for i in range(40)]
+    rows += [("r", "px", "unique", "js", "totally different content here\n" * 25)]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    df = df.withColumn("doc_key", F.col("commit"))
+    sigs = signatures(df, cfg, key_col="doc_key")
+    pairs = candidate_pairs(band_table(sigs), cfg)
+    n_pairs = pairs.count()
+    # star edges: 39 per band-bucket deduped -> far below the 780-pair clique
+    assert n_pairs <= 100, f"hot path emitted {n_pairs} pairs (quadratic blowup?)"
+    edges = verified_edges(pairs, sigs, cfg)
+    cc = connected_components(edges)
+    assign = {r.doc_key: r.cluster_id for r in cc.collect()}
+    family = {assign[f"c{i:03d}"] for i in range(40)}
+    assert len(family) == 1
+    assert "unique" not in assign  # no false edge to the distinct doc
+
+
+def test_connected_components_toy(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "key_a string, key_b string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("x",), ("y",), ("lone",)], "doc_key string")
+    cc = connected_components(edges, nodes=nodes)
+    assign = {r.doc_key: r.cluster_id for r in cc.collect()}
+    assert assign["a"] == assign["b"] == assign["c"] == "a"
+    assert assign["x"] == assign["y"] == "x"
+    assert assign["lone"] == "lone"

@@ -1,0 +1,127 @@
+"""End-to-end pipeline: golden run, resume idempotence, determinism
+(FIXTURES.md F4.2/F4.4)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from hyrise_generalized_dedup_spark.config import GDConfig
+from hyrise_generalized_dedup_spark.dedup.pipeline import run_pipeline
+from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+
+@pytest.fixture(scope="module")
+def out_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gd_out")
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate(n_rows=200, seed=42)
+
+
+@pytest.fixture(scope="module")
+def summary(spark, corpus, out_dir):
+    return run_pipeline(spark, to_spark(spark, corpus), out_dir, resume=False)
+
+
+def test_summary_shape(summary):
+    assert summary["n_files"] == 200
+    assert summary["total_segments"] > 0
+    assert summary["n_multi_doc_clusters"] > 0
+    assert 0.0 <= float(summary["dedup_ratio"]) <= 1.0
+    # exact duplicates guarantee segment-level dedup
+    assert summary["distinct_bases"] < summary["total_segments"]
+
+
+def test_checkpoints_and_metrics_on_disk(out_dir, summary):
+    cfgh = GDConfig().config_hash()
+    for stage in ("gd", "signatures", "candidates", "edges", "clusters", "suffix"):
+        assert os.path.exists(os.path.join(out_dir, "checkpoint", cfgh, stage, "_DONE")), stage
+        assert os.path.exists(os.path.join(out_dir, "metrics", stage)), stage
+    with open(os.path.join(out_dir, "metrics", "summary.json")) as fh:
+        js = json.load(fh)
+    assert js["n_files"] == 200 and js["config_hash"] == cfgh
+
+
+def test_exact_groups_coclustered(spark, corpus, out_dir, summary):
+    cfgh = GDConfig().config_hash()
+    clusters = spark.read.parquet(os.path.join(out_dir, "checkpoint", cfgh, "clusters"))
+    assign = {r.doc_key: r.cluster_id for r in clusters.collect()}
+    key_of = {c[2]: f"{c[0]}|{c[1]}|{c[2]}" for c in corpus.rows}
+    for group in corpus.exact_groups:
+        ids = {assign[key_of[c]] for c in group}
+        assert len(ids) == 1
+
+
+def test_neardup_pairs_coclustered(spark, corpus, out_dir, summary):
+    """Generator ground truth: >=95% of near-dup pairs co-cluster (the
+    k=10-edit tail can legitimately fall under the jaccard threshold;
+    the strict >=0.99 oracle-recall gate lives in test_neardup.py)."""
+    cfgh = GDConfig().config_hash()
+    clusters = spark.read.parquet(os.path.join(out_dir, "checkpoint", cfgh, "clusters"))
+    assign = {r.doc_key: r.cluster_id for r in clusters.collect()}
+    key_of = {c[2]: f"{c[0]}|{c[1]}|{c[2]}" for c in corpus.rows}
+    hits = sum(assign[key_of[a]] == assign[key_of[b]] for a, b in corpus.dup_pairs)
+    assert hits / len(corpus.dup_pairs) >= 0.95
+
+
+def test_resume_skips_and_reproduces(spark, corpus, out_dir, summary):
+    """Re-run with resume=True: all stages load from checkpoint and the
+    cluster assignment is byte-identical."""
+    cfgh = GDConfig().config_hash()
+    p = os.path.join(out_dir, "checkpoint", cfgh, "clusters")
+    before = sorted((r.doc_key, r.cluster_id) for r in spark.read.parquet(p).collect())
+    mtime = os.path.getmtime(os.path.join(p, "_DONE"))
+    s2 = run_pipeline(spark, to_spark(spark, corpus), out_dir, resume=True)
+    assert os.path.getmtime(os.path.join(p, "_DONE")) == mtime  # not rewritten
+    after = sorted((r.doc_key, r.cluster_id) for r in spark.read.parquet(p).collect())
+    assert before == after
+    assert s2["n_clusters"] == summary["n_clusters"]
+
+
+def test_partial_resume_recomputes_only_missing(spark, corpus, out_dir, summary):
+    """Delete the last stage's marker: earlier stages load, suffix
+    recomputes, results identical (stage-level restart semantics)."""
+    cfgh = GDConfig().config_hash()
+    suffix_p = os.path.join(out_dir, "checkpoint", cfgh, "suffix")
+    before = sorted(
+        (r.key_a, r.key_b, r.source) for r in spark.read.parquet(suffix_p).collect()
+    )
+    os.remove(os.path.join(suffix_p, "_DONE"))
+    run_pipeline(spark, to_spark(spark, corpus), out_dir, resume=True)
+    after = sorted(
+        (r.key_a, r.key_b, r.source) for r in spark.read.parquet(suffix_p).collect()
+    )
+    assert before == after
+
+
+def test_determinism_fresh_rerun(spark, corpus, out_dir, summary, tmp_path):
+    """Full fresh run in a different directory -> identical clusters
+    (FIXTURES F4.4: determinism across runs)."""
+    out2 = str(tmp_path / "gd_out2")
+    run_pipeline(spark, to_spark(spark, corpus), out2, resume=False)
+    cfgh = GDConfig().config_hash()
+    a = sorted(
+        (r.doc_key, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(out_dir, "checkpoint", cfgh, "clusters")).collect()
+    )
+    b = sorted(
+        (r.doc_key, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(out2, "checkpoint", cfgh, "clusters")).collect()
+    )
+    assert a == b
+
+
+def test_synth_generator_deterministic():
+    c1, c2 = generate(123, seed=42), generate(123, seed=42)
+    assert c1.rows == c2.rows and c1.dup_pairs == c2.dup_pairs
+    c3 = generate(123, seed=43)
+    assert c1.rows != c3.rows

@@ -1,0 +1,73 @@
+"""Suffix-array kernel + stage tests (brute-force substring oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from hyrise_generalized_dedup_spark.config import GDConfig
+from hyrise_generalized_dedup_spark.dedup.suffix import (
+    build_suffix_array,
+    shared_substring_pairs,
+    suffix_edges,
+)
+
+
+def test_suffix_array_correct():
+    s = np.frombuffer(b"banana", np.uint8)
+    sa = build_suffix_array(s).tolist()
+    # suffixes sorted: a, ana, anana, banana, na, nana -> offsets 5,3,1,0,4,2
+    assert sa == [5, 3, 1, 0, 4, 2]
+
+
+def test_suffix_array_random_matches_naive():
+    rng = np.random.default_rng(42)
+    for n in (1, 2, 17, 200):
+        s = rng.integers(0, 5, size=n).astype(np.uint8)
+        sa = build_suffix_array(s).tolist()
+        naive = sorted(range(n), key=lambda i: bytes(s[i:]))
+        assert sa == naive, f"n={n}"
+
+
+def test_shared_substring_found():
+    block = b"SHARED" * 50  # 300 bytes
+    docs = [
+        ("a", b"aaa-unique-prefix" + block + b"unique-suffix-a"),
+        ("b", b"bbb-other-content" + block + b"tail-b"),
+        ("c", b"no overlap at all here, completely different text " * 10),
+    ]
+    found = shared_substring_pairs(docs, min_len=256)
+    pairs = {(a, b) for a, b, _ in found}
+    assert ("a", "b") in pairs
+    assert all("c" not in p for p in pairs)
+    ln = next(l for a, b, l in found if (a, b) == ("a", "b"))
+    assert ln >= 256
+
+
+def test_no_false_positives_below_min_len():
+    docs = [("a", b"x" * 100 + b"common" + b"y" * 100), ("b", b"z" * 100 + b"common" + b"w" * 100)]
+    assert shared_substring_pairs(docs, min_len=50) == set()
+
+
+def test_suffix_stage_on_spark(spark):
+    cfg = GDConfig(suffix_min_len=100)
+    block = "B" * 64 * 4  # 4x chunk_size shared block (FIXTURES tier 4)
+    rows = [
+        ("k1", "pre-" * 30 + block + "-post1", "c0"),
+        ("k2", "other-" * 25 + block + "-post2", "c0"),
+        ("k3", "unrelated text " * 40, "c0"),
+        ("k4", "solo cluster " * 40, "c1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_key string, content string, cluster_id string")
+    edges = suffix_edges(df, cfg).collect()
+    pairs = {(r.key_a, r.key_b) for r in edges if r.source == "suffix"}
+    assert ("k1", "k2") in pairs
+    assert not any("k4" in p for p in pairs)
+
+
+def test_suffix_overflow_marker(spark):
+    cfg = GDConfig(suffix_min_len=100, suffix_max_cluster=3)
+    rows = [(f"k{i}", "content " * 50, "c0") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_key string, content string, cluster_id string")
+    edges = suffix_edges(df, cfg).collect()
+    assert any(r.source == "suffix_overflow" for r in edges), "cap must be visible, not silent"

@@ -1,0 +1,166 @@
+"""Driver-gate queries: text analysis + multimodal plumbing over `documents`."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import text as T
+from .fingerprint import fingerprint_table
+from .multimodal import extract_features, media_table_from_documents
+
+TEXT_QUERIES = {}
+TEXT_ORACLES = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        TEXT_QUERIES[name] = fn
+        if oracle is not None:
+            TEXT_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — JVM-side split, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+@_register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[ ]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE) END AS space_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring ratio features (ASCII classes -> identical regex
+    semantics in Java regex and RE2; the composite quality_score and punct
+    class are pytest-verified instead — \\p{Punct} syntax differs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    space = n - F.length(F.regexp_replace("text", "[ ]", ""))
+    return docs.select(
+        "doc_id",
+        T.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        T.digit_ratio(F.col("text")).alias("digit_ratio"),
+        F.when(n == 0, F.lit(0.0)).otherwise(space.cast("double") / n).alias("space_ratio"),
+    )
+
+
+@_register(
+    "text_langid",
+    """
+    SELECT doc_id, lang AS lang_declared,
+      CASE WHEN en_h = 0 AND de_h = 0 AND fr_h = 0 AND es_h = 0 THEN 'unk'
+           WHEN en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+           WHEN de_h >= fr_h AND de_h >= es_h THEN 'de'
+           WHEN fr_h >= es_h THEN 'fr'
+           ELSE 'es' END AS lang_guess
+    FROM (
+      SELECT doc_id, lang,
+        (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END) + (CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END) + (CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) AS en_h,
+        (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END) + (CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END) + (CASE WHEN p LIKE '% nicht %' THEN 1 ELSE 0 END) AS de_h,
+        (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END) + (CASE WHEN p LIKE '% et %' THEN 1 ELSE 0 END) + (CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END) AS fr_h,
+        (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END) + (CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END) + (CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END) AS es_h
+      FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)
+    )
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language id (stopword markers, deterministic tie-break);
+    the oracle restates the same CASE in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        T.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+@_register(
+    "text_ngram_stats",
+    """
+    SELECT doc_id, CAST(greatest(length(text) - 7, 0) AS BIGINT) AS n_grams
+    FROM documents
+    """,
+)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash gram count from the fingerprint UDF vs arithmetic
+    recomputation — verifies the winnowing input cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_table(docs).select("doc_id", "n_grams")
+
+
+@_register("text_fingerprint", None)  # winnowed minima are not SQL-expressible
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint table (doc_id, fp_len, fp_head) — pytest
+    verifies the kernel against a brute-force sliding-window min oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_table(docs)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprint").alias("fp_len"),
+        F.element_at("fingerprint", 1).alias("fp_head"),
+    )
+
+
+@_register(
+    "mm_media_stats",
+    """
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           COUNT(*) AS n_media,
+           CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT sha256(text)) AS distinct_payloads
+    FROM documents GROUP BY 1
+    """,
+)
+def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque payload + typed metadata,
+    aggregated per modality (payload bytes == utf-8 text bytes, ASCII
+    corpus -> length(text) is the byte count in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs)
+    return media.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("payload_sha").alias("distinct_payloads"),
+    )
+
+
+@_register("mm_features", None)  # stubbed decoder features -> rows-only
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (decode step
+    stubbed per environment; batch shape/schema real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(media_table_from_documents(docs))
+    return feats.select("media_id", "modality", "n_bytes", "feat_dim", "feat_norm")

@@ -1,0 +1,59 @@
+"""ANN: brute-force vs numpy oracle; LSH recall on planted neighbors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from hyrise_generalized_dedup_spark.ann.brute import topk_cosine
+from hyrise_generalized_dedup_spark.ann.lsh import ann_topk_lsh, hyperplanes, sketch_table
+
+
+def _make_df(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_topk_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    df = _make_df(spark, vecs)
+    got = topk_cosine(df, df.filter(F.col("vec_id") < 5), k=3)
+    got_pairs = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    for q in range(5):
+        order = sorted(
+            (i for i in range(60) if i != q), key=lambda i: (-sims[q, i], i)
+        )[:3]
+        for rank, nb in enumerate(order, 1):
+            assert got_pairs[(q, rank)] == nb, f"q={q} rank={rank}"
+
+
+def test_lsh_recall_on_planted_neighbors(spark):
+    """Planted pairs at cosine >= 0.95 must be recalled at >= 0.9 with
+    10-bit x 8-table sign sketches."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((50, 64)).astype(np.float32)
+    planted = base + rng.standard_normal((50, 64)).astype(np.float32) * 0.12
+    vecs = np.vstack([base, planted])
+    df = _make_df(spark, vecs)
+    planes = hyperplanes(dim=64, bits=10, tables=8, seed=42)
+    res = ann_topk_lsh(df, df.filter(F.col("vec_id") < 50), planes, k=3)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in res.collect()}
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    hits = sum(1 for q in range(50) if got.get((q, 1)) == q + 50
+               and normed[q] @ normed[q + 50] >= 0.9)
+    eligible = sum(1 for q in range(50) if normed[q] @ normed[q + 50] >= 0.9)
+    assert eligible >= 40
+    assert hits / eligible >= 0.9, f"LSH recall {hits}/{eligible}"
+
+
+def test_sketch_deterministic(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((10, 8)).astype(np.float32)
+    df = _make_df(spark, vecs)
+    planes = hyperplanes(dim=8, bits=6, tables=2, seed=7)
+    a = sorted((r.id, r.table_id, r.sketch) for r in sketch_table(df, planes).collect())
+    b = sorted((r.id, r.table_id, r.sketch) for r in sketch_table(df, planes).collect())
+    assert a == b

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., plus dedup-throughput extras}.
+
+The dedup-pipeline throughput (files/sec on the synthetic code corpus)
+is the north-star metric analog of the reference benchmark runner's
+items/sec (src/benchmarklib/benchmark_runner.cpp:266-282); scaling
+evidence across parallelism levels lives in scripts/bench_scaling.py
+and BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_suppliers",
+    "q6_filtered_revenue",
+    "q_window_topk_per_group",
+    "dedup_exact",
+    "gd_dedup_ratio",
+    "gd_segments",
+    "minhash_shingle_stats",
+    "neardup_cluster_sizes",
+    "text_quality",
+    "ann_topk_brute",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from hyrise_generalized_dedup_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    qs = entrymod.queries()
+
+    # warm the JVM/Arrow path once so per-query numbers measure the plan,
+    # not first-use initialization
+    qs["q6_filtered_revenue"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # dedup-pipeline throughput: files/sec over the synthetic code corpus
+    # (map-heavy stages dominate — the 100 TB-relevant number)
+    from hyrise_generalized_dedup_spark.dedup.pipeline import run_pipeline
+    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+    n_files = int(os.environ.get("BENCH_DEDUP_FILES", "20000"))
+    corpus = to_spark(spark, generate(n_rows=n_files)).repartition(CPUS * 4).cache()
+    corpus.count()
+    out_dir = f"/tmp/bench_dedup_{os.getpid()}"
+    t0 = time.time()
+    summary = run_pipeline(spark, corpus, out_dir, resume=False, with_suffix_stage=False)
+    dedup_wall = time.time() - t0
+    timings["dedup_pipeline"] = round(dedup_wall, 3)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time + dedup pipeline throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "dedup_files": n_files,
+                "dedup_files_per_sec": round(n_files / dedup_wall, 1),
+                "dedup_clusters": summary["n_clusters"],
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

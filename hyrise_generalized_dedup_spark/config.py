@@ -40,7 +40,12 @@ class GDConfig:
     suffix_max_cluster: int = 256 # hard cap on cluster size for the partition-local pass
 
     # --- skew handling ---
-    hot_band_threshold: int = 1000  # band-bucket size above which we salt
+    # band-bucket size above which candidate generation switches from the
+    # all-pairs clique (O(m^2)) to star edges (O(m)). Cluster assignments
+    # are unaffected (same connected component); only pair-level edge
+    # enumeration inside one giant family is collapsed. 256^2/2 = 32k pairs
+    # is the max per-bucket join output.
+    hot_band_threshold: int = 256
     salt_buckets: int = 16
 
     seed: int = 42

@@ -48,27 +48,23 @@ def connected_components(
     )
 
     for it in range(max_iter):
-        # each node adopts min(own label, neighbors' labels)
+        # each node adopts min(own label, neighbors' labels); carrying the
+        # previous label through the aggregation lets one job both
+        # materialize the checkpoint and answer the convergence check
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("node", "dst_node"),
                      sym.dst == F.col("dst_node"))
-            .select(F.col("src").alias("node"), F.col("label"))
+            .select(F.col("src").alias("node"), F.col("label"), F.lit(None).cast(labels.schema["label"].dataType).alias("prev"))
         )
         new_labels = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.col("label").alias("prev"))
             .union(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("prev")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             log.info("connected_components converged after %d iterations", it + 1)
             break

@@ -46,39 +46,43 @@ def candidate_pairs(
     cfg: GDConfig,
     key_col: str = "doc_key",
 ) -> DataFrame:
-    """-> (key_a, key_b, n_shared_bands) candidate pairs, skew-safe."""
-    counts = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
-    hot = counts.filter(F.col("bucket_n") > cfg.hot_band_threshold).select("band_id", "band_hash")
+    """-> (key_a, key_b, n_shared_bands) candidate pairs, skew-safe.
 
-    routed = bands.join(F.broadcast(hot.withColumn("is_hot", F.lit(True))),
-                        ["band_id", "band_hash"], "left")
-    cold = routed.filter(F.col("is_hot").isNull()).drop("is_hot")
-    hot_rows = routed.filter(F.col("is_hot")).drop("is_hot")
-
-    # cold: classic LSH self-join; dedupe multi-band hits via groupBy
-    a = cold.select(F.col("band_id"), F.col("band_hash"), F.col(key_col).alias("key_a"))
-    b = cold.select(F.col("band_id"), F.col("band_hash"), F.col(key_col).alias("key_b"))
-    cold_pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
-
-    # hot: star edges to the bucket minimum (O(m) per bucket)
+    One window pass computes bucket size + bucket min per
+    (band_id, band_hash) — a single shuffle that serves both the census
+    and the star-edge anchor; the annotated table is persisted so the
+    hot branch, and both sides of the cold self-join, reuse one
+    materialization instead of recomputing the upstream plan 3x."""
     w = Window.partitionBy("band_id", "band_hash")
+    annotated = bands.select(
+        "band_id",
+        "band_hash",
+        F.col(key_col),
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min(key_col).over(w).alias("bucket_min"),
+    ).persist()
+
+    cold = annotated.filter(F.col("bucket_n") <= cfg.hot_band_threshold)
+    a = cold.select("band_id", "band_hash", F.col(key_col).alias("key_a"))
+    b = cold.select("band_id", "band_hash", F.col(key_col).alias("key_b"))
+    cold_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("key_a") < F.col("key_b"))
+
+    # hot: star edges to the bucket minimum (O(m) per bucket, cluster-
+    # equivalent to the O(m^2) clique for connected components)
     hot_pairs = (
-        hot_rows.withColumn("bucket_min", F.min(key_col).over(w))
-        .filter(F.col(key_col) != F.col("bucket_min"))
-        .select(
-            F.col("bucket_min").alias("key_a"),
-            F.col(key_col).alias("key_b"),
+        annotated.filter(
+            (F.col("bucket_n") > cfg.hot_band_threshold)
+            & (F.col(key_col) != F.col("bucket_min"))
         )
+        .select(F.col("bucket_min").alias("key_a"), F.col(key_col).alias("key_b"))
+    )
+
+    return (
+        cold_pairs.select("key_a", "key_b")
+        .unionByName(hot_pairs)
         .groupBy("key_a", "key_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-
-    return cold_pairs.unionByName(hot_pairs)
 
 
 def verified_edges(
@@ -103,8 +107,13 @@ def verified_edges(
         F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
         / F.lit(cfg.num_hashes)
     )
+    # the per-pair zip_with/aggregate is compute-heavy but byte-light: AQE
+    # would coalesce the pair table to a couple of partitions and serialize
+    # the CPU work — force one task per core x2
+    par = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        pairs.join(sig_a, "key_a")
+        pairs.repartition(par * 2, "key_a")
+        .join(sig_a, "key_a")
         .join(sig_b, "key_b")
         .withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= cfg.jaccard_threshold - margin)

@@ -30,8 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -153,7 +153,10 @@ def signatures(
     out_schema = StructType(
         [
             StructField(key_col, df.schema[key_col].dataType, False),
-            StructField("minhash", ArrayType(LongType(), False), False),
+            # downstream only ever compares components for equality, so the
+            # low 32 bits suffice (collision 2^-32/component); int32 halves
+            # the signature bytes in every checkpoint and pair-join shuffle
+            StructField("minhash", ArrayType(IntegerType(), False), False),
             StructField("simhash", LongType(), False),
             StructField("band", ArrayType(LongType(), False), False),
             StructField("n_shingles", LongType(), False),
@@ -168,7 +171,7 @@ def signatures(
                 sh = shingle_hashes(blob, k)
                 sig = minhash_signature(sh, a, b)
                 keys.append(key)
-                sigs.append(sig.astype(np.int64).tolist())
+                sigs.append(sig.astype(np.uint32).astype(np.int32).tolist())
                 sims.append(simhash64(sh))
                 bandks.append(band_hashes(sig, bands).tolist())
                 nsh.append(sh.size)

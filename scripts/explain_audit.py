@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Physical-plan audit: dump .explain('formatted') for headline queries
+and assert the plan properties that matter at 100 TB:
+
+- parquet scans carry PushedFilters + pruned ReadSchema (never SELECT *)
+- dimension joins are BroadcastHashJoin, fact joins shuffle on keys
+- expression pipelines run inside WholeStageCodegen
+- sort+limit fuses to TakeOrderedAndProject
+
+Writes plans to BENCH/plans/<query>.txt and prints a PASS/FAIL audit line
+per query. Run: python scripts/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+AUDITS = {
+    # query -> (must-contain substrings, must-NOT-contain); codegen is
+    # asserted via the simple-mode `*(n)` stage markers (formatted mode in
+    # Spark 4 does not label codegen spans)
+    "q6_filtered_revenue": (["PushedFilters: [IsNotNull(l_shipdate)", "CODEGEN"], []),
+    "q1_pricing_summary": (["PushedFilters", "HashAggregate", "CODEGEN"], []),
+    "q3_top_orders": (["BroadcastHashJoin", "TakeOrderedAndProject"], ["CartesianProduct"]),
+    "q5_local_suppliers": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q_topk": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    "q_join_semi": (["LeftSemi"], []),
+    "q_join_anti": (["LeftAnti"], []),
+    "dedup_exact": (["HashAggregate", "ReadSchema: struct<doc_id:bigint,text:string>"], []),
+    "gd_dedup_ratio": (["MapInPandas"], []),
+    "ann_topk_brute": (["BroadcastNestedLoopJoin"], []),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as e
+    from hyrise_generalized_dedup_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    qs = e.queries()
+    os.makedirs("/root/repo/BENCH/plans", exist_ok=True)
+    failures = []
+    for name, (must, must_not) in AUDITS.items():
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        df.collect()  # let AQE finalize, then read the executed plan
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        plan = buf.getvalue() + "\n==== executed ====\n" + executed
+        if "*(" in executed:  # whole-stage-codegen markers
+            plan += "\nCODEGEN\n"
+        with open(f"/root/repo/BENCH/plans/{name}.txt", "w") as fh:
+            fh.write(plan)
+        missing = [m for m in must if m not in plan]
+        present = [m for m in must_not if m in plan]
+        ok = not missing and not present
+        print(f"[{'PASS' if ok else 'FAIL'}] {name:28s} "
+              + (f"missing={missing} forbidden={present}" if not ok else "plan ok"))
+        if not ok:
+            failures.append(name)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

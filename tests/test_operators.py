@@ -1,0 +1,57 @@
+"""Operator-layer parity tests (SURVEY §2 inventory exercised 1:1)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hyrise_generalized_dedup_spark import operators as ops
+
+
+def test_every_parity_entry_resolved():
+    for name, (status, where) in ops.OPERATOR_PARITY.items():
+        assert status in ("covered", "superseded", "out-of-scope"), name
+        assert where
+
+
+def test_operator_composition(spark, sf_tiny):
+    """Build a small PQP-style plan purely from the operator layer, the way
+    reference tests compose operators (src/test/lib/operators/*)."""
+    orders = ops.get_table(spark, sf_tiny, "orders")
+    customer = ops.get_table(spark, sf_tiny, "customer")
+
+    scanned = ops.table_scan(orders, F.col("o_totalprice") > 50000)
+    joined = ops.join(
+        scanned, customer, scanned.o_custkey == customer.c_custkey, "inner",
+        broadcast_right=True,
+    )
+    agg = ops.aggregate(
+        joined, ["c_mktsegment"],
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    top = ops.limit(ops.sort(agg, F.desc_nulls_first("n"), F.asc("c_mktsegment")), 3)
+    rows = top.collect()
+    assert 1 <= len(rows) <= 3
+    assert rows[0].n >= rows[-1].n
+
+    # set ops
+    a = ops.projection(customer, F.col("c_nationkey").alias("k"))
+    b = ops.projection(ops.get_table(spark, sf_tiny, "supplier"), F.col("s_nationkey").alias("k"))
+    assert ops.union_all(a, b).count() == a.count() + b.count()
+    assert ops.difference(a, b).count() == a.subtract(b).count()
+    inter = ops.intersect(a, b)
+    assert inter.count() == inter.distinct().count()
+
+    # product + alias + wrapper
+    lit = ops.table_wrapper(spark, [(1, "x"), (2, "y")], "id int, v string")
+    prod = ops.product(lit, ops.alias(lit, "id2", "v2"))
+    assert prod.count() == 4
+
+
+def test_semi_anti_modes(spark, sf_tiny):
+    c = ops.get_table(spark, sf_tiny, "customer")
+    o = ops.get_table(spark, sf_tiny, "orders")
+    semi = ops.join(c, o, c.c_custkey == o.o_custkey, "semi")
+    anti = ops.join(c, o, c.c_custkey == o.o_custkey, "anti_null_as_false")
+    assert semi.count() + anti.count() == c.count()
+    assert set(semi.columns) == set(c.columns)

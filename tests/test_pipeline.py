@@ -43,7 +43,7 @@ def test_summary_shape(summary):
 
 def test_checkpoints_and_metrics_on_disk(out_dir, summary):
     cfgh = GDConfig().config_hash()
-    for stage in ("gd", "signatures", "candidates", "edges", "clusters", "suffix"):
+    for stage in ("gd", "signatures", "reps", "candidates", "edges", "clusters", "suffix"):
         assert os.path.exists(os.path.join(out_dir, "checkpoint", cfgh, stage, "_DONE")), stage
         assert os.path.exists(os.path.join(out_dir, "metrics", stage)), stage
     with open(os.path.join(out_dir, "metrics", "summary.json")) as fh:

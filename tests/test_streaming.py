@@ -7,6 +7,41 @@ import pyspark.sql.functions as F
 from hyrise_generalized_dedup_spark.streaming.events import run_stream_batch
 
 
+def test_session_window_stream_equals_batch_sessionize(spark, sf_tiny):
+    """The streaming session_window operator and the batch lag/cumsum
+    sessionizer implement the same gap definition."""
+    import uuid
+
+    from hyrise_generalized_dedup_spark.streaming.events import EVENTS_SCHEMA
+    from hyrise_generalized_dedup_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_tiny}/events.parquet")
+    batch = sessionize_batch(events.withColumn("ts", F.col("ts").cast("timestamp")), 30)
+    b = sorted((r.user_id, str(r.session_start), r.n_events) for r in batch.collect())
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sess_stream_")
+    os.symlink(os.path.abspath(f"{sf_tiny}/events.parquet"), os.path.join(d, "e.parquet"))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    agg = sessionize_stream(stream, 30)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    s = sorted(
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.table(name).collect()
+    )
+    assert s == b and len(s) > 0
+
+
 def test_stream_equals_batch(spark, sf_tiny):
     out = run_stream_batch(spark, sf_tiny, window="5 minutes")
     batch = (

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from hyrise_generalized_dedup_spark.plans.relational import (  # noqa: E402
+from hyrise_generalized_dedup_spark.plans import (  # noqa: E402
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
 )

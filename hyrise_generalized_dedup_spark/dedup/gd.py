@@ -143,26 +143,75 @@ def gd_segments(
     out_schema = segment_schema(list(key_fields))
     drop_base = not keep_base
 
+    cs = cfg.chunk_size
+    lowbits = cfg.gd_mode == "lowbits"
+    mask = (1 << cfg.dev_bits) - 1
+    split_at = max(cs - cfg.dev_bytes, 0)
+    dev_bits = cfg.dev_bits
+
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch-vectorized kernel: one numpy pass over the concatenation of
+        # all blobs in the Arrow batch (per-file-per-segment Python loops
+        # are superlinear on MB-size files; only the sha256 fingerprint
+        # loop remains per-segment, and that's C-speed hashlib).
         for pdf in batches:
-            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for tup in pdf.itertuples(index=False):
-                content: str = getattr(tup, content_col) or ""
-                blob = content.encode("utf-8")
-                sha = hashlib.sha256(blob).digest()
-                for idx, base, fp, deviation in encode_segments(blob, cfg):
-                    for k in key_cols:
-                        rows[k].append(getattr(tup, k))
-                    rows["seg_idx"].append(idx)
-                    rows["base_fp"].append(fp)
-                    rows["base"].append(b"" if drop_base else base)
-                    rows["deviation"].append(deviation)
-                    rows["seg_len"].append(
-                        min(cfg.chunk_size, len(blob) - idx * cfg.chunk_size)
-                    )
-                    rows["content_len"].append(len(blob))
-                    rows["content_sha"].append(sha)
-            yield pd.DataFrame(rows)
+            blobs = [(t or "").encode("utf-8") for t in pdf[content_col]]
+            n_segs = np.array([(len(b) + cs - 1) // cs for b in blobs], dtype=np.int64)
+            total = int(n_segs.sum())
+            if total == 0:
+                yield pd.DataFrame({f.name: [] for f in out_schema.fields})
+                continue
+            shas = [hashlib.sha256(b).digest() for b in blobs]
+            seg_idx = np.concatenate([np.arange(n) for n in n_segs if n])
+            lens = np.array([len(b) for b in blobs], dtype=np.int64)
+            rep = np.repeat(np.arange(len(blobs)), n_segs)
+            seg_len = np.minimum(cs, lens[rep] - seg_idx * cs).astype(np.int32)
+
+            # fast path: cs*dev_bits divisible by 8 -> a full segment's
+            # packed deviation is exactly cs*dev_bits//8 bytes, so the whole
+            # blob packs in ONE numpy call and full segments slice out of it
+            whole_seg_pack = lowbits and (cs * dev_bits) % 8 == 0
+            dev_stride = (cs * dev_bits) // 8 if lowbits else 0
+
+            bases: list[bytes] = []
+            fps: list[bytes] = []
+            devs: list[bytes] = []
+            for b in blobs:
+                arr = np.frombuffer(b, np.uint8)
+                n_full, tail = divmod(len(b), cs)
+                if lowbits:
+                    base_blob = (arr & np.uint8(0xFF ^ mask)).tobytes()
+                    low_all = arr & np.uint8(mask)
+                    if whole_seg_pack:
+                        packed = _pack_lowbits(low_all[: n_full * cs], dev_bits)
+                else:
+                    base_blob = b
+                for i in range((len(b) + cs - 1) // cs):
+                    if lowbits:
+                        base_bytes = base_blob[i * cs : (i + 1) * cs]
+                        if whole_seg_pack and i < n_full:
+                            dev = packed[i * dev_stride : (i + 1) * dev_stride]
+                        else:
+                            dev = _pack_lowbits(low_all[i * cs : (i + 1) * cs], dev_bits)
+                    else:
+                        seg = base_blob[i * cs : (i + 1) * cs]
+                        base_bytes = seg[:split_at]
+                        dev = seg[split_at:cs]
+                    bases.append(base_bytes)
+                    fps.append(hashlib.sha256(base_bytes).digest()[:16])
+                    devs.append(dev)
+
+            out = {}
+            for k in key_cols:
+                out[k] = pdf[k].to_numpy()[rep]
+            out["seg_idx"] = seg_idx
+            out["base_fp"] = fps
+            out["base"] = [b""] * total if drop_base else bases
+            out["deviation"] = devs
+            out["seg_len"] = seg_len
+            out["content_len"] = lens[rep]
+            out["content_sha"] = [shas[i] for i in rep]
+            yield pd.DataFrame(out)
 
     return df.select(*key_cols, content_col).mapInPandas(transform, out_schema)
 

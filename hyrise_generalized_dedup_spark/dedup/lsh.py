@@ -91,31 +91,66 @@ def verified_edges(
     cfg: GDConfig,
     key_col: str = "doc_key",
     margin: float = 0.1,
+    broadcast_sigs: bool | None = None,
 ) -> DataFrame:
     """Attach signature-estimated Jaccard; keep pairs >= threshold - margin.
 
-    Entirely JVM-side (zip_with + aggregate over the two signature
-    arrays); the margin compensates 128-hash estimation noise so pairs
-    whose TRUE Jaccard clears the threshold aren't dropped by a noisy
-    estimate (recall >= 0.99 gate; precision is reported, not gated).
+    The margin compensates 128-hash estimation noise so pairs whose TRUE
+    Jaccard clears the threshold aren't dropped by a noisy estimate
+    (recall >= 0.99 gate; precision is reported, not gated).
+
+    Scale shape: LSH near threshold floods candidates (most sharing one
+    band), so verification must be stream-cheap. When the signature table
+    fits the broadcast budget the pair table never shuffles — it flows
+    map-side through two broadcast hash joins; the 128-way component
+    compare runs as a numpy kernel over Arrow batches (a JVM higher-order
+    function here allocates an intermediate array per pair and GC-thrashes
+    at high core counts — measured anti-scaling). Beyond broadcast scale,
+    pass broadcast_sigs=False for shuffled joins on compact int keys.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
     sig = signatures.select(key_col, "minhash")
-    sig_a = sig.select(F.col(key_col).alias("key_a"), F.col("minhash").alias("sig_a"))
-    sig_b = sig.select(F.col(key_col).alias("key_b"), F.col("minhash").alias("sig_b"))
-    eq = F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0))
-    est = (
-        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
-        / F.lit(cfg.num_hashes)
+    if broadcast_sigs is None:
+        # sigs are ~(4*num_hashes+key) bytes/row; broadcast under ~200MB
+        broadcast_sigs = sig.count() * (4 * cfg.num_hashes + 32) < 200 * 1024 * 1024
+    maybe_b = F.broadcast if broadcast_sigs else (lambda d: d)
+    sig_a = maybe_b(sig.select(F.col(key_col).alias("key_a"), F.col("minhash").alias("sig_a")))
+    sig_b = maybe_b(sig.select(F.col(key_col).alias("key_b"), F.col("minhash").alias("sig_b")))
+
+    joined = pairs.select("key_a", "key_b").join(sig_a, "key_a").join(sig_b, "key_b")
+
+    key_t = pairs.schema["key_a"].dataType
+    out_schema = StructType(
+        [
+            StructField("key_a", key_t, False),
+            StructField("key_b", key_t, False),
+            StructField("jaccard_est", DoubleType(), False),
+            StructField("source", StringType(), False),
+        ]
     )
-    # the per-pair zip_with/aggregate is compute-heavy but byte-light: AQE
-    # would coalesce the pair table to a couple of partitions and serialize
-    # the CPU work — force one task per core x2
-    par = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        pairs.repartition(par * 2, "key_a")
-        .join(sig_a, "key_a")
-        .join(sig_b, "key_b")
-        .withColumn("jaccard_est", est)
-        .filter(F.col("jaccard_est") >= cfg.jaccard_threshold - margin)
-        .select("key_a", "key_b", "jaccard_est", F.lit("lsh").alias("source"))
-    )
+    keep = cfg.jaccard_threshold - margin
+    nh = cfg.num_hashes
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["sig_a"].to_numpy())
+            b = np.vstack(pdf["sig_b"].to_numpy())
+            est = (a == b).sum(axis=1) / nh
+            m = est >= keep
+            if not m.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "key_a": pdf["key_a"].to_numpy()[m],
+                    "key_b": pdf["key_b"].to_numpy()[m],
+                    "jaccard_est": est[m],
+                    "source": "lsh",
+                }
+            )
+
+    return joined.mapInPandas(verify, out_schema)

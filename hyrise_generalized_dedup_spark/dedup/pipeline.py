@@ -93,6 +93,9 @@ def run_pipeline(
         code_files.withColumn("doc_key", F.concat_ws("|", "repo", "path", "commit"))
         .withColumn("doc_id", F.xxhash64("doc_key"))
         .repartition(par * 4)
+        .persist()  # gd, signatures, clusters and the summary all consume
+        # docs; without persist the repartition exchange (full content
+        # shuffle) re-executes once per consumer
     )
     key_map = docs.select("doc_id", "doc_key")
 
@@ -215,6 +218,7 @@ def run_pipeline(
         **stats,
     )
     metrics.write_summary()
+    docs.unpersist()
     return metrics.summary
 
 

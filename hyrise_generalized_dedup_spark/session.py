@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # On a real cluster each node has local SSD scratch that scales with
+    # the node count; on this single-VM sandbox all shuffle/spill streams
+    # share one ext4 disk, which serializes at high core counts. Allow
+    # redirecting scratch to tmpfs via env (bench_scaling sets it).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

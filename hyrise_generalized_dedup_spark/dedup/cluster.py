@@ -28,11 +28,18 @@ def connected_components(
     nodes: DataFrame | None = None,
     key_col: str = "doc_key",
     max_iter: int = 25,
+    check_every: int = 3,
 ) -> DataFrame:
     """edges(key_a, key_b) [+ optional nodes(key_col)] -> (key_col, cluster_id).
 
     Every node gets a cluster id (singletons map to themselves when a
-    `nodes` frame is supplied)."""
+    `nodes` frame is supplied).
+
+    The convergence check is an extra blocking job per iteration; since
+    LSH/star edge graphs converge in a handful of rounds, checking every
+    `check_every` iterations amortizes that fixed latency (at worst
+    check_every-1 extra cheap propagation rounds after convergence —
+    propagating an already-stable labelling is a no-op data-wise)."""
     sym = (
         edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
         .union(edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
@@ -47,6 +54,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
     for it in range(max_iter):
         # each node adopts min(own label, neighbors' labels); carrying the
         # previous label through the aggregation lets one job both
@@ -61,14 +69,17 @@ def connected_components(
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
-            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("label") != F.col("prev")).limit(1).count()
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            new_labels = new_labels.localCheckpoint(eager=False)
+            changed = new_labels.filter(F.col("label") != F.col("prev")).limit(1).count()
+            if changed == 0:
+                labels = new_labels.select("node", "label")
+                log.info("connected_components converged within %d iterations", it + 1)
+                converged = True
+                break
         labels = new_labels.select("node", "label")
-        if changed == 0:
-            log.info("connected_components converged after %d iterations", it + 1)
-            break
-    else:
+    if not converged:
         log.warning("connected_components hit max_iter=%d without convergence", max_iter)
 
     result = labels.select(F.col("node").alias(key_col), F.col("label").alias("cluster_id"))

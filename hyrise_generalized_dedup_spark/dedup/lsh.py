@@ -69,21 +69,31 @@ def candidate_pairs(
     b = cold.select("band_id", "band_hash", F.col(key_col).alias("key_b"))
     cold_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("key_a") < F.col("key_b"))
 
-    # hot: star edges to the bucket minimum (O(m) per bucket, cluster-
-    # equivalent to the O(m^2) clique for connected components)
+    # hot: star edges to the bucket minimum (O(m) per bucket instead of the
+    # O(m^2) clique). Star pairs are TAGGED so downstream verification can
+    # treat them differently: a star edge member-to-min may estimate below
+    # the strict threshold even when members are mutually similar, so
+    # filtering stars like ordinary pairs would silently cut connectivity
+    # (recall loss under skew). See verified_edges / pipeline for how the
+    # tag is consumed; the residual approximation is documented there.
     hot_pairs = (
         annotated.filter(
             (F.col("bucket_n") > cfg.hot_band_threshold)
             & (F.col(key_col) != F.col("bucket_min"))
         )
         .select(F.col("bucket_min").alias("key_a"), F.col(key_col).alias("key_b"))
+        .withColumn("is_star", F.lit(1))
     )
 
     return (
         cold_pairs.select("key_a", "key_b")
+        .withColumn("is_star", F.lit(0))
         .unionByName(hot_pairs)
         .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.max("is_star").alias("is_star"),
+        )
     )
 
 
@@ -94,6 +104,7 @@ def verified_edges(
     key_col: str = "doc_key",
     margin: float = 0.1,
     broadcast_sigs: bool | None = None,
+    n_sigs: int | None = None,
 ) -> DataFrame:
     """Attach signature-estimated Jaccard; keep pairs >= threshold - margin.
 
@@ -116,13 +127,22 @@ def verified_edges(
 
     sig = signatures.select(key_col, "minhash")
     if broadcast_sigs is None:
-        # sigs are ~(4*num_hashes+key) bytes/row; broadcast under ~200MB
-        broadcast_sigs = sig.count() * (4 * cfg.num_hashes + 32) < 200 * 1024 * 1024
+        # sigs are ~(4*num_hashes+key) bytes/row; broadcast under ~200MB.
+        # Callers that already know the corpus size pass n_sigs so this
+        # doesn't cost an extra count job per invocation.
+        rows = n_sigs if n_sigs is not None else sig.count()
+        broadcast_sigs = rows * (4 * cfg.num_hashes + 32) < 200 * 1024 * 1024
     maybe_b = F.broadcast if broadcast_sigs else (lambda d: d)
     sig_a = maybe_b(sig.select(F.col(key_col).alias("key_a"), F.col("minhash").alias("sig_a")))
     sig_b = maybe_b(sig.select(F.col(key_col).alias("key_b"), F.col("minhash").alias("sig_b")))
 
-    joined = pairs.select("key_a", "key_b").join(sig_a, "key_a").join(sig_b, "key_b")
+    has_star = "is_star" in pairs.columns
+    star_col = F.col("is_star") if has_star else F.lit(0).alias("is_star")
+    joined = (
+        pairs.select("key_a", "key_b", star_col)
+        .join(sig_a, "key_a")
+        .join(sig_b, "key_b")
+    )
 
     key_t = pairs.schema["key_a"].dataType
     out_schema = StructType(
@@ -143,15 +163,25 @@ def verified_edges(
             a = np.vstack(pdf["sig_a"].to_numpy())
             b = np.vstack(pdf["sig_b"].to_numpy())
             est = (a == b).sum(axis=1) / nh
-            m = est >= keep
+            star = pdf["is_star"].to_numpy().astype(bool)
+            # Star edges (hot-bucket member -> bucket_min) are KEPT
+            # regardless of the member-to-min estimate: members of a hot
+            # bucket collided on a full band, and dropping a low-estimate
+            # star edge would disconnect members that are mutually similar
+            # but dissimilar to the bucket minimum. Precision is restored
+            # downstream: the clusters stage records star edges under a
+            # distinct source ('lsh_star') so consumers see which edges
+            # are clique-approximations rather than verified pairs.
+            m = (est >= keep) | star
             if not m.any():
                 continue
+            src = np.where(star[m], "lsh_star", "lsh")
             yield pd.DataFrame(
                 {
                     "key_a": pdf["key_a"].to_numpy()[m],
                     "key_b": pdf["key_b"].to_numpy()[m],
                     "jaccard_est": est[m],
-                    "source": "lsh",
+                    "source": src,
                 }
             )
 

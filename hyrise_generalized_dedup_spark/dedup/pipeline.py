@@ -98,6 +98,10 @@ def run_pipeline(
         # shuffle) re-executes once per consumer
     )
     key_map = docs.select("doc_id", "doc_key")
+    # One count up front (docs is persisted, so this also warms the cache);
+    # reused for the edge-verification broadcast decision and the summary —
+    # never re-counted per stage.
+    n_docs = docs.count()
 
     # --- stage: gd (segment table; content stays columnar-local) ---
     if ckpt.done("gd"):
@@ -129,11 +133,14 @@ def run_pipeline(
         rep_map = ckpt.load("reps")
     else:
         metrics.start("reps")
-        from pyspark.sql import Window as _W
-
-        rep_map = sigs.withColumn(
-            "rep", F.min("doc_id").over(_W.partitionBy("minhash"))
-        )
+        # groupBy census + join-back, NOT a window over minhash: a window
+        # materializes every identical-signature family in ONE task (a
+        # 10^8-copy vendored-library family = one straggler at 100 TB).
+        # groupBy gets map-side partial aggregation (the family collapses
+        # inside each upstream partition first) and the join-back is
+        # covered by AQE skew-join. Same pattern as lsh.candidate_pairs.
+        rep_census = sigs.groupBy("minhash").agg(F.min("doc_id").alias("rep"))
+        rep_map = sigs.join(rep_census, "minhash")
         rep_map = ckpt.materialize("reps", rep_map)
         metrics.finish("reps", rep_map)
 
@@ -159,7 +166,9 @@ def run_pipeline(
         edges = ckpt.load("edges")
     else:
         metrics.start("edges")
-        lsh_e = verified_edges(pairs, rep_sigs, cfg, key_col="doc_id").select(
+        lsh_e = verified_edges(
+            pairs, rep_sigs, cfg, key_col="doc_id", n_sigs=n_docs
+        ).select(
             "key_a", "key_b", F.col("jaccard_est").alias("score"), "source"
         )
         sim_e = simhash_edges(rep_sigs, cfg, key_col="doc_id").select(
@@ -178,9 +187,13 @@ def run_pipeline(
         clusters = ckpt.load("clusters")
     else:
         metrics.start("clusters")
+        # lsh_star edges are hot-bucket clique approximations: kept for
+        # connectivity (dropping them would silently cut recall under
+        # skew), tracked under their own source so the approximation is
+        # auditable in the edges table.
         strong = edges.filter(
             (F.col("source") == "lsh") & (F.col("score") >= cfg.jaccard_threshold)
-            | F.col("source").isin("simhash", "exact")
+            | F.col("source").isin("simhash", "exact", "lsh_star")
         )
         cc = connected_components(strong, nodes=docs.select("doc_id"), key_col="doc_id")
         clusters = cc.join(key_map, "doc_id").select("doc_key", "cluster_id")
@@ -202,7 +215,6 @@ def run_pipeline(
 
     # --- summary ---
     stats = dedup_stats(segments).collect()[0].asDict()
-    n_docs = docs.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     n_multi = (
         clusters.groupBy("cluster_id").count().filter(F.col("count") > 1).count()

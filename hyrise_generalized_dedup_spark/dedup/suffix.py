@@ -64,8 +64,16 @@ def build_suffix_array(s: np.ndarray) -> np.ndarray:
         k *= 2
 
 
-def _lcp_adjacent(buf: np.ndarray, i: int, j: int) -> int:
-    cap = min(len(buf) - i, len(buf) - j, _LCP_CAP)
+def _lcp_adjacent(buf: np.ndarray, i: int, j: int, end_i: int, end_j: int) -> int:
+    """LCP of suffixes i and j, capped at each suffix's OWN document end.
+
+    All document sentinels are the same 0x00 byte, so an uncapped compare
+    would run past a sentinel and match content from the NEXT document,
+    emitting false shared-substring pairs. Capping at min(doc_end - pos)
+    keeps the comparison inside both documents (sound lower bound)."""
+    cap = min(end_i - i, end_j - j, _LCP_CAP)
+    if cap <= 0:
+        return 0
     a = buf[i : i + cap]
     b = buf[j : j + cap]
     neq = a != b
@@ -88,7 +96,10 @@ def shared_substring_pairs(
         keys.append(key)
     buf = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     sa = build_suffix_array(buf)
-    doc_of = np.searchsorted(np.array(bounds[1:]), sa, side="right")
+    bounds_arr = np.array(bounds[1:])
+    doc_of = np.searchsorted(bounds_arr, sa, side="right")
+    # Content end (sentinel position, exclusive) of each suffix's own doc.
+    content_end = bounds_arr[doc_of] - 1
 
     # Runs of adjacent suffixes with LCP >= min_len: every doc pair inside
     # a run shares at least run_min (= min adjacent LCP over the run) —
@@ -109,7 +120,13 @@ def shared_substring_pairs(
         run_set, run_min = set(), _LCP_CAP
 
     for idx in range(1, len(sa)):
-        l = _lcp_adjacent(buf, int(sa[idx - 1]), int(sa[idx]))
+        l = _lcp_adjacent(
+            buf,
+            int(sa[idx - 1]),
+            int(sa[idx]),
+            int(content_end[idx - 1]),
+            int(content_end[idx]),
+        )
         if l >= min_len:
             if not run_set:
                 run_set.add(int(doc_of[idx - 1]))

@@ -50,27 +50,28 @@ def parse_tbl_header(name_line: str, type_line: str) -> StructType:
 
 
 def read_tbl(spark: SparkSession, path: str) -> DataFrame:
-    """Load a reference-style .tbl file as a typed DataFrame."""
+    """Load a reference-style .tbl file as a typed DataFrame.
+
+    The two header lines are dropped POSITIONALLY (line index < 2), exactly
+    like the reference's load_table.cpp skips line 2 — never by content
+    matching, which would silently drop a legitimate data row whose first
+    string column happens to equal a type token (e.g. the value 'string').
+    zipWithIndex costs one extra pass; .tbl is a fixture-interchange format,
+    bulk data goes through parquet."""
     with open(path) as fh:
         schema = parse_tbl_header(fh.readline(), fh.readline())
-    raw = spark.read.csv(
-        path,
-        sep="|",
-        header=True,            # consumes the name line
-        schema=StructType([StructField(f.name, StringType(), True) for f in schema.fields]),
-        nullValue="null",
+    lines = (
+        spark.sparkContext.textFile(path)
+        .zipWithIndex()
+        .filter(lambda t: t[1] >= 2)
+        .map(lambda t: (t[0],))
     )
-    first = schema.fields[0].name
-    type_token = F.lit(
-        (schema.fields[0].dataType.simpleString())
-    )
-    # drop the type row (row whose first column is the type spec)
-    data = raw.filter(
-        ~F.coalesce(F.col(first), F.lit("")).rlike(
-            r"^(int|long|float|double|string)(_null)?$"
-        )
-    )
-    return data.select(
+    raw = spark.createDataFrame(lines, "line string")
+    ddl = ", ".join(f"`{f.name}` STRING" for f in schema.fields)
+    parsed = raw.select(
+        F.from_csv(F.col("line"), ddl, {"sep": "|", "nullValue": "null"}).alias("r")
+    ).select("r.*")
+    return parsed.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
 

@@ -12,9 +12,9 @@ time_bucket aligns identically).
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
-import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -70,18 +70,38 @@ def run_stream_batch(
     # parquet file through a temp symlink dir (read-only testdata)
     src_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(src_dir, "events.parquet"))
+
+    # parquet sink + read-back: the result never flows through the driver
+    # (a memory sink + collect() caps the stream at driver heap; a file
+    # sink is the shape that scales to a real cluster and is exactly how
+    # the batch pipeline checkpoints stages). The parquet sink requires
+    # append mode, which only emits windows the WATERMARK has passed — on
+    # a bounded source the last 10 minutes of windows would stay open
+    # forever. A single far-future sentinel row pushes the watermark past
+    # every real window (the standard bounded-stream flush); its own
+    # window stays open and is never emitted, and its event_type marker is
+    # filtered from the read-back as defense in depth.
+    max_ts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).collect()[0][0]
+    )
+    sentinel = spark.createDataFrame(
+        [(int(-1), max_ts + datetime.timedelta(days=2), int(-1), "__flush__", 0.0, "{}")],
+        EVENTS_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src_dir)
+
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
     agg = windowed_aggregation(stream, window)
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix="events_stream_out_")
     q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "result"))
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    out = spark.table(name)
-    # materialize before the memory sink is dropped by later queries
-    result = spark.createDataFrame(out.collect(), out.schema)
-    return result
+    return spark.read.parquet(os.path.join(out_dir, "result")).filter(
+        F.col("event_type") != "__flush__"
+    )

@@ -86,9 +86,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real Structured Streaming query (readStream -> watermark ->
-    tumbling window -> memory sink, availableNow trigger) whose bounded
-    result equals the batch aggregation DuckDB computes — the
-    batch-equivalence property of well-formed streaming plans."""
+    tumbling window -> parquet sink + read-back, availableNow trigger;
+    nothing flows through the driver) whose bounded result equals the
+    batch aggregation DuckDB computes — the batch-equivalence property
+    of well-formed streaming plans."""
     out = run_stream_batch(spark, sf_dir, window="5 minutes")
     return out.select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),

@@ -6,7 +6,12 @@ import numpy as np
 import pyspark.sql.functions as F
 
 from hyrise_generalized_dedup_spark.ann.brute import topk_cosine
-from hyrise_generalized_dedup_spark.ann.lsh import ann_topk_lsh, hyperplanes, sketch_table
+from hyrise_generalized_dedup_spark.ann.lsh import (
+    ann_topk_lsh,
+    hyperplanes,
+    lsh_candidates,
+    sketch_table,
+)
 
 
 def _make_df(spark, vecs):
@@ -47,6 +52,31 @@ def test_lsh_recall_on_planted_neighbors(spark):
     eligible = sum(1 for q in range(50) if normed[q] @ normed[q + 50] >= 0.9)
     assert eligible >= 40
     assert hits / eligible >= 0.9, f"LSH recall {hits}/{eligible}"
+
+
+def test_lsh_hot_bucket_bounded_join(spark):
+    """Planted hot bucket: 5k identical embeddings share every sketch.
+    The census + downsample must bound the candidate set to
+    ~max_bucket * tables per query (not 5k * tables) while still
+    returning k exact-cosine-1.0 neighbors."""
+    rng = np.random.default_rng(3)
+    hot = np.tile(rng.standard_normal(64).astype(np.float32), (5000, 1))
+    cold = rng.standard_normal((50, 64)).astype(np.float32)
+    vecs = np.vstack([hot, cold])
+    df = _make_df(spark, vecs)
+    planes = hyperplanes(dim=64, bits=10, tables=4, seed=42)
+    queries = df.filter(F.col("vec_id") == 0)
+    res = ann_topk_lsh(df, queries, planes, k=5, max_bucket=64)
+    rows = res.collect()
+    assert len(rows) == 5
+    # all 5 neighbors must be members of the identical family (cos == 1)
+    assert all(r.cos > 0.999999 for r in rows), rows
+    assert all(r.neighbor_id < 5000 for r in rows), rows
+
+    # bounded candidate set: distinct candidates per query << family size
+    n_cand = lsh_candidates(df, queries, planes, max_bucket=64).count()
+    # 4 tables x ~64 sampled members (+min +cold stragglers), not 5000
+    assert n_cand <= 4 * 64 * 2, f"candidate join not bounded: {n_cand}"
 
 
 def test_sketch_deterministic(spark):

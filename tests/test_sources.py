@@ -32,6 +32,17 @@ def test_tbl_roundtrip(spark, tmp_path):
     assert got == sorted(rows)
 
 
+def test_tbl_keeps_data_row_that_looks_like_type_token(spark, tmp_path):
+    """Regression: header rows are dropped positionally (load_table.cpp skips
+    line 2), so a legitimate data row whose first column IS a type token
+    ('string', 'int_null', ...) must survive the load."""
+    p = tmp_path / "tricky.tbl"
+    p.write_text("word|n\nstring|int\nstring|1\nint_null|2\ndouble|3\nhello|4\n")
+    df = read_tbl(spark, str(p))
+    got = sorted((r.word, r.n) for r in df.collect())
+    assert got == [("double", 3), ("hello", 4), ("int_null", 2), ("string", 1)]
+
+
 def test_tbl_matches_reference_format(spark, tmp_path):
     """A hand-written file in the reference's .tbl layout loads with the
     declared types (reference fixture format: resources/test_data/tbl/)."""

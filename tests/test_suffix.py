@@ -44,6 +44,34 @@ def test_shared_substring_found():
     assert ln >= 256
 
 
+def test_lcp_never_crosses_document_boundary():
+    """Regression: all doc sentinels are the same 0x00 byte, so an uncapped
+    LCP compare ran past a sentinel and matched the NEXT document's content,
+    emitting false pairs. Docs A and C share only 'hello' (5 bytes) but the
+    A-buffer continues 'WORLD...' exactly like the C-buffer — min_len=10
+    must therefore find nothing between A and C."""
+    docs = [
+        ("A", b"hello"),
+        ("B", b"WORLD" * 3),
+        ("C", b"hello"),
+        ("D", b"WORLD" * 3),
+    ]
+    found = shared_substring_pairs(docs, min_len=10)
+    assert all({a, b} != {"A", "C"} for a, b, _ in found), found
+    # The genuinely-shared WORLDx3 pair must still be found (shared_len is
+    # a >=min_len lower bound, so only >=10 is guaranteed).
+    assert any({a, b} == {"B", "D"} and l >= 10 for a, b, l in found), found
+
+
+def test_shared_len_capped_at_shortest_doc():
+    """shared_len can never exceed the shorter document's length."""
+    docs = [("x", b"abcabcabc"), ("y", b"abcabcabcabcabcabcabcabc")]
+    found = shared_substring_pairs(docs, min_len=5)
+    assert found, "9-byte shared prefix must be found"
+    for _, _, l in found:
+        assert l <= 9, f"shared_len {l} exceeds shortest doc (9 bytes)"
+
+
 def test_no_false_positives_below_min_len():
     docs = [("a", b"x" * 100 + b"common" + b"y" * 100), ("b", b"z" * 100 + b"common" + b"w" * 100)]
     assert shared_substring_pairs(docs, min_len=50) == set()

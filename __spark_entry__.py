@@ -25,7 +25,8 @@ from hyrise_generalized_dedup_spark.plans import (  # noqa: E402
 )
 
 
-def _all_registries() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+def _full_registries() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    """Every individual query/oracle across all modules (pytest surface)."""
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     queries.update(RELATIONAL_QUERIES)
@@ -46,6 +47,16 @@ def _all_registries() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame
         except ImportError:
             pass
     return queries, oracles
+
+
+def _all_registries() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    """The driver-facing registry: <=50 slots (the driver records rows for
+    the first 50 only — round-1 finding, see plans/gates.py). Related gates
+    are merged into tagged-union slots; every component stays individually
+    oracle-checked in pytest."""
+    from hyrise_generalized_dedup_spark.plans.gates import build_driver_registry
+
+    return build_driver_registry(*_full_registries())
 
 
 def entry(spark: SparkSession) -> DataFrame:

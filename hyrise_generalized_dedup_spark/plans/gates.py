@@ -1,0 +1,387 @@
+"""Driver-gate registry: the curated 50-slot correctness surface.
+
+Round-1 finding: the round driver records CORRECTNESS rows for exactly the
+FIRST 50 entries of ``queries()`` (insertion order) — registry entries 51+
+silently get no row (CORRECTNESS_r01.json is byte-for-byte the first 50 of
+58). The fix is structural: the driver-facing registry is capped at 50
+slots, and related operator gates are MERGED into tagged-union gates so
+every module keeps hash-exact driver coverage.
+
+A merged gate runs each component query and harmonizes its columns with a
+shared list of SQL expressions; the SAME expressions are applied to the
+component's DuckDB oracle (wrapped as a subquery), so the merged result and
+the merged oracle stay column-aligned by construction. A value-hash
+mismatch in ANY component fails the slot, preserving per-component
+sensitivity. Every component ALSO remains individually registered in the
+full registries and is individually diffed against DuckDB in pytest
+(tests/test_relational.py parametrizes over the FULL registry), so no
+operator loses evidence — the merge only compresses driver slots.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# (tag, component-query name, harmonizing select expressions — evaluated
+# identically by Spark and DuckDB over the component's output columns)
+Branch = tuple[str, str, list[str]]
+
+MERGED_GATES: dict[str, list[Branch]] = {
+    # Min/Max/CountDistinct + exact-moment stddev (reference aggregate set,
+    # aggregate_expression.hpp:13)
+    "g_agg_moments": [
+        ("minmax_distinct", "q_agg_minmax_distinct", [
+            "CAST(o_orderstatus AS STRING) AS grp",
+            "CAST(min_price AS DOUBLE) AS v1",
+            "CAST(max_price AS DOUBLE) AS v2",
+            "CAST(n_custs AS BIGINT) AS n1",
+            "CAST(n_orders AS BIGINT) AS n2",
+        ]),
+        ("stddev", "q_agg_stddev", [
+            "CAST(l_returnflag AS STRING) AS grp",
+            "CAST(stddev_qty AS DOUBLE) AS v1",
+            "CAST(NULL AS DOUBLE) AS v2",
+            "CAST(n AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+        ]),
+    ],
+    # LIKE / IS NULL + OR / IN-list scan impls (table_scan.cpp:374-455)
+    "g_scan_predicates": [
+        ("like", "q_like_scan", [
+            "CAST(p_brand AS STRING) AS k",
+            "CAST(n AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+            "CAST(NULL AS BIGINT) AS n3",
+        ]),
+        ("null_or", "q_null_or_scan", [
+            "CAST(NULL AS STRING) AS k",
+            "CAST(n_all AS BIGINT) AS n1",
+            "CAST(n_nonnull AS BIGINT) AS n2",
+            "CAST(n_null AS BIGINT) AS n3",
+        ]),
+        ("in_list", "q_in_list_scan", [
+            "CAST(c_mktsegment AS STRING) AS k",
+            "CAST(n AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+            "CAST(NULL AS BIGINT) AS n3",
+        ]),
+    ],
+    # SUBSTR/CONCAT (the reference's only functions) + EXTRACT
+    "g_string_date_funcs": [
+        ("strfuncs", "q_substr_concat_extract", [
+            "CAST(n_name AS STRING) AS s1",
+            "CAST(name_pfx AS STRING) AS s2",
+            "CAST(name_region AS STRING) AS s3",
+            "CAST(name_up AS STRING) AS s4",
+            "CAST(name_len AS BIGINT) AS n",
+            "CAST(NULL AS DOUBLE) AS v",
+        ]),
+        ("extract", "q_extract_date", [
+            "CAST(yr AS STRING) AS s1",
+            "CAST(mo AS STRING) AS s2",
+            "CAST(NULL AS STRING) AS s3",
+            "CAST(NULL AS STRING) AS s4",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(total AS DOUBLE) AS v",
+        ]),
+    ],
+    # All four outer-join modes incl. the count-distribution consumer
+    "g_join_outer_modes": [
+        ("left", "q_join_left_outer", [
+            "CAST(c_custkey AS BIGINT) AS k1",
+            "CAST(n_orders AS BIGINT) AS n1",
+            "CAST(spend AS DOUBLE) AS v1",
+        ]),
+        ("right", "q_join_right_outer", [
+            "CAST(c_custkey AS BIGINT) AS k1",
+            "CAST(o_orderkey AS BIGINT) AS n1",
+            "CAST(o_totalprice AS DOUBLE) AS v1",
+        ]),
+        ("full", "q_join_full_outer", [
+            "CAST(custkey AS BIGINT) AS k1",
+            "CAST(n_big AS BIGINT) AS n1",
+            "CAST(acctbal AS DOUBLE) AS v1",
+        ]),
+        ("q13_distribution", "q13_count_distribution", [
+            "CAST(c_count AS BIGINT) AS k1",
+            "CAST(custdist AS BIGINT) AS n1",
+            "CAST(NULL AS DOUBLE) AS v1",
+        ]),
+    ],
+    # Semi / anti (NOT EXISTS) / null-aware anti (NOT IN)
+    "g_join_filter_modes": [
+        ("semi", "q_join_semi", [
+            "CAST(c_custkey AS BIGINT) AS k",
+            "CAST(c_name AS STRING) AS s",
+        ]),
+        ("anti", "q_join_anti", [
+            "CAST(c_custkey AS BIGINT) AS k",
+            "CAST(c_mktsegment AS STRING) AS s",
+        ]),
+        ("not_in_null_aware", "q_not_in_null_aware", [
+            "CAST(s_suppkey AS BIGINT) AS k",
+            "CAST(s_name AS STRING) AS s",
+        ]),
+    ],
+    # Cartesian product + theta (non-equi) join
+    "g_join_theta_cross": [
+        ("cross", "q_cross_product", [
+            "CAST(r_name AS STRING) AS s1",
+            "CAST(n_name AS STRING) AS s2",
+            "CAST(NULL AS BIGINT) AS n",
+        ]),
+        ("theta", "q_theta_join", [
+            "CAST(p_partkey AS STRING) AS s1",
+            "CAST(NULL AS STRING) AS s2",
+            "CAST(n_cheaper AS BIGINT) AS n",
+        ]),
+    ],
+    # Uncorrelated scalar + correlated-min subqueries
+    "g_subqueries": [
+        ("scalar", "q_scalar_subquery", [
+            "CAST(p_partkey AS BIGINT) AS k",
+            "CAST(NULL AS STRING) AS s",
+            "CAST(p_retailprice AS DOUBLE) AS v",
+        ]),
+        ("correlated_min", "q_correlated_min", [
+            "CAST(p_partkey AS BIGINT) AS k",
+            "CAST(p_brand AS STRING) AS s",
+            "CAST(p_retailprice AS DOUBLE) AS v",
+        ]),
+    ],
+    # NULLS-FIRST multi-sort + TakeOrderedAndProject top-k
+    "g_sort_limit": [
+        ("sort_nulls_first", "q_sort_multi_nulls_first", [
+            "CAST(event_id AS BIGINT) AS k",
+            "CAST(event_type AS STRING) AS s",
+            "CAST(value AS DOUBLE) AS v",
+        ]),
+        ("topk", "q_topk", [
+            "CAST(o_orderkey AS BIGINT) AS k",
+            "CAST(NULL AS STRING) AS s",
+            "CAST(o_totalprice AS DOUBLE) AS v",
+        ]),
+    ],
+    # UNION ALL / INTERSECT / EXCEPT
+    "g_set_ops": [
+        ("union_all", "q_union_all", [
+            "CAST(nationkey AS BIGINT) AS k",
+            "CAST(side AS STRING) AS s",
+        ]),
+        ("intersect", "q_intersect", [
+            "CAST(nationkey AS BIGINT) AS k",
+            "CAST(NULL AS STRING) AS s",
+        ]),
+        ("except", "q_except", [
+            "CAST(nationkey AS BIGINT) AS k",
+            "CAST(NULL AS STRING) AS s",
+        ]),
+    ],
+    # row_number rank + running-frame windows
+    "g_window_funcs": [
+        ("rank", "q_window_topk_per_group", [
+            "CAST(c_mktsegment AS STRING) AS s",
+            "CAST(c_custkey AS BIGINT) AS k1",
+            "CAST(rn AS BIGINT) AS k2",
+            "CAST(NULL AS BIGINT) AS k3",
+            "CAST(c_acctbal AS DOUBLE) AS v",
+        ]),
+        ("running", "q_window_running", [
+            "CAST(NULL AS STRING) AS s",
+            "CAST(user_id AS BIGINT) AS k1",
+            "CAST(event_id AS BIGINT) AS k2",
+            "CAST(prev_event AS BIGINT) AS k3",
+            "CAST(running_value AS DOUBLE) AS v",
+        ]),
+    ],
+    # HAVING on count vs HAVING on aggregate (Q18)
+    "g_having_groups": [
+        ("having_count", "q_having", [
+            "CAST(o_custkey AS BIGINT) AS k1",
+            "CAST(NULL AS BIGINT) AS k2",
+            "CAST(n_orders AS BIGINT) AS n",
+            "CAST(spend AS DOUBLE) AS v",
+        ]),
+        ("q18_large_orders", "q18_large_orders", [
+            "CAST(o_orderkey AS BIGINT) AS k1",
+            "CAST(o_custkey AS BIGINT) AS k2",
+            "CAST(NULL AS BIGINT) AS n",
+            "CAST(total_qty AS DOUBLE) AS v",
+        ]),
+    ],
+    # Conditional aggregation (Q14) + disjunctive predicates (Q19)
+    "g_conditional_rev": [
+        ("q14_promo", "q14_conditional_agg", [
+            "CAST(promo_revenue_pct AS DOUBLE) AS v",
+            "CAST(n AS BIGINT) AS n",
+        ]),
+        ("q19_disjunctive", "q19_disjunctive", [
+            "CAST(revenue AS DOUBLE) AS v",
+            "CAST(n AS BIGINT) AS n",
+        ]),
+    ],
+    # Year-pivot market share (Q8), profit pivot (Q9), fraction-of-total
+    # HAVING (Q11)
+    "g_tpch_pivots": [
+        ("q8_market_share", "q8_market_share", [
+            "CAST(o_year AS BIGINT) AS k1",
+            "CAST(NULL AS STRING) AS s",
+            "CAST(mkt_share AS DOUBLE) AS v",
+            "CAST(n AS BIGINT) AS n",
+        ]),
+        ("q9_profit", "q9_product_profit", [
+            "CAST(o_year AS BIGINT) AS k1",
+            "CAST(nation AS STRING) AS s",
+            "CAST(sum_profit AS DOUBLE) AS v",
+            "CAST(NULL AS BIGINT) AS n",
+        ]),
+        ("q11_important_parts", "q11_important_parts", [
+            "CAST(ps_partkey AS BIGINT) AS k1",
+            "CAST(NULL AS STRING) AS s",
+            "CAST(part_value AS DOUBLE) AS v",
+            "CAST(NULL AS BIGINT) AS n",
+        ]),
+    ],
+}
+
+# Per-doc text gates merge by JOINING on doc_id instead of a tagged union —
+# one row per document carrying every component's columns.
+JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
+    "g_text_stats": [
+        ("text_token_stats", ["doc_id", "n_chars", "n_tokens"]),
+        ("text_ngram_stats", ["doc_id", "n_grams"]),
+    ],
+    "g_text_quality_langid": [
+        ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),
+        ("text_langid", ["doc_id", "lang_declared", "lang_guess"]),
+    ],
+}
+
+# Slots that pass through 1:1 from the full registries, in driver order.
+# Dedup/ANN/MM/text/stream lead (they are the north-star capabilities and
+# were the rows missing in round 1); relational singles follow.
+PASSTHROUGH_SLOTS = [
+    # dedup (8)
+    "gd_segments",
+    "gd_dedup_ratio",
+    "gd_base_table",
+    "gd_roundtrip_check",
+    "dedup_exact",
+    "minhash_shingle_stats",
+    "neardup_cluster_sizes",
+    "simhash_blocks_docs",
+    # ann (3)
+    "ann_topk_brute",
+    "ann_lsh_buckets",
+    "ann_topk_lsh",
+    # multimodal (2)
+    "mm_media_stats",
+    "mm_features",
+    # text (1; the other four are joined into 2 gates above)
+    "text_fingerprint",
+    # streaming (2)
+    "sessionize_events",
+    "stream_windowed_counts",
+    # relational singles (19)
+    "q1_pricing_summary",
+    "q_rollup",
+    "q6_filtered_revenue",
+    "q_case_arith_projection",
+    "q3_top_orders",
+    "q5_local_suppliers",
+    "q10_returned_items",
+    "q12_shipmode",
+    "q16_supplier_cnt",
+    "q_json_props",
+    "q_approx_distinct",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_cntrycode",
+]
+
+DRIVER_SLOT_CAP = 50
+
+
+def _merged_fn(branches: list[Branch], all_queries: dict[str, QueryFn]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for tag, qname, exprs in branches:
+            part = all_queries[qname](spark, sf_dir).selectExpr(
+                f"'{tag}' AS gate_op", *exprs
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return fn
+
+
+def _merged_oracle(branches: list[Branch], all_oracles: dict[str, str]) -> str:
+    selects = []
+    for i, (tag, qname, exprs) in enumerate(branches):
+        body = ", ".join(exprs)
+        selects.append(
+            f"SELECT '{tag}' AS gate_op, {body} FROM ({all_oracles[qname]}) gate_sub_{i}"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def _joined_fn(parts: list[tuple[str, list[str]]], all_queries: dict[str, QueryFn]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for qname, cols in parts:
+            df = all_queries[qname](spark, sf_dir).select(*cols)
+            out = df if out is None else out.join(df, "doc_id")
+        return out
+
+    return fn
+
+
+def _joined_oracle(parts: list[tuple[str, list[str]]], all_oracles: dict[str, str]) -> str:
+    base_cols: list[str] = []
+    froms = []
+    for i, (qname, cols) in enumerate(parts):
+        alias = f"gate_j{i}"
+        froms.append(f"({all_oracles[qname]}) {alias}")
+        base_cols.extend(
+            f"{alias}.{c}" for c in cols if not (i > 0 and c == "doc_id")
+        )
+    joins = froms[0]
+    for i in range(1, len(froms)):
+        joins += f" JOIN {froms[i]} ON gate_j0.doc_id = gate_j{i}.doc_id"
+    return f"SELECT {', '.join(base_cols)} FROM {joins}"
+
+
+def build_driver_registry(
+    all_queries: dict[str, QueryFn], all_oracles: dict[str, str]
+) -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Assemble the <=50-slot driver registry from the full registries."""
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for slot in PASSTHROUGH_SLOTS:
+        if slot not in all_queries:  # module import-gated and absent
+            continue
+        queries[slot] = all_queries[slot]
+        if slot in all_oracles:
+            oracles[slot] = all_oracles[slot]
+    for name, parts in JOINED_GATES.items():
+        if all(q in all_queries for q, _ in parts):
+            queries[name] = _joined_fn(parts, all_queries)
+            oracles[name] = _joined_oracle(parts, all_oracles)
+    for name, branches in MERGED_GATES.items():
+        if all(q in all_queries for _, q, _ in branches):
+            queries[name] = _merged_fn(branches, all_queries)
+            oracles[name] = _merged_oracle(branches, all_oracles)
+    assert len(queries) <= DRIVER_SLOT_CAP, (
+        f"driver registry has {len(queries)} slots; the round driver records "
+        f"only the first {DRIVER_SLOT_CAP} — merge or demote gates"
+    )
+    return queries, oracles

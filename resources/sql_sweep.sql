@@ -1,0 +1,276 @@
+-- SQL sweep: every statement below is executed VERBATIM by BOTH
+-- spark.sql(...) and DuckDB over the same parquet tables and diffed
+-- (order-insensitive rows, column-name-sorted, bit-exact values).
+-- The reference drives 488 lines of mixed SQL through its engine + SQLite
+-- the same way (sqlite_testrunner.hpp:38-41,
+-- resources/test_data/sqlite_testrunner_queries.sql); this file is the
+-- Spark/DuckDB shared-dialect analog.
+--
+-- Shared-dialect rules (enforced by review + the runner's failures):
+--  * double sums go through CAST(... AS DECIMAL(38,6)) then back to DOUBLE
+--    (engines' native double accumulation orders differ);
+--  * no double->int CAST (truncate vs round-half-even differs): floor/ceil;
+--  * no ROUND (rounding mode differs), no division that can hit zero;
+--  * timestamps compared via CAST(ts AS STRING) / EXTRACT, never via
+--    timestamp literals (Spark literal is LTZ, parquet columns are NTZ);
+--  * LIMIT only under a totally-ordering ORDER BY.
+-- Statements are ';'-separated; '--' comments are stripped by the runner.
+
+-- ============================= scans: comparisons ===========================
+SELECT n_nationkey, n_name FROM nation WHERE n_nationkey = 7;
+SELECT n_nationkey FROM nation WHERE n_nationkey <> 7;
+SELECT n_nationkey FROM nation WHERE n_nationkey < 5;
+SELECT n_nationkey FROM nation WHERE n_nationkey <= 5;
+SELECT n_nationkey FROM nation WHERE n_nationkey > 20;
+SELECT n_nationkey FROM nation WHERE n_nationkey >= 20;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity BETWEEN 10 AND 20;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 10 AND l_quantity <= 20;
+SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 100000 OR o_orderstatus = 'F';
+SELECT COUNT(*) AS n FROM orders WHERE NOT (o_orderstatus = 'F');
+SELECT COUNT(*) AS n FROM events WHERE value IS NULL;
+SELECT COUNT(*) AS n FROM events WHERE value IS NOT NULL;
+SELECT COUNT(*) AS n FROM events WHERE value IS NULL AND event_type = 'error';
+SELECT COUNT(*) AS n FROM events WHERE value IS NULL OR value > 95;
+
+-- ============================= scans: LIKE =================================
+SELECT p_partkey FROM part WHERE p_name LIKE 'red%' ORDER BY p_partkey LIMIT 50;
+SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%bolt';
+SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%ring%';
+SELECT COUNT(*) AS n FROM part WHERE p_name NOT LIKE '%ring%';
+SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '_ed%';
+SELECT COUNT(*) AS n FROM part WHERE p_name LIKE 'red _____t';
+SELECT COUNT(*) AS n FROM customer WHERE c_name LIKE 'Customer#0000000__';
+
+-- ============================= scans: IN ===================================
+SELECT COUNT(*) AS n FROM customer WHERE c_nationkey IN (1, 2, 3);
+SELECT COUNT(*) AS n FROM customer WHERE c_nationkey NOT IN (1, 2, 3);
+SELECT COUNT(*) AS n FROM part WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3');
+SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW');
+SELECT COUNT(*) AS n FROM part WHERE p_size IN (1);
+
+-- ====================== projections / expressions ==========================
+SELECT n_nationkey, n_nationkey + 1 AS inc, n_nationkey - 1 AS dec,
+       n_nationkey * 2 AS dbl, n_nationkey % 3 AS m3, -n_nationkey AS neg
+FROM nation;
+SELECT o_orderkey, o_totalprice * 1.07 AS taxed FROM orders
+WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey;
+SELECT p_partkey,
+       CASE WHEN p_size > 40 THEN 'XL' WHEN p_size > 20 THEN 'L' ELSE 'S' END AS sz
+FROM part ORDER BY p_partkey LIMIT 100;
+SELECT p_partkey,
+       CASE p_type WHEN 'ECONOMY' THEN 1 WHEN 'SMALL' THEN 2 ELSE 0 END AS type_code
+FROM part ORDER BY p_partkey LIMIT 100;
+SELECT n_nationkey, CAST(n_nationkey AS STRING) AS k_str,
+       CAST(n_nationkey AS DOUBLE) AS k_dbl,
+       CAST(CAST(n_nationkey AS STRING) AS BIGINT) AS k_rt
+FROM nation;
+SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+FROM customer ORDER BY c_custkey LIMIT 200;
+SELECT event_id, COALESCE(value, -1.0) AS v FROM events
+WHERE event_id % 97 = 0 ORDER BY event_id;
+SELECT p_partkey, CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+       ABS(p_retailprice - 1000.0) AS dist
+FROM part ORDER BY p_partkey LIMIT 100;
+SELECT GREATEST(1, 2, 3) AS g, LEAST(4, 5, 6) AS l FROM region WHERE r_regionkey = 0;
+
+-- ============================ string functions ==============================
+SELECT n_name, UPPER(n_name) AS up, LOWER(n_name) AS lo, LENGTH(n_name) AS len
+FROM nation;
+SELECT n_name, SUBSTRING(n_name, 1, 6) AS pfx, SUBSTRING(n_name, 8) AS sfx FROM nation;
+SELECT n_name || '/' || r_name AS path FROM nation JOIN region ON n_regionkey = r_regionkey;
+SELECT CONCAT(r_name, '-', CAST(r_regionkey AS STRING)) AS tag FROM region;
+SELECT TRIM('  x  ') AS t, LTRIM('  x') AS lt, RTRIM('x  ') AS rt
+FROM region WHERE r_regionkey = 0;
+SELECT REPLACE(n_name, 'NATION', 'N') AS short_name FROM nation;
+SELECT LEFT(c_name, 9) AS pfx, RIGHT(c_name, 2) AS sfx FROM customer
+ORDER BY c_custkey LIMIT 100;
+SELECT c_name, INSTR(c_name, '#') AS hash_pos FROM customer ORDER BY c_custkey LIMIT 50;
+SELECT p_name, REVERSE(p_name) AS rev FROM part ORDER BY p_partkey LIMIT 50;
+SELECT LPAD(CAST(n_nationkey AS STRING), 4, '0') AS padded FROM nation;
+SELECT SPLIT_PART(c_name, '#', 2) AS numpart FROM customer ORDER BY c_custkey LIMIT 50;
+
+-- ============================ date/time extract =============================
+SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
+       EXTRACT(DAY FROM o_orderdate) AS d, o_orderkey
+FROM orders ORDER BY o_orderkey LIMIT 100;
+SELECT CAST(o_orderdate AS STRING) AS od, o_orderkey FROM orders
+ORDER BY o_orderkey LIMIT 100;
+SELECT YEAR(l_shipdate) AS y, COUNT(*) AS n FROM lineitem GROUP BY YEAR(l_shipdate);
+SELECT EXTRACT(QUARTER FROM o_orderdate) AS q, COUNT(*) AS n FROM orders GROUP BY 1;
+-- (DAYOFWEEK is excluded: Spark numbers Sunday=1, DuckDB Sunday=0)
+SELECT EXTRACT(DOY FROM o_orderdate) AS doy, COUNT(*) AS n FROM orders GROUP BY 1;
+
+-- ============================== aggregates =================================
+SELECT COUNT(*) AS n_rows, COUNT(value) AS n_vals, COUNT(DISTINCT event_type) AS n_types
+FROM events;
+SELECT MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx FROM part;
+SELECT MIN(n_name) AS first_name, MAX(n_name) AS last_name FROM nation;
+SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty FROM lineitem;
+SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus, o_orderpriority;
+SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segs FROM customer GROUP BY c_nationkey;
+SELECT COUNT(DISTINCT l_suppkey) AS n_sup, COUNT(DISTINCT l_partkey) AS n_part FROM lineitem;
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type HAVING COUNT(*) > 1000;
+SELECT c_nationkey,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 10;
+SELECT DISTINCT o_orderstatus FROM orders;
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem;
+SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey FROM lineitem) d;
+
+-- ============================ grouping sets ================================
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority);
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority);
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ());
+
+-- ================================ joins ====================================
+SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey;
+SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+ORDER BY c_custkey LIMIT 200;
+SELECT s_name, n_name, r_name FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey;
+SELECT c.c_custkey, o.o_orderkey FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000
+ORDER BY c.c_custkey, o.o_orderkey LIMIT 500;
+SELECT c.c_custkey, o.o_orderkey FROM orders o
+RIGHT JOIN customer c ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+ORDER BY c.c_custkey, o.o_orderkey LIMIT 500;
+SELECT COUNT(*) AS n FROM region r1 FULL OUTER JOIN region r2
+ON r1.r_regionkey = r2.r_regionkey + 3;
+SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2;
+SELECT COUNT(*) AS n FROM nation n1 JOIN nation n2
+ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey;
+SELECT COUNT(*) AS n FROM customer JOIN orders
+ON c_custkey = o_custkey AND c_acctbal > o_totalprice;
+SELECT s_suppkey, s_name FROM supplier WHERE EXISTS
+(SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49);
+SELECT s_suppkey FROM supplier WHERE NOT EXISTS
+(SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49);
+SELECT c_custkey FROM customer WHERE c_custkey IN
+(SELECT o_custkey FROM orders WHERE o_totalprice > 300000);
+SELECT COUNT(*) AS n FROM customer WHERE c_nationkey NOT IN
+(SELECT n_nationkey FROM nation WHERE n_regionkey = 2);
+
+-- ============================= set operations ==============================
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9900
+UNION ALL
+SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000;
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9900
+UNION
+SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000;
+SELECT c_nationkey AS k FROM customer
+INTERSECT
+SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 1;
+SELECT n_nationkey AS k FROM nation
+EXCEPT
+SELECT c_nationkey AS k FROM customer;
+SELECT p_size AS v FROM part WHERE p_size <= 3
+INTERSECT
+SELECT n_regionkey AS v FROM nation;
+
+-- =============================== subqueries ================================
+SELECT COUNT(*) AS n FROM part
+WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+                              / COUNT(*) FROM part);
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders);
+SELECT p_brand, COUNT(*) AS n FROM part p1
+WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2 WHERE p2.p_brand = p1.p_brand)
+GROUP BY p_brand;
+SELECT t.seg, t.n FROM
+(SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) t
+WHERE t.n > 200;
+WITH big_orders AS (SELECT * FROM orders WHERE o_totalprice > 250000)
+SELECT o_orderstatus, COUNT(*) AS n FROM big_orders GROUP BY o_orderstatus;
+WITH a AS (SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey),
+     b AS (SELECT n_regionkey FROM a WHERE n = 5)
+SELECT r_name FROM region JOIN b ON r_regionkey = n_regionkey;
+SELECT c_custkey,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer ORDER BY c_custkey LIMIT 100;
+
+-- ============================ window functions =============================
+SELECT c_custkey, c_mktsegment,
+       ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+FROM customer ORDER BY c_custkey LIMIT 300;
+SELECT p_partkey, p_size,
+       RANK() OVER (ORDER BY p_size, p_partkey) AS rk,
+       DENSE_RANK() OVER (ORDER BY p_size) AS drk
+FROM part ORDER BY p_partkey LIMIT 300;
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_o,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_o
+FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey;
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+FROM orders WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey;
+SELECT n_regionkey, n_nationkey,
+       FIRST_VALUE(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS first_nation,
+       COUNT(*) OVER (PARTITION BY n_regionkey) AS region_size
+FROM nation ORDER BY n_nationkey;
+SELECT p_partkey,
+       NTILE(4) OVER (ORDER BY p_partkey) AS quartile
+FROM part WHERE p_partkey < 100 ORDER BY p_partkey;
+
+-- =========================== order by / limit ==============================
+SELECT event_id, value FROM events
+ORDER BY value ASC NULLS FIRST, event_id LIMIT 40;
+SELECT event_id, value FROM events
+ORDER BY value DESC NULLS FIRST, event_id LIMIT 40;
+SELECT event_id, value FROM events
+ORDER BY value ASC NULLS LAST, event_id LIMIT 40;
+SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 15;
+SELECT p_partkey FROM part ORDER BY p_partkey DESC LIMIT 10;
+
+-- ============================= NULL semantics ==============================
+SELECT COUNT(*) AS n FROM events WHERE (value > 50) IS NULL;
+SELECT event_type, COUNT(*) AS n FROM events WHERE value IS NULL GROUP BY event_type;
+SELECT CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(38,6))) AS DOUBLE) AS s FROM events;
+SELECT MAX(value) AS mx, MIN(value) AS mn FROM events WHERE event_type = 'error';
+SELECT NULLIF(1, 1) AS a, NULLIF(1, 2) AS b FROM region WHERE r_regionkey = 0;
+SELECT COUNT(*) AS n FROM events WHERE NOT (value > 50);
+
+-- ====================== mixed multi-operator queries =======================
+SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS nation_rev,
+       COUNT(DISTINCT c_custkey) AS n_active
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus <> 'F'
+GROUP BY n_name
+HAVING COUNT(*) > 50;
+SELECT seg, mx - mn AS spread FROM
+(SELECT c_mktsegment AS seg, MAX(c_acctbal) AS mx, MIN(c_acctbal) AS mn
+ FROM customer GROUP BY c_mktsegment) t;
+SELECT l_returnflag,
+       CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END
+                     AS DECIMAL(38,6))) AS DOUBLE) AS discounted_rev
+FROM lineitem GROUP BY l_returnflag;
+SELECT x.o_orderstatus, x.n, y.total_n FROM
+(SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) x
+CROSS JOIN (SELECT COUNT(*) AS total_n FROM orders) y;
+SELECT p_type, COUNT(*) AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM part WHERE p_name LIKE '%w%' GROUP BY p_type;
+SELECT u.user_id, u.n_events FROM
+(SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) u
+WHERE u.n_events > (SELECT COUNT(*) FROM events) / (SELECT COUNT(DISTINCT user_id) FROM events)
+ORDER BY u.user_id LIMIT 100;
+SELECT d.lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents d GROUP BY d.lang;
+SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang;
+SELECT doc_id, LENGTH(text) AS len FROM documents
+WHERE LENGTH(text) > 900 ORDER BY doc_id LIMIT 100;
+SELECT vec_id, label FROM embeddings WHERE label = 3 ORDER BY vec_id LIMIT 100;
+SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label;

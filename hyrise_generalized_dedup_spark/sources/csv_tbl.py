@@ -76,6 +76,65 @@ def read_tbl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_csv_meta(spark: SparkSession, path: str) -> DataFrame:
+    """Load a CSV with a `<file>.csv.json` sidecar — reference CsvMeta
+    parity (src/lib/import_export/csv/csv_meta.hpp: columns[{name, type,
+    nullable}] + ParseConfig{separator, quote, escape, rfc_mode}; fixture
+    format resources/test_data/csv/*.csv.json).
+
+    The sidecar (a few hundred bytes) is parsed driver-side; the bulk load
+    is a distributed `spark.read.csv` with the explicit schema — schema
+    inference never touches the data. Unquoted 'null' handling follows the
+    reference's NullStringAsNull mode (its other modes are parse-rejection
+    policies with no Spark reader analog; documented supersession)."""
+    import json as _json
+
+    with open(path + ".json") as fh:
+        meta = _json.load(fh)
+    cfg = meta.get("config", {})
+    fields = [
+        StructField(c["name"], _TYPES[c["type"]], bool(c.get("nullable", False)))
+        for c in meta["columns"]
+    ]
+    return spark.read.csv(
+        path,
+        sep=cfg.get("separator", ","),
+        quote=cfg.get("quote", '"'),
+        escape=cfg.get("escape", '"'),
+        schema=StructType(fields),
+        nullValue="null",
+        header=False,
+    )
+
+
+def write_csv_meta(df: DataFrame, path: str) -> None:
+    """Export a DataFrame to CSV + `.csv.json` sidecar (reference Export
+    operator's CSV path, csv_writer.cpp + csv_meta.hpp). The CSV body is
+    written distributed then coalesced to the single file the reference
+    format expects — fixture interchange only, parquet for bulk."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    type_names = {IntegerType(): "int", LongType(): "long", FloatType(): "float",
+                  DoubleType(): "double", StringType(): "string"}
+    meta = {
+        "columns": [
+            {"name": f.name, "type": type_names[f.dataType], "nullable": bool(f.nullable)}
+            for f in df.schema.fields
+        ]
+    }
+    with open(path + ".json", "w") as fh:
+        _json.dump(meta, fh, indent=4, sort_keys=True)
+    tmp = tempfile.mkdtemp(prefix="csv_export_")
+    df.coalesce(1).write.mode("overwrite").csv(tmp, nullValue="null", quote='"', escape='"')
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_tbl(df: DataFrame, path: str) -> None:
     """Export a (small) DataFrame to the .tbl format — the Export-operator
     analog for fixture interchange (driver-side; use parquet for bulk)."""

@@ -6,9 +6,41 @@ from pyspark.sql.types import IntegerType, StringType
 
 from hyrise_generalized_dedup_spark.sources.csv_tbl import (
     parse_tbl_header,
+    read_csv_meta,
     read_tbl,
+    write_csv_meta,
     write_tbl,
 )
+
+
+def test_csv_meta_roundtrip(spark, tmp_path):
+    rows = [(1, "x,with,commas", 1.5), (2, None, -2.25), (3, 'quote"d', 0.0)]
+    df = spark.createDataFrame(rows, "a int, b string, c double")
+    p = str(tmp_path / "t.csv")
+    write_csv_meta(df, p)
+    import json
+
+    meta = json.load(open(p + ".json"))
+    assert [c["name"] for c in meta["columns"]] == ["a", "b", "c"]
+    back = read_csv_meta(spark, p)
+    got = sorted((r.a, r.b, r.c) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_csv_meta_reads_reference_layout(spark, tmp_path):
+    """A sidecar in the reference's exact JSON layout (columns[{name,
+    nullable, type}], optional config) loads with declared types."""
+    import json
+
+    csv = tmp_path / "float.csv"
+    csv.write_text("458.7\n456.7\n457.7\n")
+    (tmp_path / "float.csv.json").write_text(
+        json.dumps({"columns": [{"name": "a", "nullable": False, "type": "float"}]})
+    )
+    df = read_csv_meta(spark, str(csv))
+    assert df.schema["a"].dataType.simpleString() == "float"
+    assert df.count() == 3
+    assert abs(df.agg({"a": "max"}).collect()[0][0] - 458.7) < 1e-4
 
 
 def test_parse_header_nullable():

@@ -1,10 +1,17 @@
 """Per-stage, per-partition lineage metrics (north rule: checkpointed
 lineage + metrics so any stage is resumable and auditable).
 
-Each pipeline stage appends rows to a metrics table:
-(stage, partition_id, rows, wall_ms, config_hash) — partition-granular so
-skew is visible in the metrics themselves (a hot LSH band shows up as one
-partition with 100x rows)."""
+Each pipeline stage leaves a metrics artifact:
+(stage, partition files, bytes per file, wall_ms, config_hash) — file-
+granular so skew is visible in the metrics themselves (a hot LSH band
+shows up as one output file 100x the median).
+
+Scale note: the histogram is derived from the checkpoint parquet's FILE
+METADATA driver-side (one directory listing), not from a second Spark
+aggregation over the stage output — round-1 measured the per-stage
+metrics job as part of the fixed latency that capped scaling efficiency.
+A row-granular histogram remains available via partition_histogram() for
+ad-hoc analysis."""
 
 from __future__ import annotations
 
@@ -17,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def partition_histogram(df: DataFrame, stage: str, config_hash: str, wall_ms: int) -> DataFrame:
+    """Row-granular per-partition histogram (one extra aggregation job —
+    use for ad-hoc skew analysis; the pipeline uses file-metadata
+    histograms instead)."""
     return (
         df.withColumn("partition_id", F.spark_partition_id())
         .groupBy("partition_id")
@@ -26,6 +36,18 @@ def partition_histogram(df: DataFrame, stage: str, config_hash: str, wall_ms: in
         .withColumn("config_hash", F.lit(config_hash))
         .select("stage", "partition_id", "rows", "wall_ms", "config_hash")
     )
+
+
+def file_histogram(path: str) -> list[dict[str, object]]:
+    """Per-output-file byte sizes of a materialized stage directory."""
+    out = []
+    try:
+        for entry in sorted(os.scandir(path), key=lambda e: e.name):
+            if entry.is_file() and not entry.name.startswith(("_", ".")):
+                out.append({"file": entry.name, "bytes": entry.stat().st_size})
+    except FileNotFoundError:
+        pass
+    return out
 
 
 class MetricsCollector:
@@ -39,13 +61,24 @@ class MetricsCollector:
     def start(self, stage: str) -> None:
         self._t0[stage] = time.time()
 
-    def finish(self, stage: str, df: DataFrame) -> None:
-        """Write the partition histogram for a completed (already
-        materialized) stage."""
+    def finish(self, stage: str, checkpoint_path: str) -> None:
+        """Record wall time + the file-size histogram of the (already
+        materialized) stage checkpoint. Driver-side only — no Spark job."""
         wall_ms = int((time.time() - self._t0.get(stage, time.time())) * 1000)
-        hist = partition_histogram(df, stage, self.config_hash, wall_ms)
+        files = file_histogram(checkpoint_path)
+        record = {
+            "stage": stage,
+            "wall_ms": wall_ms,
+            "config_hash": self.config_hash,
+            "n_files": len(files),
+            "total_bytes": sum(f["bytes"] for f in files),
+            "max_file_bytes": max((f["bytes"] for f in files), default=0),
+            "files": files,
+        }
         path = os.path.join(self.out_dir, "metrics", stage)
-        hist.write.mode("overwrite").parquet(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(record, fh, indent=2)
         self.summary[f"{stage}_wall_ms"] = wall_ms
 
     def add(self, **kv: object) -> None:

@@ -112,7 +112,7 @@ def run_pipeline(
             docs, cfg, content_col="content", key_cols=("doc_id",), keep_base=False
         )
         segments = ckpt.materialize("gd", segments)
-        metrics.finish("gd", segments)
+        metrics.finish("gd", ckpt.path("gd"))
 
     # --- stage: signatures (minhash + simhash + band keys, one pass) ---
     if ckpt.done("signatures"):
@@ -121,7 +121,7 @@ def run_pipeline(
         metrics.start("signatures")
         sigs = signatures(docs, cfg, text_col="content", key_col="doc_id")
         sigs = ckpt.materialize("signatures", sigs)
-        metrics.finish("signatures", sigs)
+        metrics.finish("signatures", ckpt.path("signatures"))
 
     # --- stage: reps (exact-signature pre-dedup) ---
     # Docs with IDENTICAL minhash signatures (exact duplicates and the
@@ -142,7 +142,7 @@ def run_pipeline(
         rep_census = sigs.groupBy("minhash").agg(F.min("doc_id").alias("rep"))
         rep_map = sigs.join(rep_census, "minhash")
         rep_map = ckpt.materialize("reps", rep_map)
-        metrics.finish("reps", rep_map)
+        metrics.finish("reps", ckpt.path("reps"))
 
     rep_sigs = rep_map.filter(F.col("doc_id") == F.col("rep")).drop("rep")
     exact_edges = rep_map.filter(F.col("doc_id") != F.col("rep")).select(
@@ -159,7 +159,7 @@ def run_pipeline(
         metrics.start("candidates")
         pairs = candidate_pairs(band_table(rep_sigs, key_col="doc_id"), cfg, key_col="doc_id")
         pairs = ckpt.materialize("candidates", pairs)
-        metrics.finish("candidates", pairs)
+        metrics.finish("candidates", ckpt.path("candidates"))
 
     # --- stage: edges (verified LSH + simhash + exact-dup attachment) ---
     if ckpt.done("edges"):
@@ -180,7 +180,7 @@ def run_pipeline(
         edges = ckpt.materialize(
             "edges", lsh_e.unionByName(sim_e).unionByName(exact_edges)
         )
-        metrics.finish("edges", edges)
+        metrics.finish("edges", ckpt.path("edges"))
 
     # --- stage: clusters (connected components, deterministic min-key id) ---
     if ckpt.done("clusters"):
@@ -198,7 +198,7 @@ def run_pipeline(
         cc = connected_components(strong, nodes=docs.select("doc_id"), key_col="doc_id")
         clusters = cc.join(key_map, "doc_id").select("doc_key", "cluster_id")
         clusters = ckpt.materialize("clusters", clusters)
-        metrics.finish("clusters", clusters)
+        metrics.finish("clusters", ckpt.path("clusters"))
 
     # --- stage: suffix (exact substring pass within clusters) ---
     if with_suffix_stage:
@@ -209,7 +209,7 @@ def run_pipeline(
             clustered_docs = docs.select("doc_key", "content").join(clusters, "doc_key")
             suffix = suffix_edges(clustered_docs, cfg)
             suffix = ckpt.materialize("suffix", suffix)
-            metrics.finish("suffix", suffix)
+            metrics.finish("suffix", ckpt.path("suffix"))
     else:
         suffix = None
 
@@ -236,9 +236,11 @@ def run_pipeline(
 
 def _load_input(spark: SparkSession, spec: str) -> DataFrame:
     if spec.startswith("synth:"):
-        from ..synth import generate, to_spark
+        from ..synth import generate, generate_distributed, to_spark
 
         n = int(spec.split(":", 1)[1])
+        if n >= 20_000:  # distributed generation: driver python is the
+            return generate_distributed(spark, n)  # bottleneck beyond this
         return to_spark(spark, generate(n_rows=n))
     return spark.read.parquet(spec)
 

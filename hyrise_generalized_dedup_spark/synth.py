@@ -81,7 +81,15 @@ def _edit(rng: random.Random, content: str, k: int) -> str:
     return "\n".join(lines)
 
 
-def generate(n_rows: int = 200, seed: int = 42) -> SynthCorpus:
+def generate(
+    n_rows: int = 200,
+    seed: int = 42,
+    base_index: int = 0,
+    vendored_content: str | None = None,
+) -> SynthCorpus:
+    """Driver-side generator. base_index offsets repo/path/commit identity
+    so disjoint ranges generated independently (generate_distributed) never
+    collide; vendored_content pins the global skew family across ranges."""
     rng = random.Random(seed)
     rows: list[tuple[str, str, str, str, str]] = []
     dup_pairs: list[tuple[str, str]] = []
@@ -94,9 +102,10 @@ def generate(n_rows: int = 200, seed: int = 42) -> SynthCorpus:
     n_edge = n_rows - n_unique - n_exact - n_near - n_shared
 
     def add_row(i: int, lang: str, content: str, rev: int = 0) -> str:
-        repo = f"org{i // 50}/repo{i % 97}"
+        gi = base_index + i
+        repo = f"org{gi // 50}/repo{gi % 97}"
         ext = lang if lang != "md" else "md"
-        path = f"src/pkg_{i % 13}/mod_{i}.{ext}"
+        path = f"src/pkg_{gi % 13}/mod_{gi}.{ext}"
         commit = _commit(repo, path, rev)
         rows.append((repo, path, commit, lang, content))
         return commit
@@ -110,7 +119,7 @@ def generate(n_rows: int = 200, seed: int = 42) -> SynthCorpus:
         originals.append((lang, content))
 
     # vendored-library skew family: one content duplicated across ~20% of repos
-    vendored = _gen_file(rng, "js", 60)
+    vendored = vendored_content if vendored_content is not None else _gen_file(rng, "js", 60)
 
     # tier 2: exact duplicates of tier-1 files (plus the vendored family)
     base_i = n_unique
@@ -180,3 +189,43 @@ def to_spark(spark, corpus: SynthCorpus):
     return spark.createDataFrame(
         corpus.rows, "repo string, path string, commit string, lang string, content string"
     )
+
+
+_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def generate_distributed(spark, n_rows: int, seed: int = 42, rows_per_task: int = 5000):
+    """Generate the corpus IN SPARK — one mapInPandas task per id-range.
+
+    Driver-side generate() is single-core Python; at 10^6+ rows corpus
+    creation dominated the scaling benchmark (round-1 finding). Here the
+    driver only enumerates (task, start, count) ranges; each executor task
+    runs generate() for its range with a range-derived seed and a
+    base_index offset (so repo/path/commit identities never collide), and
+    the global vendored-library skew family is pinned by passing the same
+    vendored content to every range. Deterministic for fixed
+    (n_rows, seed, rows_per_task) regardless of parallelism."""
+    import pandas as pd
+
+    n_tasks = (n_rows + rows_per_task - 1) // rows_per_task
+    vendored = _gen_file(random.Random(seed * 1_000_003 + 777), "js", 60)
+    ranges = [
+        (t, t * rows_per_task, min(rows_per_task, n_rows - t * rows_per_task))
+        for t in range(n_tasks)
+    ]
+    rdf = spark.createDataFrame(ranges, "task int, start long, n int")
+
+    def gen(batches):
+        for pdf in batches:
+            for task, start, n in pdf.itertuples(index=False):
+                corpus = generate(
+                    n_rows=int(n),
+                    seed=seed * 1_000_003 + int(task),
+                    base_index=int(start),
+                    vendored_content=vendored,
+                )
+                yield pd.DataFrame(
+                    corpus.rows, columns=["repo", "path", "commit", "lang", "content"]
+                )
+
+    return rdf.repartition(n_tasks, "task").mapInPandas(gen, _SCHEMA)

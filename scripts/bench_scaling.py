@@ -37,10 +37,10 @@ def prepare_corpus() -> None:
     if os.path.exists(CORPUS):
         return
     from hyrise_generalized_dedup_spark.session import get_spark
-    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+    from hyrise_generalized_dedup_spark.synth import generate_distributed
 
     spark = get_spark(app_name="scaling-prep", master="local[32]")
-    to_spark(spark, generate(n_rows=N_FILES)).repartition(256).write.mode(
+    generate_distributed(spark, N_FILES).repartition(256).write.mode(
         "overwrite"
     ).parquet(CORPUS)
     spark.stop()

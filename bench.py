@@ -48,7 +48,7 @@ def main() -> None:
     spark = get_spark(
         app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
-    qs = entrymod.queries()
+    qs, _ = entrymod._full_registries()
 
     # warm the JVM/Arrow path once so per-query numbers measure the plan,
     # not first-use initialization
@@ -64,10 +64,10 @@ def main() -> None:
     # dedup-pipeline throughput: files/sec over the synthetic code corpus
     # (map-heavy stages dominate — the 100 TB-relevant number)
     from hyrise_generalized_dedup_spark.dedup.pipeline import run_pipeline
-    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+    from hyrise_generalized_dedup_spark.synth import generate_distributed
 
     n_files = int(os.environ.get("BENCH_DEDUP_FILES", "20000"))
-    corpus = to_spark(spark, generate(n_rows=n_files)).repartition(CPUS * 4).cache()
+    corpus = generate_distributed(spark, n_files).repartition(CPUS * 4).cache()
     corpus.count()
     out_dir = f"/tmp/bench_dedup_{os.getpid()}"
     t0 = time.time()

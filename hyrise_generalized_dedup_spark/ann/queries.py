@@ -86,3 +86,16 @@ def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     planes = hyperplanes(dim=64, bits=10, tables=8)
     return ann_topk_lsh(emb, queries, planes, k=5)
+
+
+@_register("ann_topk_ivf", None)  # approximate -> recall gated in pytest
+def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (k-means coarse quantizer + nprobe probing +
+    exact re-rank) — the second ANN scale path; full registry + pytest
+    surface (the driver's 50 slots carry the LSH variant)."""
+    from .ivf import ann_topk_ivf, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cent = train_centroids(emb, k=16, iters=8, seed=42)
+    return ann_topk_ivf(emb, queries, cent, k=5, nprobe=4)

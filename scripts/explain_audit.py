@@ -43,7 +43,7 @@ def main() -> int:
     from hyrise_generalized_dedup_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
-    qs = e.queries()
+    qs, _ = e._full_registries()
     os.makedirs("/root/repo/BENCH/plans", exist_ok=True)
     failures = []
     for name, (must, must_not) in AUDITS.items():

@@ -87,3 +87,42 @@ def test_sketch_deterministic(spark):
     a = sorted((r.id, r.table_id, r.sketch) for r in sketch_table(df, planes).collect())
     b = sorted((r.id, r.table_id, r.sketch) for r in sketch_table(df, planes).collect())
     assert a == b
+
+
+def test_ivf_recall_on_planted_neighbors(spark):
+    """IVF (kmeans-16, nprobe=4) recalls planted cosine>=0.9 pairs at
+    >=0.9 — the second ANN scale path next to sign-sketch LSH."""
+    from hyrise_generalized_dedup_spark.ann.ivf import ann_topk_ivf, train_centroids
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    planted = base + rng.standard_normal((60, 32)).astype(np.float32) * 0.1
+    vecs = np.vstack([base, planted])
+    df = _make_df(spark, vecs)
+    cent = train_centroids(df, k=8, iters=8, seed=42)
+    assert cent.shape == (8, 32)
+    res = ann_topk_ivf(df, df.filter(F.col("vec_id") < 60), cent, k=3, nprobe=3)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in res.collect()}
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    eligible = [q for q in range(60) if normed[q] @ normed[q + 60] >= 0.9]
+    hits = sum(1 for q in eligible if got.get((q, 1)) == q + 60)
+    assert len(eligible) >= 45
+    assert hits / len(eligible) >= 0.9, f"IVF recall {hits}/{len(eligible)}"
+
+
+def test_ivf_hot_list_bounded(spark):
+    """A 3k-identical family collapses into one IVF list; the census cap
+    bounds the candidate join while still returning cos=1 neighbors."""
+    from hyrise_generalized_dedup_spark.ann.ivf import ann_topk_ivf, train_centroids
+
+    rng = np.random.default_rng(13)
+    hot = np.tile(rng.standard_normal(32).astype(np.float32), (3000, 1))
+    cold = rng.standard_normal((40, 32)).astype(np.float32)
+    vecs = np.vstack([hot, cold])
+    df = _make_df(spark, vecs)
+    cent = train_centroids(df, k=4, iters=5, seed=42)
+    res = ann_topk_ivf(df, df.filter(F.col("vec_id") == 0), cent, k=5, nprobe=2,
+                       max_list=64)
+    rows = res.collect()
+    assert len(rows) == 5
+    assert all(r.cos > 0.999999 and r.neighbor_id < 3000 for r in rows), rows

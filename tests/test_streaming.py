@@ -57,3 +57,63 @@ def test_stream_equals_batch(spark, sf_tiny):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stateful_profiles_across_microbatches(spark, sf_tiny, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    two single-file batches (maxFilesPerTrigger=1) must converge to the
+    batch profile for every user."""
+    import math
+    import uuid
+
+    from hyrise_generalized_dedup_spark.streaming.events import EVENTS_SCHEMA
+    from hyrise_generalized_dedup_spark.streaming.stateful import (
+        user_profiles_batch,
+        user_profiles_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_tiny}/events.parquet")
+    # split into two files so the file source runs two micro-batches
+    src = tmp_path / "events_split"
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"prof_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_profiles_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    out = spark.table(name)
+    # update-mode memory sink appends one row per user per batch touched;
+    # the final profile is the row with the highest n_events (monotone)
+    final = {}
+    for r in out.collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.user_id] = r
+    expected = {r.user_id: r for r in user_profiles_batch(events).collect()}
+    assert set(final) == set(expected)
+    n_multi_batch = 0
+    for uid, exp in expected.items():
+        got = final[uid]
+        assert got.n_events == exp.n_events, uid
+        assert math.isclose(got.total_value, exp.total_value, rel_tol=1e-9), uid
+        assert got.max_value == exp.max_value, uid
+        assert got.n_event_types == exp.n_event_types, uid
+        assert got.types_overflow == exp.types_overflow, uid
+    # the stream really ran >1 micro-batch (state crossed batches)
+    assert out.count() > len(expected), "expected per-batch update rows"

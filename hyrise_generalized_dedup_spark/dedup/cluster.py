@@ -29,6 +29,7 @@ def connected_components(
     key_col: str = "doc_key",
     max_iter: int = 25,
     check_every: int = 3,
+    broadcast_labels_max: int | None = None,
 ) -> DataFrame:
     """edges(key_a, key_b) [+ optional nodes(key_col)] -> (key_col, cluster_id).
 
@@ -39,7 +40,15 @@ def connected_components(
     LSH/star edge graphs converge in a handful of rounds, checking every
     `check_every` iterations amortizes that fixed latency (at worst
     check_every-1 extra cheap propagation rounds after convergence —
-    propagating an already-stable labelling is a no-op data-wise)."""
+    propagating an already-stable labelling is a no-op data-wise).
+
+    broadcast_labels_max: when the caller KNOWS the node count is below
+    this bound, the per-iteration labels⋈edges join broadcasts the label
+    table instead of shuffling both sides — CC is latency-bound (a chain
+    of small sequential jobs), and removing the exchange per iteration is
+    the difference between scaling and anti-scaling at high core counts.
+    At 10^12-node scale labels are not broadcastable and this stays None
+    (shuffled join; AQE handles it)."""
     sym = (
         edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
         .union(edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
@@ -54,13 +63,15 @@ def connected_components(
         .localCheckpoint()
     )
 
+    maybe_b = F.broadcast if broadcast_labels_max else (lambda d: d)
+
     converged = False
     for it in range(max_iter):
         # each node adopts min(own label, neighbors' labels); carrying the
         # previous label through the aggregation lets one job both
         # materialize the checkpoint and answer the convergence check
         neighbor_labels = (
-            sym.join(labels.withColumnRenamed("node", "dst_node"),
+            sym.join(maybe_b(labels.withColumnRenamed("node", "dst_node")),
                      sym.dst == F.col("dst_node"))
             .select(F.col("src").alias("node"), F.col("label"), F.lit(None).cast(labels.schema["label"].dataType).alias("prev"))
         )

@@ -195,7 +195,16 @@ def run_pipeline(
             (F.col("source") == "lsh") & (F.col("score") >= cfg.jaccard_threshold)
             | F.col("source").isin("simhash", "exact", "lsh_star")
         )
-        cc = connected_components(strong, nodes=docs.select("doc_id"), key_col="doc_id")
+        # labels broadcast while the corpus is below ~5M docs (~80MB of
+        # int64 pairs) — CC is a latency-bound chain of small jobs and the
+        # per-iteration shuffle dominates it; beyond that bound the join
+        # stays shuffled (see connected_components docstring).
+        cc = connected_components(
+            strong,
+            nodes=docs.select("doc_id"),
+            key_col="doc_id",
+            broadcast_labels_max=5_000_000 if n_docs < 5_000_000 else None,
+        )
         clusters = cc.join(key_map, "doc_id").select("doc_key", "cluster_id")
         clusters = ckpt.materialize("clusters", clusters)
         metrics.finish("clusters", ckpt.path("clusters"))

@@ -34,6 +34,14 @@ AUDITS = {
     "dedup_exact": (["HashAggregate", "ReadSchema: struct<doc_id:bigint,text:string>"], []),
     "gd_dedup_ratio": (["MapInPandas"], []),
     "ann_topk_brute": (["BroadcastNestedLoopJoin"], []),
+    # round-2 shapes
+    "q4_order_priority": (["LeftSemi", "PushedFilters"], ["CartesianProduct"]),
+    "q21_waiting_suppliers": (["LeftSemi", "LeftAnti"], ["CartesianProduct"]),
+    "q2_min_cost_supplier": (["BroadcastHashJoin", "TakeOrderedAndProject"], ["CartesianProduct"]),
+    "q7_volume_shipping": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q17_small_qty_revenue": (["PushedFilters"], ["CartesianProduct"]),
+    "ann_topk_lsh": (["MapInPandas"], ["CartesianProduct"]),
+    "ann_topk_ivf": (["MapInPandas"], ["CartesianProduct"]),
 }
 
 

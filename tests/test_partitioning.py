@@ -43,3 +43,26 @@ def test_bucketed_join_avoids_shuffle(spark, sf_tiny, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_dynamic_partition_pruning(spark, sf_tiny, tmp_path):
+    """DPP: a fact table partitioned on the join key is pruned at RUNTIME
+    by the dim side's filter (reference analog: ChunkPruningRule +
+    SemiJoinReductionRule combined — the pruning predicate is only known
+    after the dim filter runs)."""
+    out = str(tmp_path / "orders_by_status_dpp")
+    orders = spark.read.parquet(f"{sf_tiny}/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim_path = str(tmp_path / "status_dim")
+    spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == "closed")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    j = fact.join(dim, "o_orderstatus")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert j.count() == expected

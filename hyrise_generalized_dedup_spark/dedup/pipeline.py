@@ -224,10 +224,17 @@ def run_pipeline(
 
     # --- summary ---
     stats = dedup_stats(segments).collect()[0].asDict()
-    n_clusters = clusters.select("cluster_id").distinct().count()
-    n_multi = (
-        clusters.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
+    # one job for both cluster statistics (count + multi-doc count), not two
+    cstats = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi"),
+        )
+        .collect()[0]
     )
+    n_clusters, n_multi = cstats["n_clusters"], int(cstats["n_multi"] or 0)
     metrics.add(
         n_files=n_docs,
         n_candidate_pairs=pairs.count(),

@@ -97,19 +97,32 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     Arrow batch path a production decoder would use; features come from
     the deterministic fake (decode_* raise DecodeUnavailable)."""
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "modality", "n_bytes", "feat_dim", "feat_norm", "feat_head")}
-            for mid, modality, payload in zip(pdf["media_id"], pdf["modality"], pdf["payload"]):
-                blob = bytes(payload)
-                feats = deterministic_fake_features(blob)
-                out["media_id"].append(mid)
-                out["modality"].append(modality)
-                out["n_bytes"].append(len(blob))
-                out["feat_dim"].append(len(feats))
-                out["feat_norm"].append(sum(v * v for v in feats) ** 0.5)
-                out["feat_head"].append(feats[0])
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            # per-item C call (the decoder analog: a real codec is also a
+            # per-item native call), then VECTORIZED feature math: all
+            # digests packed into one (n, dim) matrix, one normalize pass
+            digests = b"".join(
+                hashlib.sha256(bytes(p)).digest()[: 4 * 8] for p in pdf["payload"]
+            )
+            raw = np.frombuffer(digests, dtype=">u4").reshape(len(pdf), 8)
+            feats = raw.astype(np.float64) / 2**32 - 0.5
+            norms = np.maximum(np.linalg.norm(feats, axis=1), 1e-300)
+            unit = feats / norms[:, None]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "n_bytes": pdf["n_bytes"].to_numpy(),
+                    "feat_dim": np.full(len(pdf), 8, dtype=np.int32),
+                    "feat_norm": np.linalg.norm(unit, axis=1),
+                    "feat_head": unit[:, 0],
+                }
+            )
 
     return media.select("media_id", "modality", "payload", "n_bytes").mapInPandas(
         run, _FEATURE_SCHEMA

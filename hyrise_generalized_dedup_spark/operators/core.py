@@ -128,13 +128,21 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
 
 
+def print_table(df: DataFrame, n: int = 20, truncate: bool = True) -> str:
+    """Render a table preview as the string df.show() would print
+    (reference: Print operator, src/lib/operators/print.cpp — pretty-
+    prints a table to a stream). Returned instead of printed so callers
+    (and tests) control the stream; drives only the first n rows."""
+    return df._show_string(n, 20 if truncate else 0, False)
+
+
 # Machine-readable §2 parity inventory: reference operator -> (status, where)
 OPERATOR_PARITY: dict[str, tuple[str, str]] = {
     "GetTable": ("covered", "operators.get_table / sources.tables.load_table"),
     "TableWrapper": ("covered", "operators.table_wrapper"),
     "Import(csv/tbl/binary)": ("covered", "sources (parquet/csv; binary->parquet)"),
     "Export": ("covered", "DataFrame.write parquet/csv; dedup.pipeline checkpoints"),
-    "Print": ("covered", "DataFrame.show"),
+    "Print": ("covered", "operators.print_table (df.show renderer, stream-agnostic)"),
     "Projection": ("covered", "operators.projection"),
     "AliasOperator": ("covered", "operators.alias"),
     "TableScan(all impls)": ("covered", "operators.table_scan + plans.relational q6/q_like/q_null_or/q_in_list"),

@@ -55,3 +55,14 @@ def test_semi_anti_modes(spark, sf_tiny):
     anti = ops.join(c, o, c.c_custkey == o.o_custkey, "anti_null_as_false")
     assert semi.count() + anti.count() == c.count()
     assert set(semi.columns) == set(c.columns)
+
+
+def test_print_table_renders(spark):
+    from hyrise_generalized_dedup_spark.operators.core import print_table
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "k int, s string")
+    out = print_table(df.orderBy("k"), n=10)
+    assert "alpha" in out and "beta" in out
+    assert out.count("|") >= 8  # grid rendering, header + 2 rows
+    head = print_table(df.orderBy("k"), n=1)
+    assert "alpha" in head and "beta" not in head  # n limits the preview

@@ -38,6 +38,9 @@ HEADLINE = [
     "neardup_cluster_sizes",
     "text_quality",
     "ann_topk_brute",
+    "ann_topk_ivf",
+    "q4_order_priority",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -127,14 +127,16 @@ def verified_edges(
 
     sig = signatures.select(key_col, "minhash")
     if broadcast_sigs is None:
-        # sigs are ~(4*num_hashes+key) bytes/row; broadcast under ~450MB
-        # (executors here run with >=8g; measured: the shuffled fallback
-        # costs 3x wall on the edges stage, so the budget is sized to the
-        # heap, not to Spark's conservative 10MB default). Callers that
-        # already know the corpus size pass n_sigs so this doesn't cost an
-        # extra count job per invocation.
+        # sigs are ~(4*num_hashes+key) bytes/row; broadcast under ~1GiB
+        # (executors here run with 24g; measured: the shuffled fallback
+        # costs 3-10x wall on the edges stage, so the budget is sized to
+        # the heap, not to Spark's conservative 10MB default — one shared
+        # copy per JVM). Covers ~2M docs at 128 hashes; beyond that the
+        # shuffled path takes over, which is the correct 10^12 design.
+        # Callers that already know the corpus size pass n_sigs so this
+        # doesn't cost an extra count job per invocation.
         rows = n_sigs if n_sigs is not None else sig.count()
-        broadcast_sigs = rows * (4 * cfg.num_hashes + 32) < 450 * 1024 * 1024
+        broadcast_sigs = rows * (4 * cfg.num_hashes + 32) < 1024 * 1024 * 1024
     maybe_b = F.broadcast if broadcast_sigs else (lambda d: d)
     sig_a = maybe_b(sig.select(F.col(key_col).alias("key_a"), F.col("minhash").alias("sig_a")))
     sig_b = maybe_b(sig.select(F.col(key_col).alias("key_b"), F.col("minhash").alias("sig_b")))

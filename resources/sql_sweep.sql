@@ -12,6 +12,7 @@
 --  * no double->int CAST (truncate vs round-half-even differs): floor/ceil;
 --  * no ROUND (rounding mode differs), no division that can hit zero;
 --  * timestamps compared via CAST(ts AS STRING) / EXTRACT, never via
+--    (date_trunc results go through CAST(.. AS TIMESTAMP): DuckDB returns DATE)
 --    timestamp literals (Spark literal is LTZ, parquet columns are NTZ);
 --  * LIMIT only under a totally-ordering ORDER BY.
 -- Statements are ';'-separated; '--' comments are stripped by the runner.
@@ -274,3 +275,22 @@ SELECT doc_id, LENGTH(text) AS len FROM documents
 WHERE LENGTH(text) > 900 ORDER BY doc_id LIMIT 100;
 SELECT vec_id, label FROM embeddings WHERE label = 3 ORDER BY vec_id LIMIT 100;
 SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label;
+
+-- =================== in-engine interval / date arithmetic ==================
+SELECT COUNT(*) AS n FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY;
+SELECT COUNT(*) AS n FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+WHERE l_shipdate <= o_orderdate + INTERVAL 1 MONTH;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate + INTERVAL 1 YEAR > l_shipdate;
+SELECT o_orderpriority, COUNT(*) AS n FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority;
+SELECT CAST(CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS STRING) AS mon, COUNT(*) AS n
+FROM orders GROUP BY 1;
+SELECT CAST(CAST(DATE_TRUNC('year', l_shipdate) AS TIMESTAMP) AS STRING) AS yr,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1;
+SELECT COUNT(*) AS n FROM orders
+WHERE o_orderdate BETWEEN DATE_TRUNC('year', o_orderdate)
+                      AND DATE_TRUNC('year', o_orderdate) + INTERVAL 6 MONTH;

@@ -30,7 +30,9 @@ CORPUS = f"/tmp/scaling_corpus_{N_FILES}.parquet"
 # ceiling of this VM is 0.86 at 4->16 cores but only 0.80 at 8->32
 # (measured with a multiprocessing burn loop; cores 25-32 are throttled),
 # so 4->16 is the honest pair for measuring the PIPELINE's scalability.
-LEVELS = (4, 16)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
+)
 
 
 def prepare_corpus() -> None:

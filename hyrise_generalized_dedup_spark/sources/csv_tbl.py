@@ -135,9 +135,20 @@ def write_csv_meta(df: DataFrame, path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TBL_EXPORT_MAX_ROWS = 100_000
+
+
 def write_tbl(df: DataFrame, path: str) -> None:
     """Export a (small) DataFrame to the .tbl format — the Export-operator
-    analog for fixture interchange (driver-side; use parquet for bulk)."""
+    analog for fixture interchange. Driver-side collect BY DESIGN, hard-
+    capped at 100k rows so the fixture path can never be misused as a bulk
+    sink (use parquet / write_csv_meta for bulk)."""
+    capped = df.limit(_TBL_EXPORT_MAX_ROWS + 1).collect()
+    if len(capped) > _TBL_EXPORT_MAX_ROWS:
+        raise ValueError(
+            f".tbl export is a fixture format (> {_TBL_EXPORT_MAX_ROWS} rows); "
+            "use df.write.parquet or write_csv_meta for bulk data"
+        )
     type_names = {IntegerType(): "int", LongType(): "long", FloatType(): "float",
                   DoubleType(): "double", StringType(): "string"}
     header = "|".join(f.name for f in df.schema.fields)
@@ -146,5 +157,5 @@ def write_tbl(df: DataFrame, path: str) -> None:
     )
     with open(path, "w") as fh:
         fh.write(header + "\n" + types + "\n")
-        for row in df.collect():
+        for row in capped:
             fh.write("|".join("null" if v is None else str(v) for v in row) + "\n")

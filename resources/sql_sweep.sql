@@ -294,3 +294,80 @@ FROM lineitem GROUP BY 1;
 SELECT COUNT(*) AS n FROM orders
 WHERE o_orderdate BETWEEN DATE_TRUNC('year', o_orderdate)
                       AND DATE_TRUNC('year', o_orderdate) + INTERVAL 6 MONTH;
+
+-- ======================= window frames / rank variants =====================
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win3
+FROM orders WHERE o_custkey < 40 ORDER BY o_custkey, o_orderkey;
+SELECT o_custkey, o_orderkey,
+       MIN(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                             ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS next_min
+FROM orders WHERE o_custkey < 40 ORDER BY o_custkey, o_orderkey;
+SELECT p_partkey,
+       PERCENT_RANK() OVER (ORDER BY p_partkey) AS pr,
+       CUME_DIST() OVER (ORDER BY p_partkey) AS cd
+FROM part WHERE p_partkey < 200 ORDER BY p_partkey;
+SELECT n_regionkey, n_nationkey,
+       LAST_VALUE(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_nation
+FROM nation ORDER BY n_nationkey;
+SELECT o_custkey, COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders, o_orderkey
+FROM orders WHERE o_custkey < 25 ORDER BY o_custkey, o_orderkey;
+
+-- =========================== set ops: ALL variants =========================
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9800
+INTERSECT ALL
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9600;
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9600
+EXCEPT ALL
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9800;
+
+-- ======================= subquery / CTE compositions =======================
+WITH r AS (SELECT r_regionkey FROM region WHERE r_name <> 'ASIA'),
+     n AS (SELECT n_nationkey, n_regionkey FROM nation),
+     j AS (SELECT n_nationkey FROM n JOIN r ON n.n_regionkey = r.r_regionkey)
+SELECT COUNT(*) AS n FROM j;
+SELECT s_suppkey,
+       (SELECT MAX(l_quantity) FROM lineitem WHERE l_suppkey = s_suppkey) AS max_qty
+FROM supplier ORDER BY s_suppkey LIMIT 100;
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+GROUP BY o_orderstatus;
+SELECT COUNT(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45));
+SELECT t.k, t.n FROM (
+  SELECT c_nationkey AS k, COUNT(*) AS n FROM customer GROUP BY c_nationkey
+  UNION ALL
+  SELECT s_nationkey AS k, COUNT(*) AS n FROM supplier GROUP BY s_nationkey) t
+ORDER BY t.k, t.n;
+SELECT x.p_brand, x.n FROM
+ (SELECT p_brand, COUNT(*) AS n,
+         MAX(COUNT(*)) OVER () AS mx
+  FROM part GROUP BY p_brand) x
+WHERE x.n = x.mx;
+
+-- ====================== aggregates over whole table ========================
+SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS actives FROM orders
+HAVING COUNT(*) > 0;
+SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+       MIN(event_id) AS mn, MAX(event_id) AS mx
+FROM events WHERE event_type IN ('click', 'view');
+SELECT SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS closed,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open
+FROM orders;
+
+-- ===================== join-condition expressions ==========================
+SELECT COUNT(*) AS n FROM nation n1 JOIN nation n2
+ON n1.n_nationkey + 1 = n2.n_nationkey;
+SELECT COUNT(*) AS n FROM nation n1 JOIN region r
+ON n1.n_regionkey = r.r_regionkey AND LENGTH(r.r_name) > 4;
+SELECT COUNT(*) AS n FROM customer JOIN nation
+ON c_nationkey = n_nationkey AND SUBSTRING(n_name, 1, 6) = 'NATION';
+SELECT c1.c_custkey, c2.c_custkey AS other FROM customer c1 JOIN customer c2
+ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey + 1000 = c2.c_custkey
+ORDER BY c1.c_custkey LIMIT 100;

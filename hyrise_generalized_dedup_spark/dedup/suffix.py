@@ -46,9 +46,12 @@ def build_suffix_array(s: np.ndarray) -> np.ndarray:
         return np.zeros(0, np.int64)
     rank = s.astype(np.int64)
     order = np.argsort(rank, kind="stable")
+    # past-end marker: strictly below every possible value/rank (the buffer
+    # may legally contain negative sentinel values, so -1 is not safe)
+    _PAST_END = np.iinfo(np.int64).min + 1
     k = 1
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
+        key2 = np.full(n, _PAST_END, dtype=np.int64)
         if k < n:
             key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
@@ -88,13 +91,20 @@ def shared_substring_pairs(
     length >= min_len (shared_len is a >=min_len lower bound of the max)."""
     if len(docs) < 2:
         return set()
+    # int32 buffer with a UNIQUE negative sentinel per document: identical
+    # sentinels would let suffixes shorter than min_len sort INSIDE the
+    # interval of a shared periodic block (e.g. a run of identical bytes),
+    # splitting the LCP run and silently missing the pair — found by the
+    # hypothesis soundness/completeness property test. Unique sentinels
+    # push every short suffix out of the interval, so the two long
+    # occurrences become adjacent and the pair is always emitted.
     parts, bounds, keys = [], [0], []
-    for key, blob in docs:
-        parts.append(np.frombuffer(blob, np.uint8))
-        parts.append(np.zeros(1, np.uint8))  # sentinel
+    for k_idx, (key, blob) in enumerate(docs):
+        parts.append(np.frombuffer(blob, np.uint8).astype(np.int32))
+        parts.append(np.full(1, -(k_idx + 1), np.int32))  # unique sentinel
         bounds.append(bounds[-1] + len(blob) + 1)
         keys.append(key)
-    buf = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    buf = np.concatenate(parts) if parts else np.zeros(0, np.int32)
     sa = build_suffix_array(buf)
     bounds_arr = np.array(bounds[1:])
     doc_of = np.searchsorted(bounds_arr, sa, side="right")

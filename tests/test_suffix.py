@@ -99,3 +99,61 @@ def test_suffix_overflow_marker(spark):
     df = spark.createDataFrame(rows, "doc_key string, content string, cluster_id string")
     edges = suffix_edges(df, cfg).collect()
     assert any(r.source == "suffix_overflow" for r in edges), "cap must be visible, not silent"
+
+
+def _brute_lcs_len(a: bytes, b: bytes) -> int:
+    """Longest common substring length by substring-set intersection."""
+    best = 0
+    subs = {a[i:j] for i in range(len(a)) for j in range(i + 1, len(a) + 1)}
+    for i in range(len(b)):
+        for j in range(i + 1 + best, len(b) + 1):
+            if b[i:j] in subs:
+                best = j - i
+    return best
+
+
+def test_suffix_pairs_sound_and_complete_property():
+    """Property (hypothesis): against a brute-force longest-common-substring
+    oracle, shared_substring_pairs is SOUND (every emitted (a,b,l) pair
+    really shares >= l bytes) and COMPLETE (every pair sharing >= min_len
+    bytes is emitted) — including doc-boundary adversaries, since the
+    generator plants shared blocks at document edges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blocks = st.binary(min_size=0, max_size=12)
+    shared = st.binary(min_size=8, max_size=16)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(blocks, min_size=2, max_size=5),
+        shared,
+        st.data(),
+    )
+    def prop(noise, block, data):
+        docs = []
+        for i, nz in enumerate(noise):
+            # some docs embed the shared block (possibly at the edges),
+            # others are pure noise
+            if data.draw(st.booleans(), label=f"embed{i}"):
+                pos = data.draw(st.integers(0, len(nz)), label=f"pos{i}")
+                content = nz[:pos] + block + nz[pos:]
+            else:
+                content = nz
+            docs.append((f"d{i}", content))
+        min_len = 8
+        found = shared_substring_pairs(docs, min_len)
+        by_key = dict(zip([k for k, _ in docs], [c for _, c in docs]))
+        # soundness: emitted length never exceeds the true LCS
+        for a, b, l in found:
+            assert _brute_lcs_len(by_key[a], by_key[b]) >= l >= min_len, (a, b, l)
+        # completeness: every >=min_len-sharing pair is found
+        keys = [k for k, _ in docs]
+        emitted = {(a, b) for a, b, _ in found}
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _brute_lcs_len(by_key[keys[i]], by_key[keys[j]]) >= min_len:
+                    pair = (min(keys[i], keys[j]), max(keys[i], keys[j]))
+                    assert pair in emitted, (pair, by_key[keys[i]], by_key[keys[j]])
+
+    prop()

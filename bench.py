@@ -69,7 +69,7 @@ def main() -> None:
     from hyrise_generalized_dedup_spark.dedup.pipeline import run_pipeline
     from hyrise_generalized_dedup_spark.synth import generate_distributed
 
-    n_files = int(os.environ.get("BENCH_DEDUP_FILES", "20000"))
+    n_files = int(os.environ.get("BENCH_DEDUP_FILES", "40000"))
     corpus = generate_distributed(spark, n_files).repartition(CPUS * 4).cache()
     corpus.count()
     out_dir = f"/tmp/bench_dedup_{os.getpid()}"

@@ -104,6 +104,11 @@ def read_csv_meta(spark: SparkSession, path: str) -> DataFrame:
         schema=StructType(fields),
         nullValue="null",
         header=False,
+        # RFC 4180 (the reference's rfc_mode, csv_parser.hpp:20-21) allows
+        # quoted fields to contain embedded record delimiters; Spark only
+        # honors that with multiLine (costs file-level split granularity —
+        # acceptable for this fixture-interchange format)
+        multiLine=bool(cfg.get("rfc_mode", True)),
     )
 
 

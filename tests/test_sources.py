@@ -84,3 +84,25 @@ def test_tbl_matches_reference_format(spark, tmp_path):
     assert df.count() == 3
     assert df.schema["b"].dataType.simpleString() == "float"
     assert df.agg({"a": "max"}).collect()[0][0] == 12345
+
+
+def test_csv_meta_rfc4180_embedded_newlines_and_quotes(spark, tmp_path):
+    """RFC-4180 mode (reference csv_parser.hpp:20-21): quoted fields may
+    contain separators, escaped quotes, and embedded record delimiters."""
+    import json
+
+    csv = tmp_path / "rfc.csv"
+    csv.write_text('1,"a,b"\n2,"line1\nline2"\n3,"she said ""hi"""\n4,null\n')
+    (tmp_path / "rfc.csv.json").write_text(
+        json.dumps(
+            {
+                "columns": [
+                    {"name": "k", "nullable": False, "type": "int"},
+                    {"name": "s", "nullable": True, "type": "string"},
+                ],
+                "config": {"rfc_mode": True},
+            }
+        )
+    )
+    got = {r.k: r.s for r in read_csv_meta(spark, str(csv)).collect()}
+    assert got == {1: "a,b", 2: "line1\nline2", 3: 'she said "hi"', 4: None}

@@ -154,3 +154,22 @@ def test_generate_distributed_matches_contract(spark):
     b = sorted(map(tuple, df2.select("commit", "content").collect()))
     assert a == b
     df.unpersist()
+
+
+def test_changed_config_never_reuses_stale_checkpoints(spark, corpus, out_dir, summary):
+    """The config hash keys every checkpoint path: a run with a DIFFERENT
+    config must not resume from the first config's stage outputs (stale
+    reuse would silently produce wrong clusters)."""
+    from hyrise_generalized_dedup_spark.synth import to_spark
+
+    cfg2 = GDConfig(shingle_k=6)
+    assert cfg2.config_hash() != GDConfig().config_hash()
+    s2 = run_pipeline(
+        spark, to_spark(spark, corpus), out_dir, cfg=cfg2,
+        resume=True, with_suffix_stage=False,
+    )
+    # both checkpoint trees coexist, keyed by their hashes
+    assert os.path.exists(os.path.join(out_dir, "checkpoint", GDConfig().config_hash()))
+    assert os.path.exists(os.path.join(out_dir, "checkpoint", cfg2.config_hash()))
+    assert s2["config_hash"] == cfg2.config_hash()
+    assert s2["n_files"] == 200

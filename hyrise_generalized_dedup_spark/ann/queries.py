@@ -99,3 +99,34 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     cent = train_centroids(emb, k=16, iters=8, seed=42)
     return ann_topk_ivf(emb, queries, cent, k=5, nprobe=4)
+
+
+@_register(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS} AS cos
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 400 AND c.vec_id < 400 AND q.vec_id < c.vec_id
+      AND {_COS} >= 0.42
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
+    threshold over a bounded id range — exact pair enumeration with a
+    bit-exact DuckDB oracle (the same left-fold arithmetic as topk).
+    The unbounded-scale path is lsh.lsh_candidates (sketch buckets ->
+    candidates) followed by this exact cosine filter; its recall is gated
+    in pytest. Threshold 0.42 is calibrated to the synthetic embeddings
+    (near-uniform vectors: max pairwise cosine ~0.49)."""
+    import pyspark.sql.functions as FF
+
+    from .brute import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(FF.col("e_a"), FF.col("e_b")).alias("cos"))
+        .filter(F.col("cos") >= 0.42)
+    )

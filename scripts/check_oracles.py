@@ -3,6 +3,8 @@
 comparison the driver does — and report per-query pass/fail.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query_name ...]
+       python scripts/check_oracles.py --full [sf_dir] [...]  # full registry,
+       not just the 50 driver slots
 """
 
 from __future__ import annotations
@@ -18,11 +20,16 @@ from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    use_full = "--full" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(master="local[8]", shuffle_partitions=8)
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if use_full:
+        queries, oracles = entrymod._full_registries()
+    else:
+        queries = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -126,3 +126,14 @@ def test_ivf_hot_list_bounded(spark):
     rows = res.collect()
     assert len(rows) == 5
     assert all(r.cos > 0.999999 and r.neighbor_id < 3000 for r in rows), rows
+
+
+def test_embedding_neardup_pairs_matches_duckdb(spark, sf_tiny):
+    """Cosine-threshold near-dup pair enumeration is bit-exact vs DuckDB
+    (same left-fold arithmetic as the top-k oracle)."""
+    from hyrise_generalized_dedup_spark.ann.queries import ANN_ORACLES, ANN_QUERIES
+    from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+    df = ANN_QUERIES["embedding_neardup_pairs"](spark, sf_tiny)
+    ok, msg = compare_to_duckdb(df, ANN_ORACLES["embedding_neardup_pairs"], sf_tiny)
+    assert ok, msg

@@ -30,17 +30,25 @@ def _register(name: str, oracle: str | None):
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(list_filter(regexp_split_to_array(
+                         regexp_replace(text, '([a-z])([A-Z])', '\\1 \\2', 'g'),
+                         '[^A-Za-z0-9]+'), x -> length(x) > 0)) END AS INTEGER)
+             AS n_subwords
     FROM documents
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting — JVM-side split, zero Python."""
+    """Whitespace + BPE-ish subword token counting — JVM-side split/regex,
+    zero Python. The subword oracle restates the camelCase lookahead as
+    replace-then-split (DuckDB's RE2 has no lookarounds)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         T.token_count(F.col("text")).alias("n_tokens"),
+        T.subword_count(F.col("text")).alias("n_subwords"),
     )
 
 

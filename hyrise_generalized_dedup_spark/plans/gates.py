@@ -252,7 +252,7 @@ MERGED_GATES: dict[str, list[Branch]] = {
 # one row per document carrying every component's columns.
 JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
     "g_text_stats": [
-        ("text_token_stats", ["doc_id", "n_chars", "n_tokens"]),
+        ("text_token_stats", ["doc_id", "n_chars", "n_tokens", "n_subwords"]),
         ("text_ngram_stats", ["doc_id", "n_grams"]),
     ],
     "g_text_quality_langid": [

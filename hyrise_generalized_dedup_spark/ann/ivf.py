@@ -37,13 +37,16 @@ def train_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n: int | None = None,
 ) -> np.ndarray:
     """k-means centroids from a deterministic hash-sample of the corpus.
 
     The sample (<= sample_cap rows) is the ONLY driver-side collect; at
     10^12 rows the sample fraction is estimated from a count the caller
-    usually already has — here a cheap parquet-metadata count."""
-    n = corpus.count()
+    usually already has — pass it as `n` (parquet metadata makes it
+    free) so training doesn't spend an extra count job per call."""
+    if n is None:
+        n = corpus.count()
     frac_denom = max(1, n // sample_cap)
     sample = (
         corpus.select(id_col, vec_col)
@@ -55,14 +58,22 @@ def train_centroids(
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.Generator(np.random.PCG64(seed))
 
-    # kmeans++-lite init: first centroid uniform, rest distance-weighted
+    # kmeans++-lite init: first centroid uniform, rest distance-weighted.
+    # Degenerate corpora this module explicitly targets (every sampled
+    # vector identical — a hot embedding family) make d2 all-zero; fall
+    # back to uniform selection instead of rng.choice raising on a
+    # zero-sum probability vector. Fewer samples than k: reuse rows
+    # (duplicate centroids collapse in Lloyd; harmless).
     idx = [int(rng.integers(len(x)))]
     for _ in range(k - 1):
         d2 = np.min(
             [np.sum((x - x[i]) ** 2, axis=1) for i in idx], axis=0
         )
-        probs = d2 / max(d2.sum(), 1e-12)
-        idx.append(int(rng.choice(len(x), p=probs)))
+        total = d2.sum()
+        if total <= 1e-24:
+            idx.append(int(rng.integers(len(x))))
+        else:
+            idx.append(int(rng.choice(len(x), p=d2 / total)))
     cent = x[idx].copy()
 
     for _ in range(iters):

@@ -50,6 +50,16 @@ class GDConfig:
     # is the max per-bucket join output.
     hot_band_threshold: int = 256
     salt_buckets: int = 16
+    # Star edges get a RELAXED verification floor (fraction of the
+    # jaccard threshold) instead of bypassing verification entirely: a
+    # lone doc that collides on a single band with a vendored-library
+    # bucket would otherwise be merged into the cluster regardless of
+    # similarity (silent over-merge). Members of a genuinely-duplicated
+    # hot family estimate ~1.0 vs the bucket min and sail through;
+    # mutually-similar members dissimilar to the min still reach each
+    # other via their cold-bucket collisions on other bands. Kept and
+    # dropped star counts are surfaced in the pipeline summary.
+    star_floor_frac: float = 0.5
 
     seed: int = 42
 

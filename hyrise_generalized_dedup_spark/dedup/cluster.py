@@ -20,6 +20,8 @@ import logging
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lsh import hard_unpersist
+
 log = logging.getLogger(__name__)
 
 
@@ -62,6 +64,14 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # localCheckpoint persists its data (that IS the truncated lineage),
+    # so superseded checkpoints must be explicitly unpersisted or every
+    # iteration's label table stays pinned in executor storage for the
+    # session. prev_ckpt is released only AFTER the next checkpoint is
+    # fully materialized (the full convergence count below guarantees
+    # that) — unpersisting a truncated-lineage RDD before its successor
+    # exists would lose data with no lineage to recompute from.
+    prev_ckpt = labels
 
     maybe_b = F.broadcast if broadcast_labels_max else (lambda d: d)
 
@@ -83,7 +93,11 @@ def connected_components(
         )
         if (it + 1) % check_every == 0 or it == max_iter - 1:
             new_labels = new_labels.localCheckpoint(eager=False)
-            changed = new_labels.filter(F.col("label") != F.col("prev")).limit(1).count()
+            # full count (no limit-short-circuit): every partition of the
+            # new checkpoint is materialized, making prev_ckpt releasable
+            changed = new_labels.filter(F.col("label") != F.col("prev")).count()
+            hard_unpersist(prev_ckpt)
+            prev_ckpt = new_labels
             if changed == 0:
                 labels = new_labels.select("node", "label")
                 log.info("connected_components converged within %d iterations", it + 1)
@@ -92,6 +106,9 @@ def connected_components(
         labels = new_labels.select("node", "label")
     if not converged:
         log.warning("connected_components hit max_iter=%d without convergence", max_iter)
+    # the edge table is not part of the result's lineage (labels derive
+    # from the final checkpoint alone) — release it here
+    hard_unpersist(sym)
 
     result = labels.select(F.col("node").alias(key_col), F.col("label").alias("cluster_id"))
     if nodes is not None:
@@ -101,4 +118,8 @@ def connected_components(
             .join(result, key_col, "left")
             .withColumn("cluster_id", F.coalesce("cluster_id", F.col(key_col)))
         )
+    # the final label checkpoint IS the result's lineage; callers that
+    # materialize the result (checkpoint write / collect) release it via
+    # lsh.release_candidates(result)
+    result._gd_persisted = prev_ckpt
     return result

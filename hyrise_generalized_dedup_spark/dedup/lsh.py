@@ -41,10 +41,50 @@ def band_table(signatures: DataFrame, key_col: str = "doc_key") -> DataFrame:
     )
 
 
+def _heap_bytes(spark) -> int:
+    """Configured JVM heap in bytes (local mode: the driver IS the one
+    executor JVM, so spark.driver.memory is the binding limit)."""
+    raw = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw and raw[-1] in mult:
+        return int(float(raw[:-1]) * mult[raw[-1]])
+    return int(raw)
+
+
+def hard_unpersist(df: DataFrame) -> None:
+    """Release a DataFrame's storage whether it came from .persist() or
+    .localCheckpoint().
+
+    Dataset.unpersist() goes through the CacheManager, which does NOT
+    track a localCheckpoint's underlying RDD — the checkpoint data stays
+    in the persistent-RDD map forever (measured: CC's label checkpoints
+    survived df.unpersist()). For checkpointed frames the analyzed plan
+    is a LogicalRDD whose wrapped RDD must be unpersisted directly."""
+    df.unpersist()
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # not a LogicalRDD (plain cached plan) — done above
+        pass
+
+
+def release_candidates(pairs: DataFrame) -> None:
+    """Unpersist the intermediate frame a producer attached to its output
+    (candidate_pairs' annotated band table, connected_components' final
+    label checkpoint).
+
+    Call AFTER the output (or anything derived from it) has been
+    materialized — e.g. after the pipeline's checkpoint write. Without
+    this every invocation pins executor storage until session end."""
+    cached = getattr(pairs, "_gd_persisted", None)
+    if cached is not None:
+        hard_unpersist(cached)
+
+
 def candidate_pairs(
     bands: DataFrame,
     cfg: GDConfig,
     key_col: str = "doc_key",
+    persist: bool = True,
 ) -> DataFrame:
     """-> (key_a, key_b, n_shared_bands) candidate pairs, skew-safe.
 
@@ -57,12 +97,17 @@ def candidate_pairs(
     table; AQE skew-join splits the join's hot side if one bucket
     dominates a partition. The annotated table is persisted so the hot
     branch and both sides of the cold self-join reuse one
-    materialization."""
+    materialization; callers that materialize the output (checkpoint
+    write) must follow with release_candidates() — one-shot callers that
+    can't (driver gates whose result is collected after return) pass
+    persist=False and trade a recompute for a leak-free session."""
     census = bands.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_n"),
         F.min(key_col).alias("bucket_min"),
     )
-    annotated = bands.join(census, ["band_id", "band_hash"]).persist()
+    annotated = bands.join(census, ["band_id", "band_hash"])
+    if persist:
+        annotated = annotated.persist()
 
     cold = annotated.filter(F.col("bucket_n") <= cfg.hot_band_threshold)
     a = cold.select("band_id", "band_hash", F.col(key_col).alias("key_a"))
@@ -85,7 +130,7 @@ def candidate_pairs(
         .withColumn("is_star", F.lit(1))
     )
 
-    return (
+    out = (
         cold_pairs.select("key_a", "key_b")
         .withColumn("is_star", F.lit(0))
         .unionByName(hot_pairs)
@@ -95,6 +140,9 @@ def candidate_pairs(
             F.max("is_star").alias("is_star"),
         )
     )
+    if persist:
+        out._gd_persisted = annotated  # released via release_candidates()
+    return out
 
 
 def verified_edges(
@@ -127,16 +175,22 @@ def verified_edges(
 
     sig = signatures.select(key_col, "minhash")
     if broadcast_sigs is None:
-        # sigs are ~(4*num_hashes+key) bytes/row; broadcast under ~1GiB
-        # (executors here run with 24g; measured: the shuffled fallback
-        # costs 3-10x wall on the edges stage, so the budget is sized to
-        # the heap, not to Spark's conservative 10MB default — one shared
-        # copy per JVM). Covers ~2M docs at 128 hashes; beyond that the
-        # shuffled path takes over, which is the correct 10^12 design.
-        # Callers that already know the corpus size pass n_sigs so this
-        # doesn't cost an extra count job per invocation.
+        # Budget derived from the CONFIGURED heap, not a constant: the
+        # signature table is broadcast TWICE (sig_a and sig_b are
+        # separate broadcast relations) and a deserialized broadcast
+        # hashmap carries a few x of object overhead over the raw
+        # payload, so the per-relation payload estimate is capped at
+        # heap/16 (2 relations x ~4x overhead = ~heap/2 worst case —
+        # thrash-free instead of OOM when someone shrinks the heap).
+        # Measured: the shuffled fallback costs 3-10x wall on the edges
+        # stage, so the budget is still heap-sized rather than Spark's
+        # conservative 10MB default. 8g heap -> 512MiB -> ~1M docs at
+        # 128 hashes; beyond, the shuffled path takes over — the correct
+        # 10^12 design. Callers that already know the corpus size pass
+        # n_sigs so this doesn't cost an extra count job per invocation.
         rows = n_sigs if n_sigs is not None else sig.count()
-        broadcast_sigs = rows * (4 * cfg.num_hashes + 32) < 1024 * 1024 * 1024
+        budget = _heap_bytes(signatures.sparkSession) // 16
+        broadcast_sigs = rows * (4 * cfg.num_hashes + 32) < budget
     maybe_b = F.broadcast if broadcast_sigs else (lambda d: d)
     sig_a = maybe_b(sig.select(F.col(key_col).alias("key_a"), F.col("minhash").alias("sig_a")))
     sig_b = maybe_b(sig.select(F.col(key_col).alias("key_b"), F.col("minhash").alias("sig_b")))
@@ -159,6 +213,17 @@ def verified_edges(
         ]
     )
     keep = cfg.jaccard_threshold - margin
+    # Star edges (hot-bucket member -> bucket_min) get a RELAXED floor
+    # rather than a bypass: a member-to-min estimate may legitimately sit
+    # below the strict threshold when members are mutually similar but
+    # not to the min (so the full `keep` floor would cut connectivity),
+    # yet a lone doc that collided on ONE band with a vendored-library
+    # bucket estimates near zero and must not be merged (precision). The
+    # floor is star_floor_frac x threshold; kept stars stay tagged
+    # 'lsh_star' so clustering consumers see which edges are
+    # clique-approximations, and the pipeline summary reports
+    # kept/dropped star counts for auditability.
+    star_floor = cfg.jaccard_threshold * cfg.star_floor_frac
     nh = cfg.num_hashes
 
     def verify(batches):
@@ -169,15 +234,7 @@ def verified_edges(
             b = np.vstack(pdf["sig_b"].to_numpy())
             est = (a == b).sum(axis=1) / nh
             star = pdf["is_star"].to_numpy().astype(bool)
-            # Star edges (hot-bucket member -> bucket_min) are KEPT
-            # regardless of the member-to-min estimate: members of a hot
-            # bucket collided on a full band, and dropping a low-estimate
-            # star edge would disconnect members that are mutually similar
-            # but dissimilar to the bucket minimum. Precision is restored
-            # downstream: the clusters stage records star edges under a
-            # distinct source ('lsh_star') so consumers see which edges
-            # are clique-approximations rather than verified pairs.
-            m = (est >= keep) | star
+            m = (est >= keep) | (star & (est >= star_floor))
             if not m.any():
                 continue
             src = np.where(star[m], "lsh_star", "lsh")

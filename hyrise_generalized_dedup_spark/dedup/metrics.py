@@ -75,8 +75,17 @@ class MetricsCollector:
             "max_file_bytes": max((f["bytes"] for f in files), default=0),
             "files": files,
         }
-        path = os.path.join(self.out_dir, "metrics", stage)
+        # `.json` suffix avoids colliding with round-1 runs that left
+        # parquet DIRECTORIES at metrics/<stage>; if such a legacy
+        # directory exists (resumed out_dir), clear it so the recompute
+        # can't die with IsADirectoryError.
+        path = os.path.join(self.out_dir, "metrics", f"{stage}.json")
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        legacy = os.path.join(self.out_dir, "metrics", stage)
+        if os.path.isdir(legacy):
+            import shutil
+
+            shutil.rmtree(legacy)
         with open(path, "w") as fh:
             json.dump(record, fh, indent=2)
         self.summary[f"{stage}_wall_ms"] = wall_ms

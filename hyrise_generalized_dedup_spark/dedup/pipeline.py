@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import GDConfig
 from .cluster import connected_components
 from .gd import dedup_stats, gd_segments
-from .lsh import band_table, candidate_pairs, verified_edges
+from .lsh import band_table, candidate_pairs, release_candidates, verified_edges
 from .metrics import MetricsCollector
 from .minhash import signatures
 from .simhash import simhash_edges
@@ -157,8 +157,9 @@ def run_pipeline(
         pairs = ckpt.load("candidates")
     else:
         metrics.start("candidates")
-        pairs = candidate_pairs(band_table(rep_sigs, key_col="doc_id"), cfg, key_col="doc_id")
-        pairs = ckpt.materialize("candidates", pairs)
+        raw_pairs = candidate_pairs(band_table(rep_sigs, key_col="doc_id"), cfg, key_col="doc_id")
+        pairs = ckpt.materialize("candidates", raw_pairs)
+        release_candidates(raw_pairs)  # checkpoint written — drop the cache
         metrics.finish("candidates", ckpt.path("candidates"))
 
     # --- stage: edges (verified LSH + simhash + exact-dup attachment) ---
@@ -171,7 +172,8 @@ def run_pipeline(
         ).select(
             "key_a", "key_b", F.col("jaccard_est").alias("score"), "source"
         )
-        sim_e = simhash_edges(rep_sigs, cfg, key_col="doc_id").select(
+        sim_raw = simhash_edges(rep_sigs, cfg, key_col="doc_id")
+        sim_e = sim_raw.select(
             "key_a",
             "key_b",
             (1.0 - F.col("hamming") / F.lit(cfg.simhash_bits)).alias("score"),
@@ -180,6 +182,7 @@ def run_pipeline(
         edges = ckpt.materialize(
             "edges", lsh_e.unionByName(sim_e).unionByName(exact_edges)
         )
+        release_candidates(sim_raw)  # simhash's internal band cache
         metrics.finish("edges", ckpt.path("edges"))
 
     # --- stage: clusters (connected components, deterministic min-key id) ---
@@ -207,6 +210,7 @@ def run_pipeline(
         )
         clusters = cc.join(key_map, "doc_id").select("doc_key", "cluster_id")
         clusters = ckpt.materialize("clusters", clusters)
+        release_candidates(cc)  # CC's final label checkpoint
         metrics.finish("clusters", ckpt.path("clusters"))
 
     # --- stage: suffix (exact substring pass within clusters) ---
@@ -235,10 +239,28 @@ def run_pipeline(
         .collect()[0]
     )
     n_clusters, n_multi = cstats["n_clusters"], int(cstats["n_multi"] or 0)
+    # One job for candidate-pair stats (total + how many came from the
+    # hot-bucket star path), one for edges-by-source — the star-edge
+    # approximation is auditable from the summary alone (ADVICE r2):
+    # star candidates - kept lsh_star edges = stars dropped by the
+    # relaxed verification floor.
+    pstats = pairs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_star").alias("n_star")
+    ).collect()[0]
+    by_source = {
+        r["source"]: r["n"]
+        for r in edges.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_star_kept = int(by_source.get("lsh_star", 0))
+    n_star_cand = int(pstats["n_star"] or 0)
     metrics.add(
         n_files=n_docs,
-        n_candidate_pairs=pairs.count(),
-        n_edges=edges.count(),
+        n_candidate_pairs=int(pstats["n"]),
+        n_star_candidates=n_star_cand,
+        n_star_edges_kept=n_star_kept,
+        n_star_edges_dropped=n_star_cand - n_star_kept,
+        n_edges=sum(by_source.values()),
+        n_edges_by_source=by_source,
         n_clusters=n_clusters,
         n_multi_doc_clusters=n_multi,
         n_suffix_edges=suffix.filter(F.col("source") == "suffix").count() if suffix is not None else None,

@@ -196,7 +196,10 @@ def neardup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_key", F.col("doc_id").cast("string")
     )
     sigs = signatures(docs, CANON_CFG, text_col="text", key_col="doc_key")
-    pairs = candidate_pairs(band_table(sigs), CANON_CFG)
+    # persist=False: the gate's result is collected by the driver after
+    # this function returns, so there is no point where the cache could
+    # be released — trade one recompute for a leak-free session.
+    pairs = candidate_pairs(band_table(sigs), CANON_CFG, persist=False)
     edges = verified_edges(pairs, sigs, CANON_CFG).filter(
         FF.col("jaccard_est") >= CANON_CFG.jaccard_threshold
     )
@@ -206,6 +209,42 @@ def neardup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@_register("suffix_shared_substrings", None)  # suffix-array pass is not SQL-expressible
+def suffix_shared_substrings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local suffix-array substring pass (the north rule's exact
+    substring dedup stage) over near-dup clustered documents: edge counts
+    and shared-length stats by source. Driver-visible evidence for the
+    suffix stage (VERDICT r2 item 3); the exactness oracle (brute-force
+    all-pairs longest-common-substring + hypothesis soundness/completeness
+    properties) lives in tests/test_suffix.py. A lowered min_len (64 vs
+    the canonical 256) keeps the gate non-vacuous on the short driver
+    corpus without touching the pipeline's golden config."""
+    from .cluster import connected_components
+    from .lsh import band_table, candidate_pairs, verified_edges
+    from .minhash import signatures
+    from .suffix import suffix_edges
+
+    cfg = GDConfig(suffix_min_len=64)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    sigs = signatures(docs, cfg, text_col="text", key_col="doc_key")
+    pairs = candidate_pairs(band_table(sigs), cfg, persist=False)
+    edges = verified_edges(pairs, sigs, cfg).filter(
+        F.col("jaccard_est") >= cfg.jaccard_threshold
+    )
+    cc = connected_components(edges, nodes=docs.select("doc_key"))
+    clustered = docs.select("doc_key", F.col("text").alias("content")).join(
+        cc, "doc_key"
+    )
+    sfx = suffix_edges(clustered, cfg)
+    return sfx.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("shared_len").alias("min_shared"),
+        F.max("shared_len").alias("max_shared"),
     )
 
 

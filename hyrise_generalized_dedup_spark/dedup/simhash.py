@@ -41,18 +41,26 @@ def simhash_edges(
     signatures: DataFrame,
     cfg: GDConfig,
     key_col: str = "doc_key",
+    persist: bool = True,
 ) -> DataFrame:
-    """-> (key_a, key_b, hamming, source='simhash') verified edges."""
+    """-> (key_a, key_b, hamming, source='simhash') verified edges.
+
+    With persist=True the intermediate band table stays cached; callers
+    that materialize the result must follow with
+    lsh.release_candidates(<returned df>)."""
     blocks = simhash_block_table(signatures, cfg, key_col)
-    pairs = candidate_pairs(blocks, cfg, key_col)
+    pairs = candidate_pairs(blocks, cfg, key_col, persist=persist)
 
     sim = signatures.select(key_col, "simhash")
     sim_a = sim.select(F.col(key_col).alias("key_a"), F.col("simhash").alias("sim_a"))
     sim_b = sim.select(F.col(key_col).alias("key_b"), F.col("simhash").alias("sim_b"))
-    return (
+    out = (
         pairs.join(sim_a, "key_a")
         .join(sim_b, "key_b")
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= cfg.simhash_hamming_max)
         .select("key_a", "key_b", "hamming", F.lit("simhash").alias("source"))
     )
+    if persist:
+        out._gd_persisted = getattr(pairs, "_gd_persisted", None)
+    return out

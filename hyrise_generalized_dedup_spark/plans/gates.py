@@ -248,6 +248,27 @@ MERGED_GATES: dict[str, list[Branch]] = {
     ],
 }
 
+# Rows-only components (no SQL oracle exists for either side) merged with
+# the same tagged-union machinery, just without a composed oracle — frees a
+# driver slot per merge while both components stay individually pytest-
+# checked in the full registry.
+ROWS_ONLY_MERGED: dict[str, list[Branch]] = {
+    # near-dup cluster-size histogram + simhash block census (both skew
+    # census surfaces; LSH/CC and simhash are not SQL-expressible)
+    "g_dedup_censuses": [
+        ("neardup_clusters", "neardup_cluster_sizes", [
+            "CAST(cluster_size AS BIGINT) AS k",
+            "CAST(n_clusters AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+        ]),
+        ("simhash_blocks", "simhash_blocks_docs", [
+            "CAST(band_id AS BIGINT) AS k",
+            "CAST(n_buckets AS BIGINT) AS n1",
+            "CAST(max_bucket AS BIGINT) AS n2",
+        ]),
+    ],
+}
+
 # Per-doc text gates merge by JOINING on doc_id instead of a tagged union —
 # one row per document carrying every component's columns.
 JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
@@ -265,15 +286,14 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
 # Dedup/ANN/MM/text/stream lead (they are the north-star capabilities and
 # were the rows missing in round 1); relational singles follow.
 PASSTHROUGH_SLOTS = [
-    # dedup (8)
+    # dedup (7; the two census views merged into g_dedup_censuses)
     "gd_segments",
     "gd_dedup_ratio",
     "gd_base_table",
     "gd_roundtrip_check",
     "dedup_exact",
     "minhash_shingle_stats",
-    "neardup_cluster_sizes",
-    "simhash_blocks_docs",
+    "suffix_shared_substrings",
     # ann (3)
     "ann_topk_brute",
     "ann_lsh_buckets",
@@ -376,6 +396,9 @@ def build_driver_registry(
         if all(q in all_queries for q, _ in parts):
             queries[name] = _joined_fn(parts, all_queries)
             oracles[name] = _joined_oracle(parts, all_oracles)
+    for name, branches in ROWS_ONLY_MERGED.items():
+        if all(q in all_queries for _, q, _ in branches):
+            queries[name] = _merged_fn(branches, all_queries)  # no oracle
     for name, branches in MERGED_GATES.items():
         if all(q in all_queries for _, q, _ in branches):
             queries[name] = _merged_fn(branches, all_queries)

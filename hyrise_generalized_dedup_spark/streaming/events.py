@@ -84,6 +84,14 @@ def run_stream_batch(
     max_ts = (
         spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).collect()[0][0]
     )
+    if max_ts is None:
+        # empty bounded source: nothing to flush, nothing to aggregate —
+        # return an empty frame with the aggregation schema instead of
+        # TypeError-ing on max_ts + timedelta
+        return spark.createDataFrame(
+            [],
+            "win_start timestamp, event_type string, n_events bigint, total_value double",
+        )
     sentinel = spark.createDataFrame(
         [(int(-1), max_ts + datetime.timedelta(days=2), int(-1), "__flush__", 0.0, "{}")],
         EVENTS_SCHEMA,

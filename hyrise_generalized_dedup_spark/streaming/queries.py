@@ -34,8 +34,8 @@ def _register(name: str, oracle: str | None):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sid AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -371,3 +371,278 @@ ON c_nationkey = n_nationkey AND SUBSTRING(n_name, 1, 6) = 'NATION';
 SELECT c1.c_custkey, c2.c_custkey AS other FROM customer c1 JOIN customer c2
 ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey + 1000 = c2.c_custkey
 ORDER BY c1.c_custkey LIMIT 100;
+-- ====================== grouping sets / rollup / cube ======================
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ());
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       GROUPING(o_orderstatus) AS g1, GROUPING(o_orderpriority) AS g2
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ());
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus);
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus);
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey);
+SELECT l_returnflag, COUNT(*) AS n, GROUPING(l_returnflag) AS g
+FROM lineitem GROUP BY CUBE (l_returnflag);
+
+-- ====================== deeper CTE nesting =================================
+WITH a AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+     b AS (SELECT n, COUNT(*) AS custs FROM a GROUP BY n),
+     c AS (SELECT MAX(custs) AS mx FROM b)
+SELECT b.n, b.custs FROM b, c WHERE b.custs = c.mx ORDER BY b.n;
+WITH big AS (SELECT * FROM orders WHERE o_totalprice > 200000),
+     by_cust AS (SELECT o_custkey, COUNT(*) AS n_big FROM big GROUP BY o_custkey),
+     ranked AS (SELECT o_custkey, n_big FROM by_cust WHERE n_big >= 2)
+SELECT c.c_mktsegment, COUNT(*) AS n FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment;
+WITH r1 AS (SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey),
+     r2 AS (SELECT r.r_name, r1.n FROM r1 JOIN region r ON r1.n_regionkey = r.r_regionkey),
+     r3 AS (SELECT r_name, n FROM r2 WHERE n > 0)
+SELECT * FROM r3 ORDER BY r_name;
+
+-- ====================== correlated subqueries ==============================
+SELECT c_custkey FROM customer c
+WHERE c_acctbal > (SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey LIMIT 100;
+SELECT p_partkey, p_brand FROM part p
+WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+ORDER BY p_partkey;
+SELECT o_orderkey FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+ORDER BY o_orderkey LIMIT 100;
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o_orderkey;
+SELECT s_suppkey, s_name FROM supplier s
+WHERE (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey = s.s_suppkey) > 50
+ORDER BY s_suppkey;
+SELECT n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < 0)
+ORDER BY n_name;
+
+-- ====================== scalar subqueries (uncorrelated) ===================
+SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) FROM orders);
+SELECT p_partkey FROM part WHERE p_size = (SELECT MAX(p_size) FROM part) ORDER BY p_partkey;
+SELECT (SELECT COUNT(*) FROM nation) AS n_nations, (SELECT COUNT(*) FROM region) AS n_regions;
+SELECT c_custkey FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+ORDER BY c_custkey LIMIT 100;
+SELECT c_custkey FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey <> 1)
+ORDER BY c_custkey LIMIT 100;
+
+-- ====================== string function edge cases =========================
+SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_brand) AS lo, LENGTH(p_name) AS len
+FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT p_partkey, SUBSTRING(p_name, 1, 3) AS pfx, SUBSTRING(p_name, 4) AS rest
+FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT p_partkey, SUBSTRING(p_name, LENGTH(p_name), 1) AS last_ch
+FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT p_partkey, SUBSTRING(p_name, 1, 0) AS empty_sub, SUBSTRING(p_name, 100, 5) AS past_end
+FROM part WHERE p_partkey <= 10 ORDER BY p_partkey;
+SELECT c_custkey, TRIM(c_name) AS t, LTRIM(c_name) AS lt, RTRIM(c_name) AS rt
+FROM customer WHERE c_custkey <= 10 ORDER BY c_custkey;
+SELECT n_nationkey, REPLACE(n_name, 'A', '_') AS repl FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, REVERSE(n_name) AS rev FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, REPEAT(n_name, 2) AS rep FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey;
+SELECT n_nationkey, LPAD(n_name, 12, '.') AS lp, RPAD(n_name, 12, '.') AS rp
+FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, n_name || '/' || CAST(n_regionkey AS STRING) AS tagged
+FROM nation ORDER BY n_nationkey;
+SELECT o_orderkey, POSITION('URGENT' IN o_orderpriority) AS pos
+FROM orders WHERE o_orderkey <= 64 ORDER BY o_orderkey;
+SELECT DISTINCT SPLIT_PART(o_orderpriority, '-', 1) AS code FROM orders ORDER BY code;
+SELECT DISTINCT SPLIT_PART(o_orderpriority, '-', 2) AS label FROM orders ORDER BY label;
+SELECT COUNT(*) AS n FROM part WHERE LENGTH(p_name) = 0;
+SELECT COUNT(*) AS n FROM documents WHERE SUBSTRING(text, 1, 1) = ' ';
+SELECT l_returnflag || l_linestatus AS rf_ls, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag || l_linestatus ORDER BY rf_ls;
+
+-- ====================== numeric / conditional edge cases ===================
+SELECT COALESCE(NULL, NULL, 42) AS c1, COALESCE(7, 8) AS c2, NULLIF(3, 3) AS nf1, NULLIF(3, 4) AS nf2;
+SELECT GREATEST(1, 2, 3) AS g, LEAST(1, 2, 3) AS l;
+SELECT event_id, COALESCE(value, -1.0) AS v FROM events WHERE event_id <= 50 ORDER BY event_id;
+SELECT event_id, CASE WHEN value IS NULL THEN 'missing' WHEN value > 50 THEN 'high' ELSE 'low' END AS band
+FROM events WHERE event_id <= 50 ORDER BY event_id;
+SELECT ABS(-5) AS a1, ABS(5) AS a2, FLOOR(3.7) AS f, CEIL(3.2) AS c, MOD(17, 5) AS m;
+SELECT p_partkey, FLOOR(p_retailprice) AS fl, CEIL(p_retailprice) AS ce
+FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT SIGN(-3.5) AS s1, SIGN(0) AS s2, SIGN(2.5) AS s3;
+SELECT POWER(2, 10) AS p, SQRT(144.0) AS r;
+SELECT l_orderkey, l_linenumber, l_quantity * (1 - l_discount) * (1 + l_tax) AS gross
+FROM lineitem WHERE l_orderkey <= 16 ORDER BY l_orderkey, l_linenumber;
+SELECT NULL IS NULL AS t1, NULL IS NOT NULL AS t2, (1 = NULL) IS NULL AS t3;
+SELECT CAST(GREATEST(c_acctbal, 0.0) AS DOUBLE) AS nonneg, c_custkey
+FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey;
+
+-- ====================== date/time functions ================================
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, COUNT(*) AS n
+FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate) ORDER BY yr;
+SELECT EXTRACT(MONTH FROM o_orderdate) AS mo, EXTRACT(DAY FROM o_orderdate) AS dy, COUNT(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY mo, dy LIMIT 50;
+SELECT EXTRACT(HOUR FROM ts) AS hr, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY hr;
+SELECT EXTRACT(MINUTE FROM ts) AS mi, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY mi LIMIT 30;
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon, COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY mon LIMIT 40;
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY hr LIMIT 40;
+SELECT o_orderdate, COUNT(*) AS n FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 50;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate = DATE '1996-02-29';
+SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders;
+
+-- ====================== window functions: frames & ranks ===================
+SELECT c_custkey, c_acctbal,
+       RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+       DENSE_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS drnk
+FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey;
+SELECT c_custkey, c_nationkey,
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey;
+SELECT event_id, user_id, value,
+       LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+       LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+FROM events WHERE user_id <= 5 ORDER BY user_id, event_id;
+SELECT event_id, user_id,
+       LAG(event_id, 2, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev2
+FROM events WHERE user_id <= 5 ORDER BY user_id, event_id;
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_ord,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord
+FROM orders WHERE o_custkey <= 20 ORDER BY o_custkey, o_orderkey;
+SELECT c_custkey, c_acctbal,
+       NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey;
+SELECT c_custkey, PERCENT_RANK() OVER (ORDER BY c_custkey) AS pr,
+       CUME_DIST() OVER (ORDER BY c_custkey) AS cd
+FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey;
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win3
+FROM events WHERE user_id <= 5 ORDER BY user_id, event_id;
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS orders_of_cust
+FROM orders WHERE o_custkey <= 15 ORDER BY o_orderkey;
+SELECT event_id, user_id,
+       MIN(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS min_neighbor
+FROM events WHERE user_id <= 5 ORDER BY user_id, event_id;
+SELECT n_nationkey, NTH_VALUE(n_name, 2) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey
+       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_name
+FROM nation ORDER BY n_nationkey;
+
+-- ====================== TPC-DS-shaped: rollup over star join ===============
+SELECT r.r_name, n.n_name, COUNT(*) AS n_custs
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name) ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST;
+SELECT EXTRACT(YEAR FROM o.o_orderdate) AS yr, c.c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((yr, c_mktsegment), (yr), ())
+ORDER BY yr NULLS FIRST, c_mktsegment NULLS FIRST;
+SELECT seg, rnk, custkey FROM (
+  SELECT c.c_mktsegment AS seg, c.c_custkey AS custkey,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment ORDER BY CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) DESC, c.c_custkey) AS rnk
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+) t WHERE rnk <= 3 ORDER BY seg, rnk;
+SELECT l_returnflag, yr, n,
+       n - LAG(n) OVER (PARTITION BY l_returnflag ORDER BY yr) AS delta
+FROM (
+  SELECT l_returnflag, EXTRACT(YEAR FROM l_shipdate) AS yr, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, EXTRACT(YEAR FROM l_shipdate)
+) t ORDER BY l_returnflag, yr;
+
+-- ====================== set operations with duplicates =====================
+SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 30
+INTERSECT ALL
+SELECT c_nationkey AS k FROM customer WHERE c_custkey BETWEEN 15 AND 45 ORDER BY k;
+SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 30
+EXCEPT ALL
+SELECT c_nationkey AS k FROM customer WHERE c_custkey BETWEEN 15 AND 45 ORDER BY k;
+SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region ORDER BY k;
+SELECT n_regionkey AS k FROM nation UNION ALL SELECT r_regionkey AS k FROM region ORDER BY k;
+SELECT 1 AS k UNION ALL SELECT 1 AS k UNION ALL SELECT 2 AS k ORDER BY k;
+
+-- ====================== VALUES and inline tables ===========================
+SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS t(num, word) ORDER BY num;
+SELECT t.num * 10 AS num10 FROM (VALUES (1), (2), (3)) AS t(num) ORDER BY num10;
+SELECT n.n_name FROM nation n JOIN (VALUES (0), (2)) AS keep(k) ON n.n_regionkey = keep.k
+ORDER BY n.n_name;
+
+-- ====================== aggregates: FILTER, bool, distinct =================
+SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) AS n_all
+FROM orders;
+SELECT c_nationkey,
+       COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_neg,
+       COUNT(*) FILTER (WHERE c_acctbal >= 0) AS n_pos
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey;
+SELECT BOOL_AND(p_size > 0) AS all_pos, BOOL_OR(p_size > 49) AS any_big FROM part;
+SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_prios
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(DISTINCT l_partkey) AS n_part FROM lineitem;
+SELECT MIN(n_name) AS lo, MAX(n_name) AS hi FROM nation;
+SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi, COUNT(DISTINCT o_orderdate) AS n_days FROM orders;
+SELECT l_linestatus, CAST(MIN(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS min_p,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS max_p
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus;
+
+-- ====================== HAVING variants ====================================
+SELECT c_nationkey, COUNT(*) AS n FROM customer
+GROUP BY c_nationkey HAVING COUNT(*) > 10 ORDER BY c_nationkey;
+SELECT o_custkey, COUNT(*) AS n FROM orders
+GROUP BY o_custkey HAVING COUNT(*) BETWEEN 5 AND 10 ORDER BY o_custkey LIMIT 100;
+SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY l_suppkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 500 ORDER BY l_suppkey;
+SELECT p_brand, COUNT(*) AS n FROM part
+GROUP BY p_brand HAVING COUNT(DISTINCT p_size) > 5 ORDER BY p_brand;
+
+-- ====================== join shapes ========================================
+SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' ORDER BY n_nationkey;
+SELECT a.n_name FROM nation a JOIN nation b USING (n_nationkey, n_regionkey) ORDER BY a.n_name;
+SELECT COUNT(*) AS n FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey AND c.c_acctbal < -900;
+SELECT n.n_name, COUNT(c.c_custkey) AS n_custs
+FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name;
+SELECT COUNT(*) AS n FROM region r CROSS JOIN nation n WHERE r.r_regionkey = n.n_regionkey;
+SELECT a.n_nationkey AS k1, b.n_nationkey AS k2 FROM nation a JOIN nation b
+ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+ORDER BY k1, k2;
+SELECT s.s_suppkey, c.c_custkey FROM supplier s JOIN customer c
+ON s.s_nationkey = c.c_nationkey WHERE s.s_suppkey <= 3 AND c.c_custkey <= 50
+ORDER BY s.s_suppkey, c.c_custkey;
+SELECT COUNT(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+JOIN region r ON nt.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA';
+SELECT o.o_orderstatus, COUNT(*) AS n
+FROM orders o FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus NULLS FIRST;
+
+-- ====================== ORDER BY / LIMIT edge cases ========================
+SELECT event_id, value FROM events ORDER BY value ASC NULLS FIRST, event_id LIMIT 30;
+SELECT event_id, value FROM events ORDER BY value DESC NULLS LAST, event_id LIMIT 30;
+SELECT c_custkey FROM customer ORDER BY c_custkey DESC LIMIT 10;
+SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 0;
+SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus;
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus;
+
+-- ====================== documents / text table =============================
+SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang;
+SELECT source, COUNT(*) AS n, MIN(n_chars) AS min_c, MAX(n_chars) AS max_c
+FROM documents GROUP BY source ORDER BY source;
+SELECT doc_id, LENGTH(text) AS len FROM documents WHERE doc_id <= 20 ORDER BY doc_id;
+SELECT COUNT(*) AS n FROM documents WHERE LENGTH(text) <> n_chars;
+SELECT doc_id FROM documents WHERE text LIKE '%the%' ORDER BY doc_id LIMIT 50;
+SELECT lang, CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang;

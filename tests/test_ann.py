@@ -137,3 +137,28 @@ def test_embedding_neardup_pairs_matches_duckdb(spark, sf_tiny):
     df = ANN_QUERIES["embedding_neardup_pairs"](spark, sf_tiny)
     ok, msg = compare_to_duckdb(df, ANN_ORACLES["embedding_neardup_pairs"], sf_tiny)
     assert ok, msg
+
+
+def test_ivf_train_degenerate_identical_sample(spark):
+    """ADVICE r2: when every sampled vector is identical, kmeans++ d2 is
+    all-zero — init must fall back to uniform selection, not raise."""
+    from hyrise_generalized_dedup_spark.ann.ivf import train_centroids
+
+    rng = np.random.default_rng(3)
+    vecs = np.tile(rng.standard_normal(16).astype(np.float32), (50, 1))
+    cent = train_centroids(_make_df(spark, vecs), k=4, iters=3, seed=42)
+    assert cent.shape == (4, 16)
+    assert np.all(np.isfinite(cent))
+
+
+def test_ivf_train_accepts_precounted_n(spark):
+    """Optional n kills the per-call count job and must not change the
+    result (VERDICT r2 item 5)."""
+    from hyrise_generalized_dedup_spark.ann.ivf import train_centroids
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    df = _make_df(spark, vecs)
+    a = train_centroids(df, k=4, iters=4, seed=42)
+    b = train_centroids(df, k=4, iters=4, seed=42, n=80)
+    assert np.array_equal(a, b)

@@ -48,3 +48,25 @@ def test_merged_gate_matches_duckdb(spark, sf_tiny, name):
     df = qs[name](spark, sf_tiny)
     ok, msg = compare_to_duckdb(df, os_[name], sf_tiny)
     assert ok, f"{name}: {msg}"
+
+
+def test_rows_only_merged_gate_runs(spark, sf_tiny):
+    """g_dedup_censuses (rows-only: LSH/CC + simhash are not
+    SQL-expressible) unions both census components with harmonized
+    columns and a branch tag."""
+    qs, os_ = entrymod._all_registries()
+    assert "g_dedup_censuses" in qs and "g_dedup_censuses" not in os_
+    rows = qs["g_dedup_censuses"](spark, sf_tiny).collect()
+    ops = {r.gate_op for r in rows}
+    assert ops == {"neardup_clusters", "simhash_blocks"}
+    assert {c for c in rows[0].asDict()} == {"gate_op", "k", "n1", "n2"}
+
+
+def test_suffix_gate_non_vacuous(spark, sf_tiny):
+    """The suffix driver slot must actually exercise the suffix-array
+    kernel: at least one real 'suffix' edge on the test corpus."""
+    qs, _ = entrymod._all_registries()
+    rows = {r.source: r for r in qs["suffix_shared_substrings"](spark, sf_tiny).collect()}
+    assert "suffix" in rows, f"no suffix edges found: {rows}"
+    assert rows["suffix"].n_edges > 0
+    assert rows["suffix"].min_shared >= 64

@@ -117,3 +117,18 @@ def test_stateful_profiles_across_microbatches(spark, sf_tiny, tmp_path):
         assert got.types_overflow == exp.types_overflow, uid
     # the stream really ran >1 micro-batch (state crossed batches)
     assert out.count() > len(expected), "expected per-batch update rows"
+
+
+def test_stream_empty_source_returns_empty(spark, tmp_path):
+    """ADVICE r2: an empty bounded events source must yield an empty
+    result with the aggregation schema, not TypeError on max_ts=None."""
+    from hyrise_generalized_dedup_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_batch,
+    )
+
+    sf_dir = str(tmp_path / "empty_sf")
+    spark.createDataFrame([], EVENTS_SCHEMA).write.parquet(f"{sf_dir}/events.parquet")
+    out = run_stream_batch(spark, sf_dir)
+    assert out.count() == 0
+    assert set(out.columns) == {"win_start", "event_type", "n_events", "total_value"}

@@ -78,6 +78,9 @@ def release_candidates(pairs: DataFrame) -> None:
     cached = getattr(pairs, "_gd_persisted", None)
     if cached is not None:
         hard_unpersist(cached)
+    bc = getattr(pairs, "_gd_broadcast", None)
+    if bc is not None:  # verified_edges' python-side signature block
+        bc.unpersist()
 
 
 def candidate_pairs(
@@ -162,12 +165,20 @@ def verified_edges(
 
     Scale shape: LSH near threshold floods candidates (most sharing one
     band), so verification must be stream-cheap. When the signature table
-    fits the broadcast budget the pair table never shuffles — it flows
-    map-side through two broadcast hash joins; the 128-way component
-    compare runs as a numpy kernel over Arrow batches (a JVM higher-order
-    function here allocates an intermediate array per pair and GC-thrashes
-    at high core counts — measured anti-scaling). Beyond broadcast scale,
-    pass broadcast_sigs=False for shuffled joins on compact int keys.
+    fits the broadcast budget the pair table never shuffles OR carries
+    signatures: the signature matrix is collected once, sorted by key,
+    and broadcast to the Python workers as ONE numpy block; the pair
+    stream stays (key_a, key_b, is_star) = 17 bytes/row through Arrow and
+    each batch gathers its rows via searchsorted. (The previous design —
+    two JVM broadcast hash joins feeding sig_a/sig_b into the kernel —
+    built the broadcast hashmap TWICE, Catalyst does not ReuseExchange
+    across the different aliases, and shipped ~1 KB of signature per pair
+    through Arrow; both costs are serial-ish and dragged the edges stage
+    to 2.6x of the ideal 4x in the 2->8 scaling eval.) The 128-way
+    compare stays a numpy kernel — a JVM higher-order function here
+    allocates an intermediate array per pair and GC-thrashes at high core
+    counts (measured anti-scaling). Beyond broadcast scale, pass
+    broadcast_sigs=False for shuffled joins on compact int keys.
     """
     import numpy as np
     import pandas as pd
@@ -191,18 +202,8 @@ def verified_edges(
         rows = n_sigs if n_sigs is not None else sig.count()
         budget = _heap_bytes(signatures.sparkSession) // 16
         broadcast_sigs = rows * (4 * cfg.num_hashes + 32) < budget
-    maybe_b = F.broadcast if broadcast_sigs else (lambda d: d)
-    sig_a = maybe_b(sig.select(F.col(key_col).alias("key_a"), F.col("minhash").alias("sig_a")))
-    sig_b = maybe_b(sig.select(F.col(key_col).alias("key_b"), F.col("minhash").alias("sig_b")))
-
     has_star = "is_star" in pairs.columns
     star_col = F.col("is_star") if has_star else F.lit(0).alias("is_star")
-    joined = (
-        pairs.select("key_a", "key_b", star_col)
-        .join(sig_a, "key_a")
-        .join(sig_b, "key_b")
-    )
-
     key_t = pairs.schema["key_a"].dataType
     out_schema = StructType(
         [
@@ -226,6 +227,74 @@ def verified_edges(
     star_floor = cfg.jaccard_threshold * cfg.star_floor_frac
     nh = cfg.num_hashes
 
+    def _emit(key_a, key_b, est, star):
+        m = (est >= keep) | (star & (est >= star_floor))
+        if not m.any():
+            return None
+        return pd.DataFrame(
+            {
+                "key_a": key_a[m],
+                "key_b": key_b[m],
+                "jaccard_est": est[m],
+                "source": np.where(star[m], "lsh_star", "lsh"),
+            }
+        )
+
+    if broadcast_sigs:
+        # One driver collect of (key, minhash) -> sorted numpy block;
+        # torrent-broadcast once, gathered per batch via searchsorted.
+        # Arrow collect keeps the signature matrix flat: list<int32> values
+        # reshape to (n, nh) without materializing 10^6 python row objects
+        # (toPandas + vstack measured ~10x slower at 10^6 signatures).
+        at = sig.toArrow().combine_chunks()
+        skeys = at[key_col].to_numpy(zero_copy_only=False)  # int64 or str
+        if len(at) == 0:
+            smat = np.empty((0, nh), dtype=np.int32)
+        else:
+            mh = at["minhash"]
+            mh = mh.chunk(0) if hasattr(mh, "chunk") else mh
+            smat = mh.flatten().to_numpy(zero_copy_only=False).reshape(len(at), nh)
+        order = np.argsort(skeys, kind="stable")
+        bc = signatures.sparkSession.sparkContext.broadcast(
+            (skeys[order], np.ascontiguousarray(smat[order]))
+        )
+
+        def _gather(k, wanted):
+            ix = np.clip(np.searchsorted(k, wanted), 0, max(len(k) - 1, 0))
+            if len(k) == 0 or not np.all(k[ix] == wanted):
+                raise ValueError("candidate pair references unknown signature key")
+            return ix
+
+        def verify_gather(batches):
+            k, m_block = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ka = pdf["key_a"].to_numpy()
+                kb = pdf["key_b"].to_numpy()
+                est = (m_block[_gather(k, ka)] == m_block[_gather(k, kb)]).sum(
+                    axis=1
+                ) / nh
+                out = _emit(ka, kb, est, pdf["is_star"].to_numpy().astype(bool))
+                if out is not None:
+                    yield out
+
+        result = pairs.select("key_a", "key_b", star_col).mapInPandas(
+            verify_gather, out_schema
+        )
+        result._gd_broadcast = bc  # released via release_candidates()
+        return result
+
+    # shuffled fallback: sort-merge/hash joins on compact int keys carry
+    # the signatures to the pairs — the 10^12 path
+    sig_a = sig.select(F.col(key_col).alias("key_a"), F.col("minhash").alias("sig_a"))
+    sig_b = sig.select(F.col(key_col).alias("key_b"), F.col("minhash").alias("sig_b"))
+    joined = (
+        pairs.select("key_a", "key_b", star_col)
+        .join(sig_a, "key_a")
+        .join(sig_b, "key_b")
+    )
+
     def verify(batches):
         for pdf in batches:
             if not len(pdf):
@@ -233,18 +302,13 @@ def verified_edges(
             a = np.vstack(pdf["sig_a"].to_numpy())
             b = np.vstack(pdf["sig_b"].to_numpy())
             est = (a == b).sum(axis=1) / nh
-            star = pdf["is_star"].to_numpy().astype(bool)
-            m = (est >= keep) | (star & (est >= star_floor))
-            if not m.any():
-                continue
-            src = np.where(star[m], "lsh_star", "lsh")
-            yield pd.DataFrame(
-                {
-                    "key_a": pdf["key_a"].to_numpy()[m],
-                    "key_b": pdf["key_b"].to_numpy()[m],
-                    "jaccard_est": est[m],
-                    "source": src,
-                }
+            out = _emit(
+                pdf["key_a"].to_numpy(),
+                pdf["key_b"].to_numpy(),
+                est,
+                pdf["is_star"].to_numpy().astype(bool),
             )
+            if out is not None:
+                yield out
 
     return joined.mapInPandas(verify, out_schema)

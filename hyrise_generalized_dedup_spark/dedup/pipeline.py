@@ -167,9 +167,8 @@ def run_pipeline(
         edges = ckpt.load("edges")
     else:
         metrics.start("edges")
-        lsh_e = verified_edges(
-            pairs, rep_sigs, cfg, key_col="doc_id", n_sigs=n_docs
-        ).select(
+        lsh_raw = verified_edges(pairs, rep_sigs, cfg, key_col="doc_id", n_sigs=n_docs)
+        lsh_e = lsh_raw.select(
             "key_a", "key_b", F.col("jaccard_est").alias("score"), "source"
         )
         sim_raw = simhash_edges(rep_sigs, cfg, key_col="doc_id")
@@ -183,6 +182,7 @@ def run_pipeline(
             "edges", lsh_e.unionByName(sim_e).unionByName(exact_edges)
         )
         release_candidates(sim_raw)  # simhash's internal band cache
+        release_candidates(lsh_raw)  # verification's broadcast signature block
         metrics.finish("edges", ckpt.path("edges"))
 
     # --- stage: clusters (connected components, deterministic min-key id) ---

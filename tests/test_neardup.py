@@ -221,3 +221,15 @@ def test_connected_components_toy(spark):
     assert assign["a"] == assign["b"] == assign["c"] == "a"
     assert assign["x"] == assign["y"] == "x"
     assert assign["lone"] == "lone"
+
+
+def test_verified_edges_paths_agree(spark, corpus, pipeline_edges):
+    """The python-broadcast gather path (sigs fit the budget) and the
+    shuffled join fallback (the 10^12 path) must emit identical edges."""
+    sigs, _ = pipeline_edges
+    pairs = candidate_pairs(band_table(sigs), CFG, persist=False)
+    fast = verified_edges(pairs, sigs, CFG, broadcast_sigs=True)
+    slow = verified_edges(pairs, sigs, CFG, broadcast_sigs=False)
+    a = sorted(((r.key_a, r.key_b, round(r.jaccard_est, 9), r.source) for r in fast.collect()))
+    b = sorted(((r.key_a, r.key_b, round(r.jaccard_est, 9), r.source) for r in slow.collect()))
+    assert a == b and len(a) > 0

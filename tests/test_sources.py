@@ -106,3 +106,112 @@ def test_csv_meta_rfc4180_embedded_newlines_and_quotes(spark, tmp_path):
     )
     got = {r.k: r.s for r in read_csv_meta(spark, str(csv)).collect()}
     assert got == {1: "a,b", 2: "line1\nline2", 3: 'she said "hi"', 4: None}
+
+
+# --- reference binary table format (sources/binary.py) ---
+
+import os
+
+import pytest
+
+from hyrise_generalized_dedup_spark.sources.binary import (
+    DecodeUnavailable,
+    export_binary,
+    load_binary,
+    read_binary,
+    write_binary,
+)
+
+_REF_BIN = "/root/reference/resources/test_data/bin"
+_has_ref = os.path.isdir(_REF_BIN)
+
+
+@pytest.mark.skipif(not _has_ref, reason="reference fixtures absent")
+@pytest.mark.parametrize("enc", ["Unencoded", "Dictionary", "RunLength"])
+def test_binary_reads_reference_all_types_fixture(enc):
+    """Expected values transcribed from the reference's own parser test
+    (src/test/lib/import_export/binary/binary_parser_test.cpp,
+    AllTypesSegmentSorted)."""
+    t = read_binary(f"{_REF_BIN}/AllTypesSegmentSorted/{enc}.bin")
+    assert t.names == ["a", "b", "c", "d", "e"]
+    assert t.types == ["string", "int", "long", "float", "double"]
+    assert t.chunk_row_counts == [2, 2]
+    assert t.columns[0] == ["AAAAA", "BBBBBBBBBB", "CCCCCCCCCCCCCCC", "DDDDDDDDDDDDDDDDDDDD"]
+    assert t.columns[1] == [1, 2, 3, 4]
+    assert t.columns[2] == [100, 200, 300, 400]
+    assert [round(v, 4) for v in t.columns[3]] == [1.1, 2.2, 3.3, 4.4]
+    assert t.columns[4] == [11.1, 22.2, 33.3, 44.4]
+
+
+@pytest.mark.skipif(not _has_ref, reason="reference fixtures absent")
+@pytest.mark.parametrize("enc", ["Unencoded", "Dictionary", "RunLength"])
+def test_binary_reads_reference_null_fixture(enc):
+    """AllTypesNullValues: NULL plumbing per encoding (value-segment null
+    bytes, dict value_id==dict_size, run-length null runs)."""
+    t = read_binary(f"{_REF_BIN}/AllTypesNullValues/{enc}.bin")
+    assert t.columns[0] == [None, 2, 3, 4, 5]
+    assert t.columns[2] == [100, 200, None, 400, 500]
+    assert t.columns[3] == ["one", "two", "three", None, "five"]
+
+
+@pytest.mark.skipif(not _has_ref, reason="reference fixtures absent")
+def test_binary_reads_reference_for_and_fixed_string():
+    """FrameOfReference (bit-packed offsets) and FixedStringDictionary."""
+    t = read_binary(f"{_REF_BIN}/NullValuesFrameOfReferenceSegment.bin")
+    assert t.columns[0] == [1, None, 2, None, 5]
+    t = read_binary(f"{_REF_BIN}/FixedStringDictionaryNullValue.bin")
+    assert t.columns[0] == ["This", "is", "a", None, "test", None]
+    t = read_binary(f"{_REF_BIN}/SortColumnDefinitions.bin")
+    assert t.sorted_by[0] == [(0, 0), (1, 1)]  # (col, Ascending/Descending)
+
+
+@pytest.mark.skipif(not _has_ref, reason="reference fixtures absent")
+def test_binary_lz4_gated():
+    with pytest.raises(DecodeUnavailable):
+        read_binary(f"{_REF_BIN}/LZ4MultipleBlocks.bin")
+
+
+@pytest.mark.skipif(not _has_ref, reason="reference fixtures absent")
+def test_binary_invalid_files_raise():
+    with pytest.raises(ValueError):
+        read_binary(f"{_REF_BIN}/InvalidEncodingType.bin")
+    with pytest.raises(ValueError):
+        read_binary(f"{_REF_BIN}/InvalidAttributeVectorWidth.bin")
+
+
+def test_binary_roundtrip_spark(spark, tmp_path):
+    """write_binary -> load_binary preserves values, NULLs, types, and
+    multi-chunk framing for all five reference column types."""
+    rows = [
+        ("x", 1, 10**12, 1.5, -0.25),
+        (None, -2, None, None, 2.5),
+        ("embedded\nnewline", None, 7, 0.0, None),
+        ("", 4, -1, -3.5, 1e300),
+    ]
+    df = spark.createDataFrame(rows, "a string, b int, c long, d float, e double")
+    p = str(tmp_path / "rt.bin")
+    export_binary(df, p, chunk_size=3)
+    back = load_binary(spark, p)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(map(tuple, df.collect()), key=str)
+
+
+def test_binary_roundtrip_empty_table(spark, tmp_path):
+    df = spark.createDataFrame([], "a string, b int")
+    p = str(tmp_path / "empty.bin")
+    export_binary(df, p)
+    back = load_binary(spark, p)
+    assert back.count() == 0
+    assert back.schema == df.schema
+
+
+def test_binary_gate_matches_duckdb(spark, sf_tiny):
+    from hyrise_generalized_dedup_spark.sources.queries import (
+        SOURCE_ORACLES,
+        SOURCE_QUERIES,
+    )
+    from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+    for name, fn in SOURCE_QUERIES.items():
+        ok, msg = compare_to_duckdb(fn(spark, sf_tiny), SOURCE_ORACLES[name], sf_tiny)
+        assert ok, f"{name}: {msg}"

@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # edge verification collects the signature matrix driver-side while
+        # it fits the broadcast budget (heap/16, see dedup/lsh.py); the
+        # default 1g maxResultSize would cut that path off well below the
+        # budget it was sized to
+        .config("spark.driver.maxResultSize", "6g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

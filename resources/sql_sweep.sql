@@ -646,3 +646,110 @@ SELECT COUNT(*) AS n FROM documents WHERE LENGTH(text) <> n_chars;
 SELECT doc_id FROM documents WHERE text LIKE '%the%' ORDER BY doc_id LIMIT 50;
 SELECT lang, CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang;
+
+-- ====================== scalar numeric functions ===========================
+SELECT n_nationkey, ABS(n_nationkey - 12) AS d FROM nation;
+SELECT SIGN(o_totalprice - 150000) AS s, COUNT(*) AS n FROM orders GROUP BY SIGN(o_totalprice - 150000);
+SELECT GREATEST(l_linenumber, 3) AS g, COUNT(*) AS n FROM lineitem GROUP BY GREATEST(l_linenumber, 3);
+SELECT LEAST(l_linenumber, 3) AS g, COUNT(*) AS n FROM lineitem GROUP BY LEAST(l_linenumber, 3);
+SELECT n_nationkey % 5 AS m, COUNT(*) AS n FROM nation GROUP BY n_nationkey % 5;
+SELECT FLOOR(o_totalprice / 50000) AS bucket, COUNT(*) AS n FROM orders GROUP BY FLOOR(o_totalprice / 50000);
+SELECT CEIL(o_totalprice / 50000) AS bucket, COUNT(*) AS n FROM orders GROUP BY CEIL(o_totalprice / 50000);
+SELECT SQRT(CAST(p_size * p_size AS DOUBLE)) AS s FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT POWER(CAST(2 AS DOUBLE), CAST(l_linenumber AS DOUBLE)) AS p, COUNT(*) AS n FROM lineitem GROUP BY POWER(CAST(2 AS DOUBLE), CAST(l_linenumber AS DOUBLE));
+SELECT -n_nationkey AS neg, ABS(-n_nationkey) AS back FROM nation WHERE n_nationkey < 4;
+SELECT (2 + 3 * 4 - 5) AS prec, (2 + 3) * (4 - 5) AS paren FROM region WHERE r_regionkey = 0;
+
+-- ====================== string functions: round 2 ==========================
+SELECT REPLACE(n_name, 'A', '_') AS repl FROM nation ORDER BY n_nationkey;
+SELECT LPAD(n_name, 12, '.') AS lp FROM nation ORDER BY n_nationkey;
+SELECT RPAD(n_name, 12, '.') AS rp FROM nation ORDER BY n_nationkey;
+SELECT REPEAT(r_name, 2) AS rr FROM region ORDER BY r_regionkey;
+SELECT REVERSE(n_name) AS rev FROM nation ORDER BY n_nationkey;
+SELECT LEFT(c_name, 8) AS l8, RIGHT(c_name, 3) AS r3 FROM customer WHERE c_custkey <= 10 ORDER BY c_custkey;
+SELECT LTRIM(CONCAT('  ', n_name)) AS lt, RTRIM(CONCAT(n_name, '  ')) AS rt FROM nation ORDER BY n_nationkey;
+SELECT CONCAT_WS('-', r_name, CAST(r_regionkey AS STRING)) AS joined FROM region ORDER BY r_regionkey;
+SELECT ASCII(SUBSTR(n_name, 1, 1)) AS a, COUNT(*) AS n FROM nation GROUP BY ASCII(SUBSTR(n_name, 1, 1));
+SELECT POSITION('A' IN n_name) AS pos, COUNT(*) AS n FROM nation GROUP BY POSITION('A' IN n_name);
+SELECT INSTR(n_name, 'AN') AS pos, COUNT(*) AS n FROM nation GROUP BY INSTR(n_name, 'AN');
+SELECT n_name FROM nation WHERE n_name LIKE '%!_%' ESCAPE '!';
+SELECT UPPER(LOWER(UPPER(r_name))) AS up FROM region ORDER BY r_regionkey;
+SELECT LENGTH(TRIM(CONCAT(' ', r_name, ' '))) AS len FROM region ORDER BY r_regionkey;
+
+-- ====================== conditional / null scalar ==========================
+SELECT NULLIF(o_orderstatus, 'O') AS st, COUNT(*) AS n FROM orders GROUP BY NULLIF(o_orderstatus, 'O');
+SELECT COALESCE(NULLIF(n_name, 'FRANCE'), 'REPLACED') AS nm FROM nation ORDER BY n_nationkey;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus IS DISTINCT FROM 'O';
+SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus IS NOT DISTINCT FROM 'F';
+SELECT CASE WHEN o_totalprice > 200000 THEN CASE WHEN o_orderstatus = 'O' THEN 'big-open' ELSE 'big-done' END ELSE 'small' END AS cls, COUNT(*) AS n FROM orders GROUP BY 1;
+SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 ELSE 9 END AS pri, COUNT(*) AS n FROM orders GROUP BY 1;
+
+-- ====================== events: time-series shapes =========================
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users FROM events GROUP BY event_type;
+SELECT EXTRACT(HOUR FROM ts) AS hr, COUNT(*) AS n FROM events GROUP BY EXTRACT(HOUR FROM ts);
+SELECT EXTRACT(MINUTE FROM ts) AS mi, COUNT(*) AS n FROM events WHERE event_type = 'click' GROUP BY EXTRACT(MINUTE FROM ts);
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id HAVING COUNT(*) > 25 ORDER BY n DESC, user_id;
+SELECT event_type, CAST(MIN(ts) AS STRING) AS first_ts, CAST(MAX(ts) AS STRING) AS last_ts FROM events GROUP BY event_type;
+SELECT COUNT(*) AS n FROM events e JOIN events e2 ON e.user_id = e2.user_id AND e.event_id < e2.event_id AND e.event_type = 'purchase' AND e2.event_type = 'purchase' AND e.user_id < 50;
+SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total FROM events GROUP BY event_type;
+SELECT u.user_id, u.n_click, u.n_view FROM (SELECT user_id, COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click, COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view FROM events GROUP BY user_id) u WHERE u.n_click > u.n_view AND u.user_id < 100 ORDER BY u.user_id;
+
+-- ====================== window functions: round 3 ==========================
+SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile FROM orders WHERE o_custkey < 30;
+SELECT o_orderkey, CAST(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS pr FROM orders WHERE o_custkey < 20;
+SELECT o_orderkey, CAST(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS cd FROM orders WHERE o_custkey < 20;
+SELECT o_orderkey, NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key FROM orders WHERE o_custkey < 20;
+SELECT o_orderkey, LAG(o_orderkey, 1, -1) OVER (ORDER BY o_orderkey) AS prev_key FROM orders WHERE o_custkey < 20;
+SELECT o_orderkey, LEAD(o_orderkey, 2, -1) OVER (ORDER BY o_orderkey) AS next2_key FROM orders WHERE o_custkey < 20;
+SELECT n_regionkey, n_name, MIN(n_name) OVER (PARTITION BY n_regionkey) AS first_in_region FROM nation;
+SELECT o_orderkey, COUNT(*) OVER (PARTITION BY o_custkey) AS orders_of_cust FROM orders WHERE o_custkey < 25;
+
+-- ====================== join shapes: round 2 ===============================
+SELECT n.n_name, r.r_name FROM (SELECT n_name, n_nationkey, n_regionkey AS rk FROM nation) n JOIN (SELECT r_name, r_regionkey AS rk FROM region) r USING (rk) WHERE n.n_nationkey < 10 ORDER BY n.n_name;
+SELECT COUNT(*) AS n FROM (SELECT c_nationkey AS nk FROM customer) c JOIN (SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation) n USING (nk) JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk) WHERE r.r_name = 'ASIA';
+SELECT c.c_custkey FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P' WHERE o.o_orderkey IS NULL AND c.c_custkey <= 30 ORDER BY c.c_custkey;
+SELECT COUNT(*) AS n FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey;
+SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2 WHERE r1.r_regionkey < r2.r_regionkey ORDER BY a, b;
+SELECT COUNT(*) AS n FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey WHERE s.s_suppkey <= 5;
+SELECT n.n_name, COUNT(o.o_orderkey) AS n_orders FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F' GROUP BY n.n_name;
+SELECT COUNT(*) AS n FROM orders o JOIN customer c ON COALESCE(o.o_custkey, -1) = c.c_custkey WHERE c.c_acctbal < 0;
+
+-- ====================== distinct / dedup shapes ============================
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority;
+SELECT COUNT(DISTINCT CONCAT(o_orderstatus, '|', o_orderpriority)) AS combos FROM orders;
+SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey FROM lineitem);
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supps FROM lineitem GROUP BY l_returnflag;
+SELECT x.o_orderstatus FROM (SELECT DISTINCT o_orderstatus FROM orders) x ORDER BY x.o_orderstatus;
+
+-- ====================== order/limit: round 2 ===============================
+SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 5;
+SELECT n_name FROM nation ORDER BY LENGTH(n_name), n_name LIMIT 6;
+SELECT c_custkey, c_acctbal FROM customer ORDER BY CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END, c_acctbal, c_custkey LIMIT 8;
+SELECT p_partkey FROM part ORDER BY p_retailprice DESC NULLS LAST, p_partkey LIMIT 7;
+
+-- ====================== documents: text round 2 ============================
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang;
+SELECT source, COUNT(*) AS n FROM documents WHERE text LIKE '%the%' GROUP BY source;
+SELECT doc_id, LENGTH(text) AS len FROM documents WHERE LENGTH(text) <> n_chars;
+SELECT lang, MIN(LENGTH(text)) AS min_len, MAX(LENGTH(text)) AS max_len FROM documents GROUP BY lang;
+SELECT COUNT(*) AS n FROM documents WHERE UPPER(SUBSTR(text, 1, 1)) = SUBSTR(text, 1, 1) AND n_chars > 0;
+SELECT d.lang, COUNT(*) AS n FROM documents d WHERE EXISTS (SELECT 1 FROM documents d2 WHERE d2.lang = d.lang AND d2.n_chars > d.n_chars * 2) GROUP BY d.lang;
+
+-- ====================== group by: expressions & ordinals ===================
+SELECT SUBSTR(c_name, 1, 9) AS pfx, COUNT(*) AS n FROM customer GROUP BY SUBSTR(c_name, 1, 9) HAVING COUNT(*) > 1 ORDER BY pfx LIMIT 10;
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY yr, o_orderstatus;
+SELECT l_linenumber + 0 AS ln, COUNT(*) AS n FROM lineitem GROUP BY l_linenumber + 0;
+SELECT COUNT(*) AS n FROM lineitem HAVING COUNT(*) > 0;
+SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus HAVING MIN(o_totalprice) < 5000 ORDER BY o_orderstatus;
+
+-- ====================== derived tables over set ops ========================
+SELECT t.k, COUNT(*) AS n FROM (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O' UNION ALL SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000) t GROUP BY t.k HAVING COUNT(*) >= 3 ORDER BY t.k LIMIT 12;
+SELECT MAX(u.k) AS max_k FROM (SELECT n_nationkey AS k FROM nation EXCEPT SELECT s_nationkey AS k FROM supplier) u;
+SELECT COUNT(*) AS n FROM (SELECT l_orderkey FROM lineitem INTERSECT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F');
+SELECT v.cls, COUNT(*) AS n FROM (SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS cls FROM lineitem) v GROUP BY v.cls;
+
+-- ====================== correlated: round 2 ================================
+SELECT c.c_custkey FROM customer c WHERE c.c_acctbal > (SELECT COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) / 100.0 FROM orders o WHERE o.o_custkey = c.c_custkey) AND c.c_custkey <= 40 ORDER BY c.c_custkey;
+SELECT n.n_name FROM nation n WHERE (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) > (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) ORDER BY n.n_name;
+SELECT o.o_orderkey FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) AND o.o_orderkey <= 300 ORDER BY o.o_orderkey;
+SELECT p.p_partkey FROM part p WHERE p.p_retailprice > 1.5 * (SELECT COALESCE(MIN(p2.p_retailprice), 0.0) FROM part p2 WHERE p2.p_brand = p.p_brand) AND p.p_partkey <= 120 ORDER BY p.p_partkey;

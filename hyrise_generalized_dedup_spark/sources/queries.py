@@ -62,11 +62,11 @@ def q_import_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE = """
 SELECT a, b, c, d, e FROM (VALUES
-  ('AAAAA', 1, CAST(100 AS BIGINT), CAST(CAST(1.5 AS FLOAT) AS DOUBLE), 11.1),
-  ('BBBBBBBBBB', 2, CAST(200 AS BIGINT), CAST(CAST(2.25 AS FLOAT) AS DOUBLE), 22.2),
+  ('AAAAA', 1, CAST(100 AS BIGINT), CAST(CAST(1.5 AS FLOAT) AS DOUBLE), CAST(11.1 AS DOUBLE)),
+  ('BBBBBBBBBB', 2, CAST(200 AS BIGINT), CAST(CAST(2.25 AS FLOAT) AS DOUBLE), CAST(22.2 AS DOUBLE)),
   (NULL, 3, NULL, CAST(CAST(3.75 AS FLOAT) AS DOUBLE), NULL),
-  ('DDDDDDDDDDDDDDDDDDDD', NULL, CAST(400 AS BIGINT), NULL, 44.4),
-  ('e', 5, CAST(500 AS BIGINT), CAST(CAST(5.5 AS FLOAT) AS DOUBLE), 55.5)
+  ('DDDDDDDDDDDDDDDDDDDD', NULL, CAST(400 AS BIGINT), NULL, CAST(44.4 AS DOUBLE)),
+  ('e', 5, CAST(500 AS BIGINT), CAST(CAST(5.5 AS FLOAT) AS DOUBLE), CAST(55.5 AS DOUBLE))
 ) AS t(a, b, c, d, e)
 ORDER BY b
 """

@@ -753,3 +753,177 @@ SELECT c.c_custkey FROM customer c WHERE c.c_acctbal > (SELECT COALESCE(CAST(SUM
 SELECT n.n_name FROM nation n WHERE (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) > (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) ORDER BY n.n_name;
 SELECT o.o_orderkey FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) AND o.o_orderkey <= 300 ORDER BY o.o_orderkey;
 SELECT p.p_partkey FROM part p WHERE p.p_retailprice > 1.5 * (SELECT COALESCE(MIN(p2.p_retailprice), 0.0) FROM part p2 WHERE p2.p_brand = p.p_brand) AND p.p_partkey <= 120 ORDER BY p.p_partkey;
+
+-- =================== round-3 tranche (validated vs DuckDB) =================
+-- ====================== greatest / least / coalesce ========================
+SELECT l_orderkey, l_linenumber, GREATEST(l_quantity, l_discount * 100) AS g FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 40;
+SELECT l_orderkey, l_linenumber, LEAST(l_quantity, l_extendedprice / 1000) AS l FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 40;
+SELECT COUNT(*) AS n FROM events WHERE GREATEST(COALESCE(value, 0), 50) = 50;
+SELECT user_id, COALESCE(MAX(value), -1) AS mx FROM events GROUP BY user_id ORDER BY user_id LIMIT 30;
+SELECT COALESCE(NULL, NULL, 'z') AS c1, COALESCE(NULL, 7) AS c2;
+SELECT NULLIF(GREATEST(1, 2), 2) AS a, NULLIF(LEAST(1, 2), 2) AS b;
+SELECT p_partkey, GREATEST(p_size, 25, 10) AS g3 FROM part ORDER BY p_partkey LIMIT 30;
+SELECT event_id, LEAST(COALESCE(value, 999), 10.5) AS lv FROM events ORDER BY event_id LIMIT 30;
+-- ====================== string functions: round 3 ==========================
+SELECT s_suppkey, LPAD(s_name, 25, '.') AS padded FROM supplier ORDER BY s_suppkey LIMIT 20;
+SELECT s_suppkey, RPAD(s_name, 25, '*') AS padded FROM supplier ORDER BY s_suppkey LIMIT 20;
+SELECT n_nationkey, REPEAT(n_name, 2) AS dbl FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, REVERSE(n_name) AS rev FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, TRANSLATE(n_name, 'AEI', 'aei') AS tr FROM nation ORDER BY n_nationkey;
+SELECT COUNT(*) AS n FROM part WHERE POSITION('lt' IN p_name) > 0;
+SELECT p_partkey, POSITION('o' IN p_name) AS pos FROM part ORDER BY p_partkey LIMIT 40;
+SELECT n_name, ASCII(n_name) AS first_code FROM nation ORDER BY n_name;
+SELECT CHR(65) AS a, CHR(122) AS z;
+SELECT n_nationkey, LEFT(n_name, 3) AS l3, RIGHT(n_name, 2) AS r2 FROM nation ORDER BY n_nationkey;
+SELECT COUNT(*) AS n FROM documents WHERE CONTAINS(text, 'the');
+SELECT p_partkey, SPLIT_PART(p_name, ' ', 1) AS w1 FROM part ORDER BY p_partkey LIMIT 40;
+SELECT p_partkey, SPLIT_PART(p_name, ' ', 2) AS w2 FROM part ORDER BY p_partkey LIMIT 40;
+SELECT o_orderkey, MD5(o_orderpriority) AS h FROM orders ORDER BY o_orderkey LIMIT 20;
+-- ====================== percentile / median ================================
+SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty FROM lineitem;
+SELECT l_returnflag, PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY p_size) AS med_size FROM part;
+SELECT MEDIAN(l_quantity) AS med FROM lineitem;
+-- ====================== GROUP BY ALL =======================================
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus;
+SELECT o_orderstatus, COUNT(*) AS n, FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) AS tot FROM orders GROUP BY ALL ORDER BY o_orderstatus;
+SELECT event_type, EXTRACT(YEAR FROM ts) AS yr, COUNT(*) AS n FROM events GROUP BY ALL ORDER BY event_type, yr;
+-- ====================== statistical aggregates =============================
+SELECT STDDEV_POP(c_acctbal) AS sp FROM customer;
+SELECT REGR_COUNT(value, user_id) AS rc FROM events;
+SELECT REGR_AVGX(l_extendedprice, l_quantity) AS ax, REGR_AVGY(l_extendedprice, l_quantity) AS ay FROM lineitem;
+-- ====================== boolean aggregates =================================
+SELECT BOOL_AND(p_size > 0) AS all_pos, BOOL_OR(p_size > 49) AS any_big FROM part;
+SELECT l_returnflag, BOOL_AND(l_quantity < 60) AS under60 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT o_orderstatus, BOOL_OR(o_totalprice > 400000) AS has_jumbo FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+-- ====================== lateral joins ======================================
+SELECT n.n_name, t.cnt FROM nation n, LATERAL (SELECT COUNT(*) AS cnt FROM customer c WHERE c.c_nationkey = n.n_nationkey) t ORDER BY n.n_name;
+SELECT r.r_name, t.mx FROM region r, LATERAL (SELECT MAX(n_nationkey) AS mx FROM nation WHERE n_regionkey = r.r_regionkey) t ORDER BY r.r_name;
+SELECT c.c_custkey, t.last_price FROM customer c, LATERAL (SELECT MAX(o_totalprice) AS last_price FROM orders o WHERE o.o_custkey = c.c_custkey) t WHERE c.c_custkey <= 30 ORDER BY c.c_custkey;
+-- ====================== recursive CTE ======================================
+WITH RECURSIVE seq(x) AS (SELECT 1 UNION ALL SELECT x + 1 FROM seq WHERE x < 10) SELECT x FROM seq ORDER BY x;
+WITH RECURSIVE fib(a, b) AS (SELECT 0, 1 UNION ALL SELECT b, a + b FROM fib WHERE b < 100) SELECT a, b FROM fib ORDER BY a;
+-- ====================== window functions: round 4 ==========================
+SELECT l_orderkey, l_linenumber, SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 60;
+SELECT o_orderkey, LAG(o_orderstatus, 2, 'NONE') OVER (ORDER BY o_orderkey) AS lag2 FROM orders ORDER BY o_orderkey LIMIT 40;
+SELECT o_orderkey, LEAD(o_orderstatus, 3, '?') OVER (ORDER BY o_orderkey) AS lead3 FROM orders ORDER BY o_orderkey LIMIT 40;
+SELECT event_id, FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type FROM events ORDER BY event_id LIMIT 50;
+SELECT event_id, LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type FROM events ORDER BY event_id LIMIT 50;
+SELECT l_orderkey, l_linenumber, COUNT(*) OVER (PARTITION BY l_orderkey) AS nlines FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 60;
+SELECT o_orderkey, MIN(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS win_min FROM orders ORDER BY o_orderkey LIMIT 40;
+SELECT o_orderkey, MAX(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win_max FROM orders ORDER BY o_orderkey LIMIT 40;
+SELECT c_custkey, RANK() OVER (PARTITION BY c_mktsegment ORDER BY FLOOR(c_acctbal / 100), c_custkey) AS rnk FROM customer ORDER BY c_custkey LIMIT 50;
+-- ====================== join shapes: round 3 ===============================
+SELECT n1.n_name AS nation_a, n2.n_name AS nation_b FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey ORDER BY nation_a, nation_b;
+SELECT r_name, COUNT(c_custkey) AS n_cust FROM region LEFT JOIN nation ON r_regionkey = n_regionkey LEFT JOIN customer ON n_nationkey = c_nationkey GROUP BY r_name ORDER BY r_name;
+SELECT COALESCE(a.k, b.k) AS k, a.na, b.nb FROM (SELECT c_nationkey AS k, COUNT(*) AS na FROM customer GROUP BY c_nationkey) a FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS nb FROM supplier GROUP BY s_nationkey) b ON a.k = b.k ORDER BY k;
+SELECT s.s_suppkey, COUNT(l.l_orderkey) AS n FROM supplier s LEFT JOIN lineitem l ON s.s_suppkey = l.l_suppkey AND l.l_quantity > 45 GROUP BY s.s_suppkey ORDER BY s.s_suppkey LIMIT 40;
+SELECT o.o_orderkey FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) ORDER BY o.o_orderkey LIMIT 40;
+SELECT COUNT(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA';
+SELECT p.p_brand, COUNT(DISTINCT l.l_suppkey) AS n_supp FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey GROUP BY p.p_brand ORDER BY p.p_brand;
+SELECT c.c_custkey FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey HAVING COUNT(*) > 12 ORDER BY c.c_custkey;
+-- ====================== EXISTS / IN: round 3 ===============================
+SELECT n_name FROM nation WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey AND s_acctbal > 5000) ORDER BY n_name;
+SELECT COUNT(*) AS n FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49);
+SELECT COUNT(*) AS n FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem);
+SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49.5)) ORDER BY c_custkey LIMIT 40;
+SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') AND o_totalprice > 300000 ORDER BY o_orderkey;
+SELECT COUNT(*) AS n FROM events e WHERE EXISTS (SELECT 1 FROM events e2 WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase');
+-- ====================== numeric edge cases: round 2 ========================
+SELECT ABS(-5.5) AS a, SIGN(-3) AS s1, SIGN(0) AS s0, SIGN(9) AS s2;
+SELECT MOD(17, 5) AS m1, MOD(-17, 5) AS m2, MOD(17, -5) AS m3;
+SELECT l_orderkey, l_linenumber, MOD(l_orderkey + l_linenumber, 7) AS bucket FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50;
+SELECT POWER(2, 10) AS p, SQRT(144) AS r;
+SELECT EXP(0) AS e0, LN(1) AS l1;
+SELECT FLOOR(-2.5) AS f, CEIL(-2.5) AS c, FLOOR(2.5) AS f2, CEIL(2.5) AS c2;
+SELECT LOG10(1000) AS lg, LOG2(8) AS l2;
+SELECT COUNT(*) AS n FROM lineitem WHERE MOD(l_orderkey, 2) = 0 AND MOD(l_linenumber, 2) = 1;
+SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS price_bucket, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT PI() AS pi_val;
+SELECT ATAN2(1, 1) AS a, SIN(0) AS s, COS(0) AS c;
+-- ====================== date functions: round 2 ============================
+SELECT o_orderkey, CAST(LAST_DAY(o_orderdate) AS STRING) AS eom FROM orders ORDER BY o_orderkey LIMIT 30;
+SELECT DATE_PART('year', o_orderdate) AS yr, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT DATE_PART('quarter', ts) AS q, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1;
+SELECT EXTRACT(WEEK FROM o_orderdate) AS wk, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT EXTRACT(DOY FROM o_orderdate) AS doy, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1 LIMIT 40;
+SELECT CAST(GREATEST(DATE '2020-01-01', DATE '2021-06-01') AS STRING) AS g;
+SELECT COUNT(*) AS n FROM orders WHERE EXTRACT(MONTH FROM o_orderdate) IN (1, 2, 3);
+SELECT EXTRACT(HOUR FROM ts) AS hr, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1;
+SELECT event_id, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS th FROM events ORDER BY event_id LIMIT 30;
+SELECT CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS wk, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1 LIMIT 30;
+-- ====================== grouping sets: round 2 =============================
+SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls, COUNT(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY g_rf, g_ls, l_returnflag, l_linestatus;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST;
+SELECT event_type, EXTRACT(YEAR FROM ts) AS yr, COUNT(*) AS n FROM events GROUP BY ROLLUP (event_type, yr) ORDER BY event_type NULLS FIRST, yr NULLS FIRST;
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, GROUPING(c_mktsegment) + GROUPING(c_nationkey) AS lvl FROM customer GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ()) ORDER BY lvl, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST;
+-- ====================== set ops: 3-way chains ==============================
+SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5 UNION SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 3 AND 8 UNION SELECT n_nationkey FROM nation WHERE n_nationkey > 20 ORDER BY k;
+SELECT n_nationkey AS k FROM nation UNION ALL SELECT r_regionkey FROM region UNION ALL SELECT r_regionkey FROM region ORDER BY k;
+SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10 INTERSECT SELECT n_nationkey FROM nation WHERE n_nationkey > 3 EXCEPT SELECT n_nationkey FROM nation WHERE n_nationkey = 5 ORDER BY k;
+SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k;
+SELECT p_brand AS b FROM part EXCEPT SELECT p_brand FROM part WHERE p_size < 25 ORDER BY b;
+-- ====================== derived tables / inline round 2 ====================
+SELECT v.x, v.y, n.n_name FROM (VALUES (0, 'a'), (1, 'b'), (2, 'c')) AS v(x, y) JOIN nation n ON n.n_regionkey = v.x ORDER BY v.x, n.n_name;
+SELECT t.seg, t.n FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) t WHERE t.n > 100 ORDER BY t.seg;
+SELECT a.b1, b.b2 FROM (SELECT DISTINCT p_brand AS b1 FROM part) a CROSS JOIN (SELECT DISTINCT p_brand AS b2 FROM part) b WHERE a.b1 < b.b2 ORDER BY a.b1, b.b2 LIMIT 40;
+SELECT mx - mn AS spread FROM (SELECT MAX(p_retailprice) AS mx, MIN(p_retailprice) AS mn FROM part) t;
+-- ====================== distinct shapes ====================================
+SELECT COUNT(DISTINCT l_returnflag || l_linestatus) AS n FROM lineitem;
+SELECT COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) AS n_years FROM orders;
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus;
+SELECT DISTINCT FLOOR(c_acctbal / 1000) AS kbal FROM customer ORDER BY kbal;
+SELECT COUNT(DISTINCT o_custkey) AS n FROM orders WHERE o_totalprice > 200000;
+-- ====================== CASE round 2 =======================================
+SELECT o_orderkey, CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'partial' END AS status_word FROM orders ORDER BY o_orderkey LIMIT 40;
+SELECT SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS big_disc, SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS small_disc FROM lineitem;
+SELECT event_type, CASE WHEN COUNT(*) > 5000 THEN 'hot' WHEN COUNT(*) > 1000 THEN 'warm' ELSE 'cold' END AS heat FROM events GROUP BY event_type ORDER BY event_type;
+SELECT p_partkey, CASE WHEN p_size > 40 THEN CASE WHEN p_retailprice > 1500 THEN 'big-expensive' ELSE 'big-cheap' END ELSE 'small' END AS cls FROM part ORDER BY p_partkey LIMIT 40;
+SELECT COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_null_vals FROM events;
+-- ====================== order/limit round 3 ================================
+SELECT c_custkey FROM customer ORDER BY c_acctbal DESC NULLS LAST, c_custkey LIMIT 20;
+SELECT s_suppkey, s_acctbal FROM supplier ORDER BY CASE WHEN s_acctbal < 0 THEN 0 ELSE 1 END, s_acctbal, s_suppkey LIMIT 25;
+SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 10 OFFSET 20;
+SELECT p_partkey, p_name FROM part ORDER BY LENGTH(p_name) DESC, p_partkey LIMIT 15;
+SELECT event_id FROM events ORDER BY event_id LIMIT 7 OFFSET 7;
+-- ====================== documents round 3 ==================================
+SELECT lang, COUNT(*) AS n, MIN(n_chars) AS shortest FROM documents GROUP BY lang ORDER BY lang;
+SELECT doc_id, LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words FROM documents ORDER BY doc_id LIMIT 40;
+SELECT source, COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source ORDER BY source;
+SELECT doc_id FROM documents WHERE LENGTH(text) <> n_chars ORDER BY doc_id LIMIT 20;
+SELECT lang, CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars FROM documents GROUP BY lang ORDER BY lang;
+SELECT d1.doc_id AS a, d2.doc_id AS b FROM documents d1 JOIN documents d2 ON d1.text = d2.text AND d1.doc_id < d2.doc_id ORDER BY a, b LIMIT 40;
+SELECT doc_id, UPPER(SUBSTR(text, 1, 10)) AS head FROM documents ORDER BY doc_id LIMIT 30;
+-- ====================== embeddings table ===================================
+SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label;
+SELECT vec_id, label FROM embeddings WHERE label = 3 ORDER BY vec_id LIMIT 30;
+SELECT COUNT(*) AS n FROM embeddings WHERE vec_id IS NOT NULL;
+SELECT MIN(vec_id) AS mn, MAX(vec_id) AS mx, COUNT(DISTINCT label) AS n_labels FROM embeddings;
+-- ====================== HAVING round 2 =====================================
+SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 60 AND MIN(l_quantity) < 5 ORDER BY l_suppkey;
+SELECT o_custkey FROM orders GROUP BY o_custkey HAVING MAX(o_totalprice) > 2 * MIN(o_totalprice) ORDER BY o_custkey LIMIT 40;
+SELECT event_type FROM events GROUP BY event_type HAVING COUNT(DISTINCT user_id) > 400 ORDER BY event_type;
+SELECT c_nationkey FROM customer GROUP BY c_nationkey HAVING AVG(CAST(c_acctbal AS DECIMAL(38,6))) > 4000 ORDER BY c_nationkey;
+-- ====================== correlated round 3 =================================
+SELECT p_partkey, (SELECT COUNT(*) FROM lineitem WHERE l_partkey = p_partkey) AS n_sold FROM part ORDER BY p_partkey LIMIT 40;
+SELECT c_custkey FROM customer c WHERE c_acctbal > (SELECT COALESCE(AVG(o_totalprice), 0) / 100 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey LIMIT 40;
+SELECT n_name, (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_supp, (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust FROM nation ORDER BY n_name;
+SELECT o_orderkey FROM orders o WHERE (SELECT MAX(l_quantity) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) = 50 ORDER BY o_orderkey LIMIT 40;
+-- ====================== union type coercion ================================
+SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation WHERE n_nationkey < 3 UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey < 5 ORDER BY k;
+SELECT 'x' AS tag, COUNT(*) AS n FROM nation UNION ALL SELECT 'y', COUNT(*) FROM region ORDER BY tag;
+SELECT 1 AS a, NULL AS b UNION ALL SELECT 2, 'z' ORDER BY a;
+-- stat aggregates, decimal-quantized to absorb last-ulp accumulation order
+SELECT CAST(CORR(l_quantity, l_extendedprice) AS DECIMAL(18,8)) AS c FROM lineitem;
+SELECT CAST(COVAR_POP(l_quantity, l_discount) AS DECIMAL(18,8)) AS cp FROM lineitem;
+SELECT CAST(COVAR_SAMP(l_quantity, l_discount) AS DECIMAL(18,8)) AS cs FROM lineitem;
+SELECT l_returnflag, CAST(CORR(l_quantity, l_tax) AS DECIMAL(18,8)) AS c FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT CAST(VAR_POP(p_size) AS DECIMAL(18,6)) AS vp, CAST(VAR_SAMP(p_size) AS DECIMAL(18,6)) AS vs FROM part;
+SELECT CAST(REGR_SLOPE(l_extendedprice, l_quantity) AS DECIMAL(18,4)) AS slope, CAST(REGR_INTERCEPT(l_extendedprice, l_quantity) AS DECIMAL(18,6)) AS icept FROM lineitem;
+SELECT CAST(REGR_AVGX(l_extendedprice, l_quantity) AS DECIMAL(18,8)) AS ax, CAST(REGR_AVGY(l_extendedprice, l_quantity) AS DECIMAL(18,6)) AS ay FROM lineitem;
+SELECT p_partkey, CAST(SUM(CAST(p_size AS DECIMAL(38,6))) OVER (ORDER BY p_partkey RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS DOUBLE) / COUNT(*) OVER (ORDER BY p_partkey RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS smooth FROM part ORDER BY p_partkey LIMIT 50;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate IS NOT NULL;
+SELECT l_linestatus, COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey HAVING COUNT(*) >= 5 ORDER BY n_regionkey;
+SELECT UPPER(r_name) AS rn FROM region ORDER BY rn;
+SELECT TRIM('  x  ') AS t, LTRIM('  x') AS lt, RTRIM('x  ') AS rt;

@@ -66,3 +66,45 @@ def test_dynamic_partition_pruning(spark, sf_tiny, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:3000]
     expected = orders.filter(F.col("o_orderstatus") == "F").count()
     assert j.count() == expected
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join: a join key whose partition dwarfs the median is split
+    at runtime into multiple tasks (north-rule requirement: skew handled
+    explicitly; this is the built-in backstop behind the pipeline's own
+    hot-bucket star routing — dedup/lsh.py handles the quadratic-output
+    case AQE cannot, AQE handles the oversized-partition case here)."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # key 0 holds ~95% of the fact rows with a fat payload; dim is even
+        fact = (
+            spark.range(20000)
+            .withColumn("k", (F.col("id") % 100) * (F.col("id") % 20 == 0).cast("int"))
+            .withColumn("payload", F.repeat(F.lit("x"), 200))
+        )
+        dim = spark.range(100).withColumnRenamed("id", "k").withColumn(
+            "label", F.concat(F.lit("d"), F.col("k"))
+        )
+        j = fact.join(dim, "k")
+        n = j.count()
+        assert n == 20000
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -28,10 +28,38 @@ pair path (pairs >> docs).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import GDConfig
+
+# worker-side cache of mmapped signature sideboards (one np.load per
+# worker process per sideboard; the mmap itself is shared page cache)
+_SIDEBOARD_CACHE: dict = {}
+
+
+def _load_sideboard(kname: str, mname: str):
+    import numpy as np
+    from pyspark import SparkFiles
+
+    key = (kname, mname)
+    if key not in _SIDEBOARD_CACHE:
+        _SIDEBOARD_CACHE[key] = (
+            np.load(SparkFiles.get(kname), mmap_mode="r"),
+            np.load(SparkFiles.get(mname), mmap_mode="r"),
+        )
+    return _SIDEBOARD_CACHE[key]
+
+
+def _gather(k, wanted):
+    import numpy as np
+
+    ix = np.clip(np.searchsorted(k, wanted), 0, max(len(k) - 1, 0))
+    if len(k) == 0 or not np.all(k[ix] == wanted):
+        raise ValueError("candidate pair references unknown signature key")
+    return ix
 
 
 def band_table(signatures: DataFrame, key_col: str = "doc_key") -> DataFrame:
@@ -79,8 +107,13 @@ def release_candidates(pairs: DataFrame) -> None:
     if cached is not None:
         hard_unpersist(cached)
     bc = getattr(pairs, "_gd_broadcast", None)
-    if bc is not None:  # verified_edges' python-side signature block
+    if bc is not None:  # legacy python-side broadcast block
         bc.unpersist()
+    side = getattr(pairs, "_gd_sideboard_dir", None)
+    if side is not None:  # verified_edges' mmapped signature sideboard
+        import shutil
+
+        shutil.rmtree(side, ignore_errors=True)
 
 
 def candidate_pairs(
@@ -241,11 +274,28 @@ def verified_edges(
         )
 
     if broadcast_sigs:
-        # One driver collect of (key, minhash) -> sorted numpy block;
-        # torrent-broadcast once, gathered per batch via searchsorted.
-        # Arrow collect keeps the signature matrix flat: list<int32> values
-        # reshape to (n, nh) without materializing 10^6 python row objects
-        # (toPandas + vstack measured ~10x slower at 10^6 signatures).
+        # One driver collect of (key, minhash) -> sorted numpy block,
+        # shipped to the workers as an mmapped .npy SIDEBOARD via
+        # SparkFiles, gathered per batch via searchsorted. Arrow collect
+        # keeps the signature matrix flat: list<int32> values reshape to
+        # (n, nh) without materializing 10^6 python row objects (toPandas
+        # + vstack measured ~10x slower at 10^6 signatures).
+        #
+        # Why a file and not sc.broadcast: a pickle broadcast of a ~1 GiB
+        # numpy tuple is written serially by the driver and UNPICKLED
+        # ONCE PER WORKER PROCESS — at 8 workers that is 8 resident
+        # copies plus ~2 min of aggregate deserialization billed to the
+        # edges stage (measured at 2M docs: edges wall 230 s of which the
+        # sideboard fix removes most of the fixed cost). SparkFiles ships
+        # the file to every executor node once; np.load(mmap_mode="r")
+        # maps it zero-copy, the page cache shares ONE physical copy
+        # across all workers on the node, and fancy-indexed gathers copy
+        # only the batch's rows. The same mechanics work on a real
+        # multi-node cluster (addFile distributes via the driver's file
+        # server).
+        import tempfile
+        import uuid
+
         at = sig.toArrow().combine_chunks()
         skeys = at[key_col].to_numpy(zero_copy_only=False)  # int64 or str
         if len(at) == 0:
@@ -254,19 +304,28 @@ def verified_edges(
             mh = at["minhash"]
             mh = mh.chunk(0) if hasattr(mh, "chunk") else mh
             smat = mh.flatten().to_numpy(zero_copy_only=False).reshape(len(at), nh)
+        if skeys.dtype == object:  # string keys -> fixed-width (mmap-able)
+            skeys = skeys.astype(str)
         order = np.argsort(skeys, kind="stable")
-        bc = signatures.sparkSession.sparkContext.broadcast(
-            (skeys[order], np.ascontiguousarray(smat[order]))
+        sc = signatures.sparkSession.sparkContext
+        tag = uuid.uuid4().hex[:12]
+        kname, mname = f"gd_sidekeys_{tag}.npy", f"gd_sidemat_{tag}.npy"
+        # NOTE: the source files must outlive the job — executors fetch
+        # addFile sources lazily at task start (and re-verify against the
+        # original path), so the tmpdir is deleted in release_candidates()
+        # after the edges output materializes, not here.
+        tmp = tempfile.mkdtemp(prefix="gd_sideboard_")
+        np.save(os.path.join(tmp, kname), skeys[order], allow_pickle=False)
+        np.save(
+            os.path.join(tmp, mname),
+            np.ascontiguousarray(smat[order]),
+            allow_pickle=False,
         )
-
-        def _gather(k, wanted):
-            ix = np.clip(np.searchsorted(k, wanted), 0, max(len(k) - 1, 0))
-            if len(k) == 0 or not np.all(k[ix] == wanted):
-                raise ValueError("candidate pair references unknown signature key")
-            return ix
+        sc.addFile(os.path.join(tmp, kname))
+        sc.addFile(os.path.join(tmp, mname))
 
         def verify_gather(batches):
-            k, m_block = bc.value
+            k, m_block = _load_sideboard(kname, mname)
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -282,7 +341,7 @@ def verified_edges(
         result = pairs.select("key_a", "key_b", star_col).mapInPandas(
             verify_gather, out_schema
         )
-        result._gd_broadcast = bc  # released via release_candidates()
+        result._gd_sideboard_dir = tmp  # removed via release_candidates()
         return result
 
     # shuffled fallback: sort-merge/hash joins on compact int keys carry

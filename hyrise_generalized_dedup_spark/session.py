@@ -27,9 +27,20 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] -> N; a real cluster would use ~2-3x total executor cores.
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        sp_env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if sp_env:
+            # explicit override for CLI-launched jobs (bench_scaling sets
+            # 3x cores: at a fixed heap, partitions == cores gives each
+            # hash-aggregate task heap/cores of map space, so the HIGH
+            # parallelism level spills/GC-thrashes on pair-scale stages
+            # while the low level coasts — an anti-scaling artifact of
+            # task sizing, not of the plan; 2-3x cores is also the
+            # documented real-cluster sizing)
+            shuffle_partitions = int(sp_env)
+        else:
+            # local[N] -> N; a real cluster would use ~2-3x total executor cores.
+            n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+            shuffle_partitions = cpus if n == "*" else int(n)
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -54,6 +54,13 @@ def run_level(cores: int) -> dict:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-local"
     os.environ["SPARK_DRIVER_MEMORY"] = "24g"
+    # partitions scale with cores at BOTH levels (3x, the real-cluster
+    # sizing session.py documents): with partitions == cores the 2M-file
+    # run's pair stages aggregate 50M+ pairs in `cores` giant tasks and
+    # the high level hits per-task memory pressure the low level never
+    # sees (measured: candidates T2/T8 = 1.43 at 2M files, vs 3.39 at
+    # 400k where per-task maps still fit)
+    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(cores * 3)
     cmd = [
         sys.executable,
         "-m",

@@ -927,3 +927,64 @@ SELECT l_linestatus, COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R' GROUP 
 SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey HAVING COUNT(*) >= 5 ORDER BY n_regionkey;
 SELECT UPPER(r_name) AS rn FROM region ORDER BY rn;
 SELECT TRIM('  x  ') AS t, LTRIM('  x') AS lt, RTRIM('x  ') AS rt;
+
+-- =================== round-3 tranche 2 (validated vs DuckDB) ===============
+-- ====================== row-value / tuple predicates =======================
+SELECT COUNT(*) AS n FROM lineitem WHERE (l_returnflag, l_linestatus) IN (('R', 'F'), ('A', 'F'));
+SELECT o_orderkey FROM orders WHERE (o_orderstatus, o_orderpriority) = ('F', '1-URGENT') ORDER BY o_orderkey LIMIT 40;
+-- ====================== subqueries in HAVING / CASE ========================
+SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > (SELECT COUNT(*) FROM lineitem) / 120 ORDER BY l_suppkey;
+SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > (SELECT COUNT(*) FROM customer) / 6 ORDER BY c_mktsegment;
+SELECT o_orderkey, CASE WHEN o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) FROM orders o2) THEN 'above' ELSE 'below' END AS vs_avg FROM orders ORDER BY o_orderkey LIMIT 40;
+-- ====================== set ops: ALL chains ================================
+SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k LIMIT 50;
+SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 49 EXCEPT ALL SELECT s_suppkey FROM supplier ORDER BY k LIMIT 50;
+SELECT n_regionkey AS k FROM nation EXCEPT ALL SELECT r_regionkey FROM region ORDER BY k;
+-- ====================== window: range frames on values =====================
+SELECT o_orderkey, o_totalprice, COUNT(*) OVER (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS near_priced FROM orders ORDER BY o_orderkey LIMIT 40;
+SELECT p_partkey, p_size, COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS similar_sized FROM part ORDER BY p_partkey LIMIT 40;
+SELECT c_custkey, SUM(CAST(c_acctbal AS DECIMAL(38,6))) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3 FROM customer ORDER BY c_custkey LIMIT 50;
+SELECT event_id, user_id, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events ORDER BY event_id LIMIT 50;
+SELECT o_orderkey, DENSE_RANK() OVER (ORDER BY EXTRACT(YEAR FROM o_orderdate)) AS yr_rank FROM orders ORDER BY o_orderkey LIMIT 40;
+-- ====================== scalar subquery arithmetic =========================
+SELECT p_partkey, p_retailprice - (SELECT MIN(p_retailprice) FROM part) AS above_min FROM part ORDER BY p_partkey LIMIT 40;
+SELECT (SELECT COUNT(*) FROM orders) - (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS repeat_orders;
+SELECT (SELECT MAX(l_quantity) FROM lineitem) * (SELECT MIN(l_discount) FROM lineitem WHERE l_discount > 0) AS cross_product;
+-- ====================== join with aggregated derived tables ================
+SELECT n.n_name, s.total_bal FROM nation n JOIN (SELECT s_nationkey, CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal FROM supplier GROUP BY s_nationkey) s ON n.n_nationkey = s.s_nationkey ORDER BY n.n_name;
+SELECT big.o_custkey, big.n_big, c.c_mktsegment FROM (SELECT o_custkey, COUNT(*) AS n_big FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey) big JOIN customer c ON big.o_custkey = c.c_custkey ORDER BY big.o_custkey LIMIT 40;
+SELECT a.l_suppkey, a.heavy, b.light FROM (SELECT l_suppkey, COUNT(*) AS heavy FROM lineitem WHERE l_quantity > 40 GROUP BY l_suppkey) a JOIN (SELECT l_suppkey, COUNT(*) AS light FROM lineitem WHERE l_quantity <= 10 GROUP BY l_suppkey) b ON a.l_suppkey = b.l_suppkey ORDER BY a.l_suppkey LIMIT 40;
+-- ====================== string edge cases: round 3 =========================
+SELECT REPLACE('aaa', 'a', 'ab') AS r1, REPLACE('', 'a', 'b') AS r2;
+SELECT SUBSTR('hello', 2) AS s1, SUBSTR('hello', 2, 100) AS s2, SUBSTR('hello', 10, 2) AS s3;
+SELECT LENGTH('') AS l0, LENGTH(' ') AS l1, TRIM('') AS t0;
+SELECT CONCAT('a', '', 'b') AS c1, 'x' || '' || 'y' AS c2;
+SELECT UPPER(NULL) AS u, LOWER(NULL) AS lo, LENGTH(CAST(NULL AS STRING)) AS ln;
+SELECT p_partkey FROM part WHERE p_name LIKE '%' ORDER BY p_partkey LIMIT 10;
+SELECT COUNT(*) AS n FROM part WHERE p_name LIKE 'red_b%';
+SELECT n_nationkey FROM nation WHERE n_name LIKE '__%' ORDER BY n_nationkey LIMIT 10;
+SELECT s_suppkey, REPLACE(s_name, 'Supplier', 'S') AS short_name FROM supplier ORDER BY s_suppkey LIMIT 25;
+-- ====================== casts / type edges =================================
+SELECT CAST('42' AS INT) AS i, CAST('3.5' AS DOUBLE) AS d, CAST(42 AS STRING) AS s;
+SELECT CAST('2021-06-01' AS DATE) AS dt, CAST(CAST('2021-06-01 12:30:00' AS TIMESTAMP) AS STRING) AS ts;
+SELECT CAST(TRUE AS INT) AS t, CAST(FALSE AS INT) AS f;
+SELECT COUNT(*) AS n FROM orders WHERE CAST(o_orderkey AS STRING) LIKE '%7';
+-- ====================== aggregates over expressions ========================
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue FROM lineitem WHERE l_returnflag = 'R';
+SELECT MIN(l_extendedprice / l_quantity) AS min_unit FROM lineitem WHERE l_quantity > 0;
+SELECT COUNT(DISTINCT l_orderkey) AS orders_touched, COUNT(*) AS lines FROM lineitem WHERE l_discount >= 0.08;
+SELECT MAX(LENGTH(p_name)) AS longest, MIN(LENGTH(p_name)) AS shortest FROM part;
+SELECT CAST(AVG(CAST(LENGTH(text) AS DECIMAL(38,6))) AS DOUBLE) AS avg_len FROM documents;
+-- ====================== multi-level grouping in CTEs =======================
+WITH per_order AS (SELECT l_orderkey, COUNT(*) AS n_lines, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty FROM lineitem GROUP BY l_orderkey) SELECT n_lines, COUNT(*) AS n_orders, CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS total_qty FROM per_order GROUP BY n_lines ORDER BY n_lines;
+WITH cust_orders AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey), dist AS (SELECT n, COUNT(*) AS n_cust FROM cust_orders GROUP BY n) SELECT n, n_cust FROM dist ORDER BY n;
+WITH daily AS (SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n FROM events GROUP BY 1) SELECT MIN(n) AS quiet, MAX(n) AS busy, COUNT(*) AS n_days FROM daily;
+-- ====================== order by aggregates / expressions ==================
+SELECT l_suppkey FROM lineitem GROUP BY l_suppkey ORDER BY COUNT(*) DESC, l_suppkey LIMIT 20;
+SELECT c_mktsegment FROM customer GROUP BY c_mktsegment ORDER BY CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) DESC, c_mktsegment LIMIT 5;
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY n DESC, event_type;
+-- ====================== NULL-aware comparisons =============================
+SELECT COUNT(*) AS n FROM events WHERE value IS DISTINCT FROM NULL;
+SELECT COUNT(*) AS n FROM events e1 JOIN events e2 ON e1.event_id = e2.event_id AND e1.value IS NOT DISTINCT FROM e2.value;
+SELECT COALESCE(CAST(MAX(value) AS STRING), 'none') AS mx FROM events WHERE event_type = 'no_such_type';
+SELECT COUNT(*) AS n FROM events WHERE NOT (value > 50) OR value IS NULL;

@@ -193,8 +193,20 @@ def suffix_edges(
             )
         return pd.DataFrame(out, columns=cols)
 
+    # Singleton clusters (≈half the corpus on dup-heavy inputs) can never
+    # emit an edge, but their CONTENT would still cross the shuffle and
+    # cost one python group invocation each. A census semi-join drops them
+    # BEFORE the shuffle — map-side partial count, int64 ids only, output
+    # identical (per_cluster returns empty for singletons anyway).
+    multi = (
+        clustered_docs.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") > 1)
+        .select(cluster_col)
+    )
     return (
         clustered_docs.select(key_col, text_col, cluster_col)
+        .join(multi, cluster_col, "left_semi")
         .groupBy(cluster_col)
         .applyInPandas(per_cluster, _EDGE_SCHEMA)
     )

@@ -46,6 +46,12 @@ def _load_sideboard(kname: str, mname: str):
 
     key = (kname, mname)
     if key not in _SIDEBOARD_CACHE:
+        # Reused python worker processes would otherwise accumulate one
+        # open mmap pair per verified_edges invocation for the life of
+        # the worker (fd + address-space leak across repeated pipeline
+        # runs in one session). Prior sideboards are never re-read —
+        # keep only the current one.
+        _SIDEBOARD_CACHE.clear()
         _SIDEBOARD_CACHE[key] = (
             np.load(SparkFiles.get(kname), mmap_mode="r"),
             np.load(SparkFiles.get(mname), mmap_mode="r"),
@@ -111,9 +117,18 @@ def release_candidates(pairs: DataFrame) -> None:
         bc.unpersist()
     side = getattr(pairs, "_gd_sideboard_dir", None)
     if side is not None:  # verified_edges' mmapped signature sideboard
-        import shutil
+        if getattr(pairs, "_gd_sideboard_eager", False):
+            # local mode: addFile copied the files eagerly into the
+            # driver's SparkFiles root, so the source dir is dead weight
+            import shutil
 
-        shutil.rmtree(side, ignore_errors=True)
+            shutil.rmtree(side, ignore_errors=True)
+        # non-local: executors fetch addFile sources LAZILY from the
+        # driver's file server, re-reading the ORIGINAL path — deleting
+        # it here would make any recompute of the edges lineage (task
+        # retry, executor loss, late executor under dynamic allocation)
+        # fail unrecoverably. The dir lives until interpreter exit
+        # (atexit hook registered at creation).
 
 
 def candidate_pairs(
@@ -290,9 +305,11 @@ def verified_edges(
         # the file to every executor node once; np.load(mmap_mode="r")
         # maps it zero-copy, the page cache shares ONE physical copy
         # across all workers on the node, and fancy-indexed gathers copy
-        # only the batch's rows. The same mechanics work on a real
-        # multi-node cluster (addFile distributes via the driver's file
-        # server).
+        # only the batch's rows. On a real multi-node cluster addFile
+        # distributes via the driver's file server and executors fetch
+        # LAZILY — so the source files must survive past the first
+        # materialization (see release_candidates / the atexit hook).
+        import atexit
         import tempfile
         import uuid
 
@@ -310,11 +327,14 @@ def verified_edges(
         sc = signatures.sparkSession.sparkContext
         tag = uuid.uuid4().hex[:12]
         kname, mname = f"gd_sidekeys_{tag}.npy", f"gd_sidemat_{tag}.npy"
-        # NOTE: the source files must outlive the job — executors fetch
-        # addFile sources lazily at task start (and re-verify against the
-        # original path), so the tmpdir is deleted in release_candidates()
-        # after the edges output materializes, not here.
+        # Source-file lifetime: in local mode addFile copies eagerly into
+        # the driver's SparkFiles root, so release_candidates() may
+        # delete the tmpdir right after the edges output materializes.
+        # On a real cluster executors fetch lazily against the ORIGINAL
+        # path, so the dir must live for the whole session — the atexit
+        # hook below is the only deleter then.
         tmp = tempfile.mkdtemp(prefix="gd_sideboard_")
+        atexit.register(__import__("shutil").rmtree, tmp, ignore_errors=True)
         np.save(os.path.join(tmp, kname), skeys[order], allow_pickle=False)
         np.save(
             os.path.join(tmp, mname),
@@ -342,6 +362,7 @@ def verified_edges(
             verify_gather, out_schema
         )
         result._gd_sideboard_dir = tmp  # removed via release_candidates()
+        result._gd_sideboard_eager = sc.master.startswith("local")
         return result
 
     # shuffled fallback: sort-merge/hash joins on compact int keys carry

@@ -167,7 +167,14 @@ def run_pipeline(
         edges = ckpt.load("edges")
     else:
         metrics.start("edges")
-        lsh_raw = verified_edges(pairs, rep_sigs, cfg, key_col="doc_id", n_sigs=n_docs)
+        # Broadcast decision sized on the REPRESENTATIVE count, not
+        # n_docs: on dup-heavy corpora reps ≪ docs, and the n_docs upper
+        # bound pushed broadcast-eligible corpora near the cliff onto the
+        # 3-10× slower shuffled path. rep_map is already checkpointed
+        # parquet, so this count is one cheap scan, paid only when the
+        # edges stage actually runs.
+        n_reps = rep_sigs.count()
+        lsh_raw = verified_edges(pairs, rep_sigs, cfg, key_col="doc_id", n_sigs=n_reps)
         lsh_e = lsh_raw.select(
             "key_a", "key_b", F.col("jaccard_est").alias("score"), "source"
         )

@@ -15,10 +15,12 @@ DIST="$REPO/dist"
 ZIP="$DIST/hyrise_generalized_dedup_spark.zip"
 
 mkdir -p "$DIST"
-python - <<EOF
+# REPO/ZIP reach the builder via the environment, NOT string
+# interpolation into the heredoc — paths with quotes/spaces stay intact.
+GD_REPO="$REPO" GD_ZIP="$ZIP" python3 - <<'EOF'
 import os, zipfile
-repo = "$REPO"
-zpath = "$ZIP"
+repo = os.environ["GD_REPO"]
+zpath = os.environ["GD_ZIP"]
 pkg = os.path.join(repo, "hyrise_generalized_dedup_spark")
 with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
     for root, dirs, files in os.walk(pkg):
@@ -39,7 +41,9 @@ while [[ $# -gt 0 ]]; do
   esac
 done
 
+# ${ARGS[@]+...}: under set -u an empty array expansion errors on
+# bash < 4.4, so guard the expansion.
 exec spark-submit \
   --master "$MASTER" \
   --py-files "$ZIP" \
-  "$REPO/scripts/submit_pipeline.py" --master "$MASTER" "${ARGS[@]}"
+  "$REPO/scripts/submit_pipeline.py" --master "$MASTER" ${ARGS[@]+"${ARGS[@]}"}

@@ -6,21 +6,26 @@ Each pipeline stage leaves a metrics artifact:
 granular so skew is visible in the metrics themselves (a hot LSH band
 shows up as one output file 100x the median).
 
-Scale note: the histogram is derived from the checkpoint parquet's FILE
-METADATA driver-side (one directory listing), not from a second Spark
-aggregation over the stage output — round-1 measured the per-stage
-metrics job as part of the fixed latency that capped scaling efficiency.
-A row-granular histogram remains available via partition_histogram() for
-ad-hoc analysis."""
+Scale notes:
+- the histogram is derived from the checkpoint parquet's FILE METADATA
+  driver-side (one Hadoop listStatus), not from a second Spark
+  aggregation over the stage output — round-1 measured the per-stage
+  metrics job as part of the fixed latency that capped scaling
+  efficiency. A row-granular histogram remains available via
+  partition_histogram() for ad-hoc analysis.
+- every filesystem touch goes through the Hadoop FS API (fsutil), so
+  metrics land next to the checkpoints wherever out_dir lives
+  (file://, hdfs://, s3a://), matching the Checkpointer."""
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from .. import fsutil
 
 
 def partition_histogram(df: DataFrame, stage: str, config_hash: str, wall_ms: int) -> DataFrame:
@@ -38,16 +43,13 @@ def partition_histogram(df: DataFrame, stage: str, config_hash: str, wall_ms: in
     )
 
 
-def file_histogram(path: str) -> list[dict[str, object]]:
+def file_histogram(spark: SparkSession, path: str) -> list[dict[str, object]]:
     """Per-output-file byte sizes of a materialized stage directory."""
-    out = []
-    try:
-        for entry in sorted(os.scandir(path), key=lambda e: e.name):
-            if entry.is_file() and not entry.name.startswith(("_", ".")):
-                out.append({"file": entry.name, "bytes": entry.stat().st_size})
-    except FileNotFoundError:
-        pass
-    return out
+    return [
+        {"file": name, "bytes": size}
+        for name, size in fsutil.list_files(spark, path)
+        if not name.startswith(("_", "."))
+    ]
 
 
 class MetricsCollector:
@@ -58,14 +60,11 @@ class MetricsCollector:
         self._t0: dict[str, float] = {}
         self.summary: dict[str, object] = {"config_hash": config_hash}
 
-    def start(self, stage: str) -> None:
-        self._t0[stage] = time.time()
-
     def finish(self, stage: str, checkpoint_path: str) -> None:
         """Record wall time + the file-size histogram of the (already
         materialized) stage checkpoint. Driver-side only — no Spark job."""
         wall_ms = int((time.time() - self._t0.get(stage, time.time())) * 1000)
-        files = file_histogram(checkpoint_path)
+        files = file_histogram(self.spark, checkpoint_path)
         record = {
             "stage": stage,
             "wall_ms": wall_ms,
@@ -78,24 +77,25 @@ class MetricsCollector:
         # `.json` suffix avoids colliding with round-1 runs that left
         # parquet DIRECTORIES at metrics/<stage>; if such a legacy
         # directory exists (resumed out_dir), clear it so the recompute
-        # can't die with IsADirectoryError.
-        path = os.path.join(self.out_dir, "metrics", f"{stage}.json")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        legacy = os.path.join(self.out_dir, "metrics", stage)
-        if os.path.isdir(legacy):
-            import shutil
-
-            shutil.rmtree(legacy)
-        with open(path, "w") as fh:
-            json.dump(record, fh, indent=2)
+        # can't die on a directory-in-the-way error.
+        path = fsutil.urljoin(self.out_dir, "metrics", f"{stage}.json")
+        legacy = fsutil.urljoin(self.out_dir, "metrics", stage)
+        if fsutil.is_dir(self.spark, legacy):
+            fsutil.delete(self.spark, legacy, recursive=True)
+        fsutil.write_text(self.spark, path, json.dumps(record, indent=2))
         self.summary[f"{stage}_wall_ms"] = wall_ms
+
+    def start(self, stage: str) -> None:
+        self._t0[stage] = time.time()
 
     def add(self, **kv: object) -> None:
         self.summary.update(kv)
 
     def write_summary(self) -> str:
-        path = os.path.join(self.out_dir, "metrics", "summary.json")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as fh:
-            json.dump(self.summary, fh, indent=2, sort_keys=True, default=str)
+        path = fsutil.urljoin(self.out_dir, "metrics", "summary.json")
+        fsutil.write_text(
+            self.spark,
+            path,
+            json.dumps(self.summary, indent=2, sort_keys=True, default=str),
+        )
         return path

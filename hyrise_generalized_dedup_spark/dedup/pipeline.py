@@ -27,12 +27,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import fsutil
 from ..config import GDConfig
 from .cluster import connected_components
 from .gd import dedup_stats, gd_segments
@@ -46,23 +45,31 @@ STAGES = ("gd", "signatures", "reps", "candidates", "edges", "clusters", "suffix
 
 
 class Checkpointer:
+    """Stage checkpoints + `_DONE` resume markers, filesystem-agnostic.
+
+    All marker reads/writes go through the Hadoop FS API (fsutil), so
+    resume works when ``out_dir`` is ``file://``, ``hdfs://`` or
+    ``s3a://`` — the north rule's checkpointed resumability on the
+    cluster where output is an object store, not the driver's disk."""
+
     def __init__(self, spark: SparkSession, out_dir: str, cfg: GDConfig, resume: bool = True):
         self.spark = spark
-        self.root = os.path.join(out_dir, "checkpoint", cfg.config_hash())
+        self.root = fsutil.urljoin(out_dir, "checkpoint", cfg.config_hash())
         self.resume = resume
 
     def path(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
+        return fsutil.urljoin(self.root, stage)
 
     def done(self, stage: str) -> bool:
-        return self.resume and os.path.exists(os.path.join(self.path(stage), "_DONE"))
+        return self.resume and fsutil.exists(
+            self.spark, fsutil.urljoin(self.path(stage), "_DONE")
+        )
 
     def materialize(self, stage: str, df: DataFrame) -> DataFrame:
         """Write stage output + _DONE marker, read back (lineage cut)."""
         p = self.path(stage)
         df.write.mode("overwrite").parquet(p)
-        with open(os.path.join(p, "_DONE"), "w") as fh:
-            fh.write("done\n")
+        fsutil.write_text(self.spark, fsutil.urljoin(p, "_DONE"), "done\n")
         return self.spark.read.parquet(p)
 
     def load(self, stage: str) -> DataFrame:
@@ -302,9 +309,10 @@ def main() -> None:
 
     from ..session import get_spark
 
-    if args.fresh and os.path.exists(args.output):
-        shutil.rmtree(args.output)
     spark = get_spark(app_name="gd-pipeline", master=args.master)
+    if args.fresh and fsutil.exists(spark, args.output):
+        # FS-API delete so --fresh works on object-store output dirs too
+        fsutil.delete(spark, args.output, recursive=True)
     source = _load_input(spark, args.input).cache()
     n_in = source.count()  # materialize input outside the timed window
     # warm the Python/Arrow worker pool so per-worker interpreter+pandas

@@ -169,6 +169,85 @@ def test_metrics_legacy_dir_collision(spark, corpus, tmp_path):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_resume_through_file_uri_out_dir(spark, corpus, tmp_path):
+    """VERDICT r3 item 2: checkpoint markers + metrics must be
+    filesystem-agnostic. Drive the whole marker/metrics layer through a
+    `file://` URI out_dir (exercising the Hadoop FS API path — raw
+    os.path/open() would treat 'file:/...' as a relative dir and either
+    crash or silently never resume), then resume and verify stage-skip
+    semantics still hold."""
+    from hyrise_generalized_dedup_spark import fsutil
+
+    local_root = tmp_path / "uri_out"
+    out = "file://" + str(local_root)
+    s1 = run_pipeline(
+        spark, to_spark(spark, corpus), out, resume=False, with_suffix_stage=False
+    )
+    assert s1["n_files"] == 200
+    cfgh = GDConfig().config_hash()
+    # markers + metrics actually landed under the URI's local root
+    for stage in ("gd", "signatures", "reps", "candidates", "edges", "clusters"):
+        assert (local_root / "checkpoint" / cfgh / stage / "_DONE").is_file(), stage
+        assert (local_root / "metrics" / f"{stage}.json").is_file(), stage
+    assert json.loads((local_root / "metrics" / "summary.json").read_text())[
+        "n_files"
+    ] == 200
+    # resume through the URI: clusters stage must be skipped (marker mtime
+    # unchanged) and the assignment byte-identical
+    marker = local_root / "checkpoint" / cfgh / "clusters" / "_DONE"
+    mtime = marker.stat().st_mtime
+    p = out + f"/checkpoint/{cfgh}/clusters"
+    before = sorted((r.doc_key, r.cluster_id) for r in spark.read.parquet(p).collect())
+    s2 = run_pipeline(
+        spark, to_spark(spark, corpus), out, resume=True, with_suffix_stage=False
+    )
+    assert marker.stat().st_mtime == mtime
+    after = sorted((r.doc_key, r.cluster_id) for r in spark.read.parquet(p).collect())
+    assert before == after and s2["n_clusters"] == s1["n_clusters"]
+    # partial resume: drop one marker via the FS API, that stage recomputes
+    fsutil.delete(spark, out + f"/checkpoint/{cfgh}/edges/_DONE", recursive=False)
+    run_pipeline(
+        spark, to_spark(spark, corpus), out, resume=True, with_suffix_stage=False
+    )
+    assert (local_root / "checkpoint" / cfgh / "edges" / "_DONE").is_file()
+    shutil.rmtree(local_root, ignore_errors=True)
+
+
+def test_checkpoint_layer_has_no_posix_calls():
+    """Regression for the fix itself: the marker/metrics layer must stay
+    on the Hadoop FS API — a raw os.path/open() reintroduced there would
+    break object-store out_dirs silently (local tests would still pass)."""
+    import inspect
+
+    from hyrise_generalized_dedup_spark.dedup import metrics as metrics_mod
+    from hyrise_generalized_dedup_spark.dedup.pipeline import Checkpointer
+
+    for src in (inspect.getsource(Checkpointer), inspect.getsource(metrics_mod)):
+        code = "\n".join(
+            line for line in src.splitlines() if not line.lstrip().startswith("#")
+        )
+        assert "os.path" not in code and "open(" not in code.replace("fs.open", "")
+
+
+def test_fsutil_roundtrip(spark, tmp_path):
+    from hyrise_generalized_dedup_spark import fsutil
+
+    base = "file://" + str(tmp_path / "fsu")
+    p = fsutil.urljoin(base, "a", "b.txt")
+    assert p.endswith("/fsu/a/b.txt") and p.startswith("file://")
+    assert not fsutil.exists(spark, p)
+    fsutil.write_text(spark, p, "hello\n")
+    assert fsutil.exists(spark, p)
+    assert fsutil.read_text(spark, p) == "hello\n"
+    assert fsutil.list_files(spark, fsutil.urljoin(base, "a")) == [("b.txt", 6)]
+    assert fsutil.is_dir(spark, fsutil.urljoin(base, "a"))
+    assert not fsutil.is_dir(spark, p)
+    fsutil.delete(spark, base)
+    assert not fsutil.exists(spark, p)
+    # s3a-style scheme joins survive urljoin (no os.path backslash/retree)
+    assert fsutil.urljoin("s3a://bucket/pre", "x") == "s3a://bucket/pre/x"
+
+
 def test_synth_generator_deterministic():
     c1, c2 = generate(123, seed=42), generate(123, seed=42)
     assert c1.rows == c2.rows and c1.dup_pairs == c2.dup_pairs

@@ -58,12 +58,19 @@ def main() -> None:
     # not first-use initialization
     qs["q6_filtered_revenue"](spark, SF_DIR).collect()
 
+    # min-of-N per query: single draws on this box swing up to 2x with
+    # VM noise (BENCH/BASELINE.md), so cross-round deltas need the min
+    # of repeated runs to be meaningful. Cheap at sf0.1.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # dedup-pipeline throughput: files/sec over the synthetic code corpus
     # (map-heavy stages dominate — the 100 TB-relevant number)
@@ -79,9 +86,11 @@ def main() -> None:
     dedup_wall = time.time() - t0
     timings["dedup_pipeline"] = round(dedup_wall, 3)
     # per-stage walls from the pipeline's own metrics so the suffix
-    # stage's cost is visible in BENCH, not folded into the total
+    # stage's cost is visible in BENCH, not folded into the total;
+    # keys say _wall_s because the values ARE seconds (the r3 report
+    # emitted seconds under *_wall_ms keys — unit lie, now fixed)
     stage_walls = {
-        k: round(v / 1000.0, 3)
+        k[: -len("_wall_ms")] + "_wall_s": round(v / 1000.0, 3)
         for k, v in summary.items()
         if isinstance(k, str) and k.endswith("_wall_ms") and isinstance(v, int)
     }
@@ -102,6 +111,7 @@ def main() -> None:
                 "dedup_files_per_sec": round(n_files / dedup_wall, 1),
                 "dedup_clusters": summary["n_clusters"],
                 "dedup_stage_walls": stage_walls,
+                "bench_reps": reps,
                 "cpus": CPUS,
             }
         )

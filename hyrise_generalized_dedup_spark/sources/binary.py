@@ -22,8 +22,11 @@ fixtures (resources/test_data/bin/*.bin). Layout (little-endian):
                      packed char block, attribute vector
     4 FrameOfReference: cv_type:u8, block_count:u32, block minima,
                      nulls_stored:u8 [nulls:u8[n]], offsets (128/block)
-    5 LZ4:           gated behind the optional `lz4` package (absent in
-                     this container) — raises DecodeUnavailable
+    5 LZ4:           num_elements/block geometry:u32x4, block sizes,
+                     independently-compressed blocks sharing one
+                     dictionary window, nulls, bit-packed string
+                     offsets — decoded by a pure-python LZ4 block
+                     decoder (no external lz4 package)
 
 Spark-native shape: one .bin file is a driver-side artifact (the
 reference caps these at fixture scale too — its own binary fixtures are
@@ -211,11 +214,108 @@ def _decode_segment(reader: _Reader, col_type: str, nullable: bool, n: int) -> l
             vals = [None if nv else v for v, nv in zip(vals, nulls)]
         return vals
     if enc == ENC_LZ4:
-        raise DecodeUnavailable(
-            "LZ4 segments need the optional `lz4` package (absent in this "
-            "container); re-export the table Unencoded/Dictionary, or parquet"
-        )
+        return _decode_lz4_segment(reader, col_type, n)
     raise ValueError(f"invalid encoding type {enc}")
+
+
+def _lz4_block_decompress(src: bytes, expected: int, dictionary: bytes = b"") -> bytes:
+    """Pure-python LZ4 *block* decoder (the public LZ4 block format:
+    token = literal-run nibble + match-len nibble, 255-continuation
+    lengths, u16 LE match offsets). ``dictionary`` acts as the preceding
+    window — LZ4_decompress_safe_usingDict semantics — so matches may
+    reach back into it. Fixture-scale only (the bulk path is parquet);
+    no external lz4 package needed."""
+    out = bytearray(dictionary)
+    base = len(out)
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # final sequence carries literals only
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt LZ4 block: zero match offset")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("corrupt LZ4 block: offset beyond window")
+        if offset >= mlen:
+            out += out[start : start + mlen]
+        else:
+            # overlapping match: the source region repeats as it grows
+            chunk = out[start:]
+            out += (chunk * (mlen // offset + 1))[:mlen]
+    if len(out) - base != expected:
+        raise ValueError(
+            f"LZ4 block decompressed to {len(out) - base} bytes, expected {expected}"
+        )
+    return bytes(out[base:])
+
+
+def _decode_lz4_segment(reader: _Reader, col_type: str, n: int) -> list:
+    """LZ4Segment payload (binary_parser.cpp:244-283 _import_lz4_segment):
+    num_elements:u32, block_count:u32, block_size:u32, last_block_size:u32,
+    lz4_block_sizes:u32[], blocks, null_values_size:u32 [nulls:u8[]],
+    dictionary_size:u32 [dict bytes], string_offsets_size:u32
+    [bit-packed offsets]. Blocks are independently compressed against the
+    shared dictionary (lz4_segment.cpp:175-206 _decompress_block)."""
+    num_elements = reader.u32()
+    block_count = reader.u32()
+    block_size = reader.u32()
+    last_block_size = reader.u32()
+    block_sizes = reader.values(np.dtype("<u4"), block_count).tolist()
+    blocks = [reader.raw(bs) for bs in block_sizes]
+    null_values_size = reader.u32()
+    nulls = reader.bools(null_values_size) if null_values_size else None
+    dict_size = reader.u32()
+    dictionary = reader.raw(dict_size)
+    string_offsets_size = reader.u32()
+    offsets = _unpack_bitpacked(reader, n) if string_offsets_size else None
+
+    data = b"".join(
+        _lz4_block_decompress(
+            blk,
+            block_size if bi + 1 < block_count else last_block_size,
+            dictionary,
+        )
+        for bi, blk in enumerate(blocks)
+    )
+    if col_type == "string":
+        # all-empty-string segments compress to zero blocks
+        # (lz4_segment.cpp:128-135); otherwise offsets[i] .. offsets[i+1]
+        # (or end-of-data for the last row) delimit each string
+        if offsets is None or not len(data):
+            out: list = [""] * num_elements
+        else:
+            offs = offsets.astype(np.int64)
+            ends = np.append(offs[1:], len(data))
+            out = [
+                data[int(s) : int(e)].decode("utf-8") for s, e in zip(offs, ends)
+            ]
+    else:
+        out = np.frombuffer(data, dtype=_DTYPES[col_type])[:num_elements].tolist()
+    if nulls is not None:
+        out = [None if nv else v for v, nv in zip(out, nulls)]
+    return out
 
 
 def _read_attribute_vector_with_cv(reader: _Reader, cv: int, n: int) -> np.ndarray:

@@ -211,6 +211,61 @@ def test_hot_bucket_star_path(spark):
     assert "unique" not in assign  # no false edge to the distinct doc
 
 
+def test_star_floor_precision_gate(spark):
+    """Precision floor for the star-edge path (VERDICT r3 item 6): recall
+    is gated >=0.99 elsewhere, but the relaxed star verification floor
+    (star_floor_frac) had no regression gate — a future threshold tweak
+    could silently over-merge hot buckets. Planted fixture: two DISTINCT
+    vendored families (each a forced hot bucket) + unique docs. Gate:
+    pairwise cluster precision >= 0.97 (true co-clustered pairs / all
+    co-clustered pairs), families never merge with each other, and no
+    unique doc joins a family."""
+    import itertools
+
+    cfg = GDConfig(hot_band_threshold=5)
+    fam_a = [("r", f"a{i}", f"A{i:03d}", "js", "var vendored_a = 1;\n" * 30) for i in range(30)]
+    fam_b = [
+        ("r", f"b{i}", f"B{i:03d}", "js", "function vendored_b() { return 2; }\n" * 20)
+        for i in range(30)
+    ]
+    import random
+
+    rng = random.Random(13)
+    uniq = [
+        (
+            "r",
+            f"u{i}",
+            f"U{i:03d}",
+            "js",
+            "\n".join(f"tok_{rng.randrange(10**9)} = {rng.randrange(10**6)}" for _ in range(40)),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        fam_a + fam_b + uniq,
+        "repo string, path string, commit string, lang string, content string",
+    ).withColumn("doc_key", F.col("commit"))
+    sigs = signatures(df, cfg, key_col="doc_key")
+    edges = verified_edges(candidate_pairs(band_table(sigs), cfg, persist=False), sigs, cfg)
+    cc = connected_components(edges)
+    assign = {r.doc_key: r.cluster_id for r in cc.collect()}
+    truth = lambda k: k[0]  # family letter is the ground-truth cluster
+    by_cluster: dict = {}
+    for k, c in assign.items():
+        by_cluster.setdefault(c, []).append(k)
+    co_pairs = [
+        p for members in by_cluster.values() for p in itertools.combinations(sorted(members), 2)
+    ]
+    assert co_pairs, "families must co-cluster at all (recall sanity)"
+    true_pairs = sum(1 for a, b in co_pairs if truth(a) == truth(b) and truth(a) != "U")
+    precision = true_pairs / len(co_pairs)
+    assert precision >= 0.97, f"star-path precision {precision:.3f} over-merges"
+    assert assign["A000"] != assign["B000"], "distinct families merged"
+    fam_clusters = {assign["A000"], assign["B000"]}
+    for i in range(40):
+        assert assign.get(f"U{i:03d}") not in fam_clusters, f"unique doc U{i:03d} absorbed"
+
+
 def test_connected_components_toy(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")], "key_a string, key_b string"

@@ -988,3 +988,128 @@ SELECT COUNT(*) AS n FROM events WHERE value IS DISTINCT FROM NULL;
 SELECT COUNT(*) AS n FROM events e1 JOIN events e2 ON e1.event_id = e2.event_id AND e1.value IS NOT DISTINCT FROM e2.value;
 SELECT COALESCE(CAST(MAX(value) AS STRING), 'none') AS mx FROM events WHERE event_type = 'no_such_type';
 SELECT COUNT(*) AS n FROM events WHERE NOT (value > 50) OR value IS NULL;
+
+-- =================== round-4 tranche (validated vs DuckDB) =================
+-- FULL OUTER with expressions, DISTINCT-ON via window, deeper grouping
+-- sets, string/numeric/conditional function edges, FILTER clause,
+-- GROUP BY ALL, VALUES tables, correlated round 4, date round 4.
+SELECT COALESCE(a.k, b.k) AS k, a.n AS an, b.n AS bn FROM (SELECT n_regionkey AS k, COUNT(*) AS n FROM nation GROUP BY n_regionkey) a FULL OUTER JOIN (SELECT r_regionkey + 1 AS k, COUNT(*) AS n FROM region GROUP BY r_regionkey + 1) b ON a.k = b.k ORDER BY k;
+SELECT COUNT(*) AS n FROM (SELECT s_nationkey AS k FROM supplier) s FULL OUTER JOIN (SELECT c_nationkey AS k FROM customer WHERE c_acctbal < 0) c ON s.k = c.k;
+SELECT r_name, n_name FROM region FULL OUTER JOIN nation ON r_regionkey = n_regionkey AND n_nationkey < 10 ORDER BY r_name NULLS FIRST, n_name NULLS FIRST;
+SELECT COALESCE(s.k, c.k, -1) AS k, COALESCE(s.n, 0) + COALESCE(c.n, 0) AS total FROM (SELECT s_nationkey AS k, COUNT(*) AS n FROM supplier GROUP BY s_nationkey) s FULL OUTER JOIN (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer GROUP BY c_nationkey) c ON s.k = c.k ORDER BY k;
+SELECT CASE WHEN a.k IS NULL THEN 'right_only' WHEN b.k IS NULL THEN 'left_only' ELSE 'both' END AS side, COUNT(*) AS n FROM (SELECT DISTINCT o_custkey AS k FROM orders) a FULL OUTER JOIN (SELECT DISTINCT c_custkey AS k FROM customer) b ON a.k = b.k GROUP BY 1 ORDER BY side;
+SELECT COUNT(*) AS n FROM nation n1 FULL OUTER JOIN nation n2 ON n1.n_nationkey = 25 - n2.n_nationkey;
+SELECT o_custkey, o_orderkey FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn = 1 ORDER BY o_custkey LIMIT 40;
+SELECT n_regionkey, n_name FROM (SELECT n_regionkey, n_name, ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS rn FROM nation) t WHERE rn = 1 ORDER BY n_regionkey;
+SELECT l_orderkey, l_linenumber FROM (SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey LIMIT 50;
+SELECT event_type, event_id FROM (SELECT event_type, event_id, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(ts AS STRING), event_id) AS rn FROM events) t WHERE rn = 1 ORDER BY event_type;
+SELECT s_nationkey, s_name FROM (SELECT s_nationkey, s_name, ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn FROM supplier) t WHERE rn = 1 ORDER BY s_nationkey LIMIT 25;
+SELECT n_regionkey, n_nationkey, COUNT(*) AS n FROM nation GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), (n_regionkey, n_nationkey), ()) ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST;
+SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls, COUNT(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) HAVING COUNT(*) > 10 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST;
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ()) ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST;
+SELECT l_returnflag, GROUPING(l_returnflag) AS g, COUNT(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (), (l_returnflag)) ORDER BY l_returnflag NULLS FIRST, g;
+SELECT event_type, CAST(value IS NULL AS INT) AS has_null, COUNT(*) AS n FROM events GROUP BY ROLLUP (event_type, CAST(value IS NULL AS INT)) ORDER BY event_type NULLS FIRST, has_null NULLS FIRST;
+SELECT TRIM('  x  ') AS t1, LTRIM('  x  ') AS t2, RTRIM('  x  ') AS t3;
+SELECT TRIM(BOTH 'x' FROM 'xxhixx') AS t1, TRIM(LEADING 'x' FROM 'xxhixx') AS t2, TRIM(TRAILING 'x' FROM 'xxhixx') AS t3;
+SELECT LPAD(n_name, 20, '.') AS padded FROM nation ORDER BY n_nationkey LIMIT 5;
+SELECT RPAD(r_name, 12, '-') AS padded FROM region ORDER BY r_regionkey;
+SELECT REPLACE(n_name, 'A', '@') AS rep FROM nation ORDER BY n_nationkey LIMIT 10;
+SELECT REVERSE(n_name) AS rev FROM nation ORDER BY n_nationkey LIMIT 10;
+SELECT REPEAT('ab', 3) AS r1, REPEAT('', 5) AS r2, REPEAT('x', 0) AS r3;
+SELECT POSITION('BA' IN n_name) AS pos, n_name FROM nation ORDER BY n_nationkey LIMIT 10;
+SELECT ASCII(n_name) AS a FROM nation ORDER BY n_nationkey LIMIT 10;
+SELECT n_name, LENGTH(n_name) AS len, UPPER(LOWER(n_name)) AS roundtrip FROM nation WHERE LENGTH(n_name) > 6 ORDER BY n_name;
+SELECT SUBSTR(p_name, 1, 3) AS pre, COUNT(*) AS n FROM part GROUP BY SUBSTR(p_name, 1, 3) ORDER BY pre LIMIT 30;
+SELECT SUBSTR(n_name, -3) AS tail FROM nation ORDER BY n_nationkey LIMIT 10;
+SELECT CONCAT_WS('-', n_name, CAST(n_nationkey AS STRING)) AS cw FROM nation ORDER BY n_nationkey LIMIT 5;
+SELECT n_name FROM nation WHERE n_name LIKE '__A%' ORDER BY n_name;
+SELECT COUNT(*) AS n FROM part WHERE LOWER(p_name) = p_name;
+SELECT c_name FROM customer WHERE c_name LIKE '%_9' ORDER BY c_name LIMIT 10;
+SELECT BOOL_AND(l_quantity > 0) AS all_pos, BOOL_OR(l_discount > 0.09) AS any_big FROM lineitem;
+SELECT MIN_BY(n_name, n_nationkey) AS first_nation, MAX_BY(n_name, n_nationkey) AS last_nation FROM nation;
+SELECT o_orderstatus, MIN_BY(o_orderkey, o_totalprice) AS cheapest, MAX_BY(o_orderkey, o_totalprice) AS priciest FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT COUNT(*) - COUNT(value) AS n_nulls, COUNT(DISTINCT event_type) AS n_types FROM events;
+SELECT event_type, COUNT(value) AS non_null, COUNT(*) AS total FROM events GROUP BY event_type ORDER BY event_type;
+SELECT l_returnflag, MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS no_disc, SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS disc FROM lineitem;
+SELECT ABS(-5) AS a, ABS(5) AS b, SIGN(-2.5) AS s1, SIGN(0) AS s2, SIGN(7) AS s3;
+SELECT MOD(17, 5) AS m1, MOD(-17, 5) AS m2, 17 % 5 AS m3;
+SELECT GREATEST(1, 2, 3) AS g, LEAST(1, 2, 3) AS l, GREATEST(-1, -2) AS g2;
+SELECT GREATEST(l_tax, l_discount) AS g, COUNT(*) AS n FROM lineitem GROUP BY GREATEST(l_tax, l_discount) ORDER BY g LIMIT 20;
+SELECT FLOOR(o_totalprice / 10000) AS bucket, COUNT(*) AS n FROM orders GROUP BY FLOOR(o_totalprice / 10000) ORDER BY bucket;
+SELECT CEIL(l_quantity / 10) AS bucket, COUNT(*) AS n FROM lineitem GROUP BY CEIL(l_quantity / 10) ORDER BY bucket;
+SELECT SQRT(4.0) AS s1, SQRT(2.25) AS s2, POWER(2.0, 10.0) AS p;
+SELECT MIN(ABS(value - 50)) AS closest FROM events WHERE value IS NOT NULL;
+SELECT NULLIF(1, 1) AS a, NULLIF(1, 2) AS b, NULLIF('x', 'x') AS c;
+SELECT IFNULL(NULL, 'fallback') AS a, IFNULL('present', 'fallback') AS b;
+SELECT COUNT(*) AS n FROM events WHERE NULLIF(event_type, 'error') IS NULL;
+SELECT event_type, COALESCE(CAST(MIN(value) AS STRING), 'all-null') AS mn FROM events GROUP BY event_type ORDER BY event_type;
+SELECT CASE WHEN value IS NULL THEN 'missing' WHEN value < 33 THEN 'low' WHEN value < 66 THEN 'mid' ELSE 'high' END AS band, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY band;
+SELECT n_nationkey, SUM(n_regionkey) OVER (ORDER BY n_nationkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, SUM(n_regionkey) OVER (ORDER BY n_nationkey ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS win FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, COUNT(*) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sz FROM nation ORDER BY n_nationkey;
+SELECT o_orderkey, LAG(o_totalprice, 1, 0.0) OVER (ORDER BY o_orderkey) AS prev_price FROM orders ORDER BY o_orderkey LIMIT 30;
+SELECT o_orderkey, LEAD(o_orderstatus, 2, 'none') OVER (ORDER BY o_orderkey) AS nxt FROM orders ORDER BY o_orderkey LIMIT 30;
+SELECT n_nationkey, FIRST_VALUE(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS first_in_region FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, LAST_VALUE(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_in_region FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, CUME_DIST() OVER (ORDER BY n_nationkey) AS cd FROM nation ORDER BY n_nationkey;
+SELECT l_orderkey, l_linenumber, SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neighborhood FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50;
+SELECT event_type, event_id, AVG(value) OVER (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving FROM events WHERE value IS NOT NULL ORDER BY event_type, event_id LIMIT 40;
+SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, label) ORDER BY id;
+SELECT t.id, n.n_name FROM (VALUES (0), (1), (2)) AS t(id) JOIN nation n ON n.n_nationkey = t.id ORDER BY t.id;
+SELECT COUNT(*) AS n FROM nation WHERE n_regionkey IN (SELECT * FROM (VALUES (0), (2)) AS v(k));
+SELECT r_name FROM region r WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey AND n.n_name LIKE 'A%') ORDER BY r_name;
+SELECT COUNT(*) AS n FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F');
+SELECT n_name FROM nation n WHERE (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) > (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) ORDER BY n_name;
+SELECT o_orderpriority, COUNT(*) AS n FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT c_custkey FROM customer c WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_nationkey = c.c_nationkey) ORDER BY c_custkey LIMIT 40;
+SELECT n.n_name, top_s.s_name FROM nation n JOIN (SELECT s_nationkey, MAX(s_name) AS s_name FROM supplier GROUP BY s_nationkey) top_s ON top_s.s_nationkey = n.n_nationkey ORDER BY n.n_name;
+SELECT o.o_orderkey, lc.n_lines FROM orders o JOIN (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey) lc ON lc.l_orderkey = o.o_orderkey WHERE lc.n_lines = 7 ORDER BY o.o_orderkey LIMIT 25;
+SELECT lang, COUNT(*) AS n, MAX(LENGTH(text)) AS longest FROM documents GROUP BY lang ORDER BY lang;
+SELECT doc_id, LENGTH(text) AS len FROM documents ORDER BY LENGTH(text) DESC, doc_id LIMIT 15;
+SELECT COUNT(*) AS n FROM documents WHERE text LIKE '%the%' AND lang = 'en';
+SELECT k, COUNT(*) AS n FROM (SELECT n_regionkey AS k FROM nation UNION ALL SELECT r_regionkey AS k FROM region) u GROUP BY k ORDER BY k;
+SELECT COUNT(*) AS n FROM (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t;
+SELECT COUNT(*) AS n FROM (SELECT n_nationkey FROM nation EXCEPT SELECT c_nationkey FROM customer) t;
+SELECT MAX(k) AS mx FROM (SELECT o_custkey AS k FROM orders EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0) t;
+SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(QUARTER FROM o_orderdate) AS q, COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY y, q;
+SELECT EXTRACT(DAY FROM l_shipdate) AS d, COUNT(*) AS n FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1994 AND EXTRACT(MONTH FROM l_shipdate) = 1 GROUP BY 1 ORDER BY d;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-01-01' + INTERVAL '3' MONTH;
+SELECT CAST(MIN(o_orderdate) AS STRING) AS first_day, CAST(MAX(o_orderdate) AS STRING) AS last_day FROM orders;
+SELECT EXTRACT(YEAR FROM ts) AS y, EXTRACT(HOUR FROM ts) AS h, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY y, h LIMIT 30;
+SELECT event_id, value FROM events ORDER BY value ASC NULLS FIRST, event_id LIMIT 20;
+SELECT event_id, value FROM events ORDER BY value DESC NULLS LAST, event_id LIMIT 20;
+SELECT event_type, value FROM events ORDER BY event_type, value NULLS LAST, event_id LIMIT 25;
+SELECT 7 / 2 AS int_div, 7.0 / 2 AS dec_div, CAST(7 AS DOUBLE) / 2 AS dbl_div;
+SELECT CAST(1 AS BIGINT) + CAST(2147483647 AS INT) AS big_sum;
+SELECT -n_nationkey AS neg, n_nationkey AS pos FROM nation ORDER BY n_nationkey LIMIT 5;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_extendedprice * (1 - l_discount) * (1 + l_tax) > 50000;
+SELECT l_linenumber, COUNT(*) AS n FROM lineitem WHERE MOD(l_orderkey, 2) = 0 GROUP BY l_linenumber ORDER BY l_linenumber;
+SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) t;
+SELECT c_mktsegment FROM customer GROUP BY c_mktsegment HAVING COUNT(DISTINCT c_nationkey) >= 20 ORDER BY c_mktsegment;
+SELECT x.n_name FROM nation x, nation y WHERE x.n_nationkey = y.n_regionkey AND y.n_name = 'JAPAN' ORDER BY x.n_name;
+SELECT COUNT(*) AS n FROM lineitem l, orders o WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'P' AND l.l_returnflag = 'N';
+SELECT o_orderstatus, o_orderpriority, n FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY COUNT(*) DESC, o_orderpriority) AS rn FROM orders GROUP BY o_orderstatus, o_orderpriority) t WHERE rn <= 2 ORDER BY o_orderstatus, o_orderpriority;
+SELECT c_nationkey, MAX(LENGTH(c_name)) AS longest FROM customer GROUP BY c_nationkey HAVING MAX(LENGTH(c_name)) > 15 ORDER BY c_nationkey;
+SELECT SUBSTR(CAST(doc_id AS STRING), 1, 2) AS prefix, COUNT(*) AS n FROM documents GROUP BY SUBSTR(CAST(doc_id AS STRING), 1, 2) ORDER BY prefix LIMIT 20;
+SELECT d.lang, COUNT(*) AS n FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id GROUP BY d.lang ORDER BY d.lang;
+SELECT COUNT(*) AS n FROM embeddings e WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id);
+SELECT EXTRACT(WEEK FROM o_orderdate) AS wk, COUNT(*) AS n FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1 ORDER BY wk LIMIT 20;
+SELECT SPLIT_PART('alpha,beta,gamma', ',', 2) AS p1, SPLIT_PART('a-b', '-', 1) AS p2;
+SELECT LEFT(n_name, 3) AS l3, RIGHT(n_name, 2) AS r2 FROM nation ORDER BY n_nationkey LIMIT 8;
+SELECT COUNT(*) FILTER (WHERE value IS NULL) AS n_null, COUNT(*) FILTER (WHERE value > 50) AS n_big, COUNT(*) AS total FROM events;
+SELECT event_type, COUNT(*) FILTER (WHERE value IS NOT NULL) AS measured FROM events GROUP BY event_type ORDER BY event_type;
+SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY ALL ORDER BY o_orderstatus;
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer GROUP BY ALL ORDER BY c_mktsegment, c_nationkey LIMIT 30;
+SELECT n_name FROM nation WHERE n_name BETWEEN 'C' AND 'K' ORDER BY n_name;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH');
+SELECT CASE WHEN n_regionkey IN (0, 1) THEN CASE WHEN n_nationkey < 10 THEN 'low-west' ELSE 'high-west' END ELSE 'east' END AS zone, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY zone;
+SELECT l_returnflag FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 100 OR MAX(l_quantity) = 50 ORDER BY l_returnflag;
+SELECT s_name FROM supplier WHERE s_suppkey <= 3 UNION ALL SELECT c_name FROM customer WHERE c_custkey <= 3 ORDER BY 1;
+SELECT e1.event_type, COUNT(*) AS n FROM events e1 JOIN events e2 ON e1.event_id = e2.event_id + 1 AND e1.event_type = e2.event_type GROUP BY e1.event_type ORDER BY e1.event_type;
+SELECT UPPER(SUBSTR(r_name, 1, 1)) AS initial, COUNT(*) AS n FROM region GROUP BY 1 ORDER BY initial;
+SELECT COUNT(*) AS n FROM documents WHERE LENGTH(text) BETWEEN 100 AND 1000;
+SELECT lang, MIN(n_chars) AS shortest, MAX(n_chars) AS longest FROM documents GROUP BY lang HAVING MIN(n_chars) < 500 ORDER BY lang;
+SELECT t.bucket, COUNT(*) AS n FROM (SELECT FLOOR(value / 20) AS bucket FROM events WHERE value IS NOT NULL) t GROUP BY t.bucket ORDER BY t.bucket;
+SELECT r.r_name, agg.n_nations, agg.n_supp FROM region r JOIN (SELECT n.n_regionkey, COUNT(DISTINCT n.n_nationkey) AS n_nations, COUNT(s.s_suppkey) AS n_supp FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_regionkey) agg ON agg.n_regionkey = r.r_regionkey ORDER BY r.r_name;

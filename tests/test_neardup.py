@@ -278,6 +278,32 @@ def test_connected_components_toy(spark):
     assert assign["lone"] == "lone"
 
 
+def test_sideboard_cache_evicts_prior_entries(tmp_path, monkeypatch):
+    """ADVICE r3: reused python workers must not accumulate one open mmap
+    pair per verified_edges invocation — loading a new sideboard evicts
+    the previous one from the worker-side cache."""
+    from hyrise_generalized_dedup_spark.dedup import lsh
+
+    paths = {}
+    for tag in ("a", "b"):
+        for part in ("k", "m"):
+            p = tmp_path / f"{tag}{part}.npy"
+            np.save(p, np.arange(3), allow_pickle=False)
+            paths[f"{tag}{part}.npy"] = str(p)
+    import pyspark
+
+    monkeypatch.setattr(pyspark.SparkFiles, "get", lambda name: paths[name])
+    monkeypatch.setattr(lsh, "_SIDEBOARD_CACHE", {}, raising=True)
+    lsh._load_sideboard("ak.npy", "am.npy")
+    assert set(lsh._SIDEBOARD_CACHE) == {("ak.npy", "am.npy")}
+    lsh._load_sideboard("bk.npy", "bm.npy")
+    assert set(lsh._SIDEBOARD_CACHE) == {("bk.npy", "bm.npy")}, "prior sideboard leaked"
+    # re-loading the SAME sideboard is a cache hit, not a reload
+    k1, _ = lsh._load_sideboard("bk.npy", "bm.npy")
+    k2, _ = lsh._load_sideboard("bk.npy", "bm.npy")
+    assert k1 is k2
+
+
 def test_verified_edges_paths_agree(spark, corpus, pipeline_edges):
     """The python-broadcast gather path (sigs fit the budget) and the
     shuffled join fallback (the 10^12 path) must emit identical edges."""

@@ -36,6 +36,8 @@ def write_report() -> dict:
             walls[c].append(round(r["pipeline_wall_ms"] / 1000, 1))
             if c not in best or r["pipeline_wall_ms"] < best[c]["pipeline_wall_ms"]:
                 best[c] = r
+    if 2 not in best or 8 not in best:  # partial (first leg only): no ratio yet
+        return {"partial": True, "have_levels": sorted(best)}
     t2 = best[2]["pipeline_wall_ms"] / 1000
     t8 = best[8]["pipeline_wall_ms"] / 1000
     eff = (t2 / t8) / 4

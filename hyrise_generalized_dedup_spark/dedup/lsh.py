@@ -29,6 +29,7 @@ pair path (pairs >> docs).
 from __future__ import annotations
 
 import os
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -38,6 +39,20 @@ from ..config import GDConfig
 # worker-side cache of mmapped signature sideboards (one np.load per
 # worker process per sideboard; the mmap itself is shared page cache)
 _SIDEBOARD_CACHE: dict = {}
+
+# Driver-side registry of sideboard source dirs that could NOT be deleted
+# at release time (non-local masters fetch addFile sources lazily, so the
+# original path must survive for the whole session). The pipeline summary
+# reports these so long-lived multi-run sessions see the retained disk
+# instead of accumulating it silently.
+_RETAINED_SIDEBOARD_DIRS: list = []
+
+
+def retained_sideboard_dirs() -> list:
+    """Sideboard source dirs retained until interpreter exit (non-local
+    masters only; local-mode dirs are deleted eagerly). Each entry is
+    ``(path, bytes)``."""
+    return list(_RETAINED_SIDEBOARD_DIRS)
 
 
 def _load_sideboard(kname: str, mname: str):
@@ -123,12 +138,21 @@ def release_candidates(pairs: DataFrame) -> None:
             import shutil
 
             shutil.rmtree(side, ignore_errors=True)
-        # non-local: executors fetch addFile sources LAZILY from the
-        # driver's file server, re-reading the ORIGINAL path — deleting
-        # it here would make any recompute of the edges lineage (task
-        # retry, executor loss, late executor under dynamic allocation)
-        # fail unrecoverably. The dir lives until interpreter exit
-        # (atexit hook registered at creation).
+        else:
+            # non-local: executors fetch addFile sources LAZILY from the
+            # driver's file server, re-reading the ORIGINAL path — deleting
+            # it here would make any recompute of the edges lineage (task
+            # retry, executor loss, late executor under dynamic allocation)
+            # fail unrecoverably. The dir lives until interpreter exit
+            # (atexit hook registered at creation); record it so the
+            # pipeline summary can surface the retained driver disk.
+            try:
+                nbytes = sum(
+                    os.path.getsize(os.path.join(side, f)) for f in os.listdir(side)
+                )
+            except OSError:
+                nbytes = 0
+            _RETAINED_SIDEBOARD_DIRS.append((side, nbytes))
 
 
 def candidate_pairs(
@@ -362,7 +386,12 @@ def verified_edges(
             verify_gather, out_schema
         )
         result._gd_sideboard_dir = tmp  # removed via release_candidates()
-        result._gd_sideboard_eager = sc.master.startswith("local")
+        # Eager-copy (delete-after-materialize-safe) only for true local
+        # masters: `local` / `local[k]` / `local[*]`. A prefix match would
+        # also catch `local-cluster[...]`, whose executors are separate
+        # processes that fetch addFile sources LAZILY — deleting the
+        # source dir there breaks task retry of the edges lineage.
+        result._gd_sideboard_eager = bool(re.match(r"^local(\[[^\]]*\])?$", sc.master))
         return result
 
     # shuffled fallback: sort-merge/hash joins on compact int keys carry

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import fsutil
 from ..config import GDConfig
+from ..session import shuffle_partitions
 from .cluster import connected_components
 from .gd import dedup_stats, gd_segments
 from .lsh import band_table, candidate_pairs, release_candidates, verified_edges
@@ -76,6 +77,27 @@ class Checkpointer:
         return self.spark.read.parquet(self.path(stage))
 
 
+def gc_stale_checkpoints(
+    spark: SparkSession, out_dir: str, cfg: GDConfig
+) -> list[str]:
+    """Delete checkpoint trees for config hashes other than ``cfg``'s.
+
+    ``{out}/checkpoint/<config_hash>/`` accumulates one tree per config
+    ever run against the same output dir; stale trees are never reusable
+    (the hash binds them to their config) so they are pure dead weight.
+    Routed through the Hadoop FS API so GC works on object-store output
+    dirs. Returns the deleted hash names. Opt-in (CLI ``--gc-stale``);
+    default behavior keeps every tree."""
+    root = fsutil.urljoin(out_dir, "checkpoint")
+    keep = cfg.config_hash()
+    deleted = []
+    for name in fsutil.list_dirs(spark, root):
+        if name != keep:
+            fsutil.delete(spark, fsutil.urljoin(root, name), recursive=True)
+            deleted.append(name)
+    return deleted
+
+
 def run_pipeline(
     spark: SparkSession,
     code_files: DataFrame,
@@ -95,7 +117,7 @@ def run_pipeline(
     # every shuffle-heavy stage — the pair path moves 8-byte keys, not
     # ~90-byte composite strings (the late-materialization lesson applied
     # to join keys; 64-bit is sandbox-scale, production would widen to 128).
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    par = shuffle_partitions(spark)
     docs = (
         code_files.withColumn("doc_key", F.concat_ws("|", "repo", "path", "commit"))
         .withColumn("doc_id", F.xxhash64("doc_key"))
@@ -267,6 +289,21 @@ def run_pipeline(
     }
     n_star_kept = int(by_source.get("lsh_star", 0))
     n_star_cand = int(pstats["n_star"] or 0)
+    # One groupBy("source") job gives both suffix summary counts (edges +
+    # overflows) — same pattern as the edges-by-source job above, instead
+    # of two separate filtered .count() scans over the suffix output.
+    if suffix is not None:
+        suffix_by_source = {
+            r["source"]: r["n"]
+            for r in suffix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_suffix_edges = int(suffix_by_source.get("suffix", 0))
+        n_suffix_overflows = int(suffix_by_source.get("suffix_overflow", 0))
+    else:
+        n_suffix_edges = n_suffix_overflows = None
+    from .lsh import retained_sideboard_dirs
+
+    retained = retained_sideboard_dirs()
     metrics.add(
         n_files=n_docs,
         n_candidate_pairs=int(pstats["n"]),
@@ -277,8 +314,13 @@ def run_pipeline(
         n_edges_by_source=by_source,
         n_clusters=n_clusters,
         n_multi_doc_clusters=n_multi,
-        n_suffix_edges=suffix.filter(F.col("source") == "suffix").count() if suffix is not None else None,
-        n_suffix_overflows=suffix.filter(F.col("source") == "suffix_overflow").count() if suffix is not None else None,
+        n_suffix_edges=n_suffix_edges,
+        n_suffix_overflows=n_suffix_overflows,
+        # non-local masters retain sideboard source dirs on driver disk
+        # until interpreter exit (lazy addFile fetch, see dedup/lsh.py);
+        # surfaced here so multi-run sessions see the accumulation.
+        n_retained_sideboard_dirs=len(retained),
+        retained_sideboard_bytes=sum(b for _, b in retained),
         **stats,
     )
     metrics.write_summary()
@@ -305,6 +347,11 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-suffix", action="store_true")
     ap.add_argument("--fresh", action="store_true", help="delete output dir first")
+    ap.add_argument(
+        "--gc-stale",
+        action="store_true",
+        help="delete checkpoint trees whose config hash differs from this run's",
+    )
     args = ap.parse_args()
 
     from ..session import get_spark
@@ -313,11 +360,15 @@ def main() -> None:
     if args.fresh and fsutil.exists(spark, args.output):
         # FS-API delete so --fresh works on object-store output dirs too
         fsutil.delete(spark, args.output, recursive=True)
+    if args.gc_stale:
+        stale = gc_stale_checkpoints(spark, args.output, GDConfig())
+        if stale:
+            print(f"gc-stale: removed {len(stale)} checkpoint tree(s): {stale}")
     source = _load_input(spark, args.input).cache()
     n_in = source.count()  # materialize input outside the timed window
     # warm the Python/Arrow worker pool so per-worker interpreter+pandas
     # startup isn't billed to the first UDF stage
-    spark.range(int(spark.conf.get("spark.sql.shuffle.partitions")) * 2).mapInPandas(
+    spark.range(shuffle_partitions(spark) * 2).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).write.format("noop").mode("overwrite").save()
     import time

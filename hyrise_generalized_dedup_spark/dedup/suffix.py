@@ -318,7 +318,9 @@ def suffix_edges(
     # overhead the stage's dominant cost). 8x the shuffle-partition
     # count keeps every core busy with small tasks; the floor bounds a
     # bucket's resident content to ~(multi-doc content / _MIN_BUCKETS).
-    par = int(clustered_docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from ..session import shuffle_partitions
+
+    par = shuffle_partitions(clustered_docs.sparkSession)
     n_buckets = max(par * 8, _MIN_BUCKETS)
     return (
         clustered_docs.select(key_col, text_col, cluster_col)

@@ -80,6 +80,19 @@ def is_dir(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
 
 
+def list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of subdirectories directly under ``path``, sorted; [] when
+    the directory is absent (checkpoint-GC enumerates config hashes)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        status.getPath().getName()
+        for status in fs.listStatus(p)
+        if status.isDirectory()
+    )
+
+
 def list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(name, bytes) for plain files directly under ``path``, sorted by
     name; [] when the directory is absent. One RPC-batched listStatus —

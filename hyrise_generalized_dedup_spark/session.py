@@ -18,6 +18,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """Numeric shuffle-partition count, tolerant of platforms that set
+    ``spark.sql.shuffle.partitions`` to the non-numeric ``"auto"``
+    (AQE-managed); falls back to the cluster's default parallelism."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(
     app_name: str = "hyrise-generalized-dedup-spark",
     master: str | None = None,

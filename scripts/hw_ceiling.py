@@ -22,6 +22,10 @@ import sys
 import time
 
 WORK_UNITS_PER_PROC = 40
+# A probe whose per-level wall is a few seconds measures VM noise, not a
+# ceiling (round-4 probe: 8 s walls -> nonsense 1.085 "efficiency").
+# Calibrate units so each level burns at least this long.
+MIN_WALL_S = 60.0
 
 
 def _burn(units: int) -> int:
@@ -34,19 +38,30 @@ def _burn(units: int) -> int:
     return acc
 
 
-def run_level(n_procs: int) -> float:
+def run_level(n_procs: int, units: int) -> float:
     t0 = time.time()
     with mp.Pool(n_procs) as pool:
-        pool.map(_burn, [WORK_UNITS_PER_PROC] * n_procs)
+        pool.map(_burn, [units] * n_procs)
     return time.time() - t0
+
+
+def calibrate(lo: int) -> int:
+    """Scale WORK_UNITS_PER_PROC so the low level burns >= MIN_WALL_S."""
+    probe = run_level(lo, WORK_UNITS_PER_PROC)
+    if probe >= MIN_WALL_S:
+        return WORK_UNITS_PER_PROC
+    import math
+
+    return math.ceil(WORK_UNITS_PER_PROC * MIN_WALL_S / max(probe, 0.1) * 1.1)
 
 
 def main() -> None:
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    units = calibrate(lo)
     # min-of-2 per level: noisy neighbors
-    t_lo = min(run_level(lo) for _ in range(2))
-    t_hi = min(run_level(hi) for _ in range(2))
+    t_lo = min(run_level(lo, units) for _ in range(2))
+    t_hi = min(run_level(hi, units) for _ in range(2))
     # total work scales with proc count, so perfect scaling means equal
     # wall time; speedup for FIXED work = (t_lo * lo proportionality):
     # each level does n_procs * WORK_UNITS, so fixed-work speedup =
@@ -56,7 +71,7 @@ def main() -> None:
         "measured_at": datetime.datetime.now().isoformat(timespec="seconds"),
         "levels": [lo, hi],
         "wall_s": {str(lo): round(t_lo, 2), str(hi): round(t_hi, 2)},
-        "work_units_per_proc": WORK_UNITS_PER_PROC,
+        "work_units_per_proc": units,
         "ceiling_efficiency": round(eff, 3),
         "fixed_work_speedup": round((hi / lo) * eff, 2),
     }

@@ -27,23 +27,27 @@ REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
 
 
 def write_report() -> dict:
+    # Level set derives from bench_scaling.LEVELS (SCALING_LEVELS env),
+    # not a hardcoded {2, 8} — an override no longer KeyErrors here.
+    lo, hi = min(bs.LEVELS), max(bs.LEVELS)
     best: dict[int, dict] = {}
-    walls: dict[int, list[float]] = {2: [], 8: []}
+    walls: dict[int, list[float]] = {c: [] for c in bs.LEVELS}
     with open(RUNS_PATH) as fh:
         for line in fh:
             r = json.loads(line)
             c = int(r["cores"])
-            walls[c].append(round(r["pipeline_wall_ms"] / 1000, 1))
+            walls.setdefault(c, []).append(round(r["pipeline_wall_ms"] / 1000, 1))
             if c not in best or r["pipeline_wall_ms"] < best[c]["pipeline_wall_ms"]:
                 best[c] = r
-    if 2 not in best or 8 not in best:  # partial (first leg only): no ratio yet
+    if lo not in best or hi not in best:  # partial (first leg only): no ratio yet
         return {"partial": True, "have_levels": sorted(best)}
-    t2 = best[2]["pipeline_wall_ms"] / 1000
-    t8 = best[8]["pipeline_wall_ms"] / 1000
-    eff = (t2 / t8) / 4
+    t_lo = best[lo]["pipeline_wall_ms"] / 1000
+    t_hi = best[hi]["pipeline_wall_ms"] / 1000
+    eff = (t_lo / t_hi) / (hi / lo)
     report = {
         "n_files": 2_000_000,
         "with_suffix_stage": True,
+        "reps_per_level": {str(c): len(walls.get(c, [])) for c in sorted(walls)},
         "levels": {
             str(c): {
                 "pipeline_wall_s": best[c]["pipeline_wall_ms"] / 1000,
@@ -53,11 +57,11 @@ def write_report() -> dict:
                     k: v for k, v in best[c].items() if k.endswith("_wall_ms")
                 },
             }
-            for c in (2, 8)
+            for c in (lo, hi)
         },
         "suffix_stage_ratio": (
-            round(best[2]["suffix_wall_ms"] / best[8]["suffix_wall_ms"], 2)
-            if best.get(2, {}).get("suffix_wall_ms") and best.get(8, {}).get("suffix_wall_ms")
+            round(best[lo]["suffix_wall_ms"] / best[hi]["suffix_wall_ms"], 2)
+            if best.get(lo, {}).get("suffix_wall_ms") and best.get(hi, {}).get("suffix_wall_ms")
             else None
         ),
         "scaling_efficiency": round(eff, 3),
@@ -75,7 +79,7 @@ def main() -> None:
     if os.path.exists(RUNS_PATH):
         done = sum(1 for _ in open(RUNS_PATH))
     for rep in range(REPEATS):
-        for cores in (8, 2):
+        for cores in sorted(bs.LEVELS, reverse=True):
             if done > 0:  # resume: skip runs already recorded
                 done -= 1
                 continue

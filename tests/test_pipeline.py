@@ -301,3 +301,72 @@ def test_changed_config_never_reuses_stale_checkpoints(spark, corpus, out_dir, s
     assert os.path.exists(os.path.join(out_dir, "checkpoint", cfg2.config_hash()))
     assert s2["config_hash"] == cfg2.config_hash()
     assert s2["n_files"] == 200
+
+
+def test_gc_stale_checkpoints(spark, corpus, out_dir, summary):
+    """--gc-stale semantics: checkpoint trees whose config hash differs
+    from the current config's are deleted (via the FS API, so this works
+    on object-store out_dirs); the current tree survives untouched and
+    stays resumable."""
+    from hyrise_generalized_dedup_spark.dedup.pipeline import gc_stale_checkpoints
+    from hyrise_generalized_dedup_spark.synth import to_spark
+
+    cfg2 = GDConfig(shingle_k=6)
+    run_pipeline(
+        spark, to_spark(spark, corpus), out_dir, cfg=cfg2,
+        resume=True, with_suffix_stage=False,
+    )
+    keep_hash, stale_hash = GDConfig().config_hash(), cfg2.config_hash()
+    assert os.path.exists(os.path.join(out_dir, "checkpoint", stale_hash))
+
+    deleted = gc_stale_checkpoints(spark, out_dir, GDConfig())
+    assert deleted == [stale_hash]
+    assert not os.path.exists(os.path.join(out_dir, "checkpoint", stale_hash))
+    assert os.path.exists(os.path.join(out_dir, "checkpoint", keep_hash))
+    # idempotent; and the surviving tree still resumes (markers intact)
+    assert gc_stale_checkpoints(spark, out_dir, GDConfig()) == []
+    s = run_pipeline(
+        spark, to_spark(spark, corpus), out_dir, resume=True, with_suffix_stage=False
+    )
+    assert s["n_clusters"] == summary["n_clusters"]
+
+
+def test_shuffle_partitions_helper_tolerates_auto(spark):
+    """Platforms that set spark.sql.shuffle.partitions to 'auto' must not
+    crash the suffix stage's bucket sizing (ADVICE r4)."""
+    from hyrise_generalized_dedup_spark.session import shuffle_partitions
+
+    from types import SimpleNamespace
+
+    assert shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    # Spark 4's conf.set validates the value as numeric, so the 'auto'
+    # scenario (set at session build on those platforms) is modeled with
+    # a stub exposing the same two attributes the helper touches.
+    fake = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda k: "auto"),
+        sparkContext=SimpleNamespace(defaultParallelism=7),
+    )
+    assert shuffle_partitions(fake) == 7
+
+
+def test_sideboard_eager_master_classification():
+    """`local-cluster[...]` masters run separate executor processes that
+    fetch addFile sources lazily — they must NOT be classified as
+    eager-copy (which would delete the sideboard source dir and break
+    task retry). ADVICE r4."""
+    import re
+
+    pat = r"^local(\[[^\]]*\])?$"
+    assert re.match(pat, "local")
+    assert re.match(pat, "local[8]")
+    assert re.match(pat, "local[*]")
+    assert not re.match(pat, "local-cluster[2,1,1024]")
+    assert not re.match(pat, "spark://host:7077")
+    # the pattern under test is the one in lsh.py
+    import inspect
+
+    from hyrise_generalized_dedup_spark.dedup import lsh
+
+    assert pat.replace("\\", "\\\\") in inspect.getsource(lsh).replace("\\", "\\\\")

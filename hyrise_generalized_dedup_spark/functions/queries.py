@@ -8,7 +8,12 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.tables import load_table
 from . import text as T
 from .fingerprint import fingerprint_table
-from .multimodal import extract_features, media_table_from_documents
+from .multimodal import (
+    decode_media_features,
+    extract_features,
+    media_table_from_documents,
+    media_table_with_codecs,
+)
 
 TEXT_QUERIES = {}
 TEXT_ORACLES = {}
@@ -162,6 +167,81 @@ def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("payload_sha").alias("distinct_payloads"),
+    )
+
+
+@_register(
+    "mm_decoded_features",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(4 + doc_id % 13 AS INTEGER) AS w,
+             CAST(3 + doc_id % 7 AS INTEGER) AS h,
+             CAST(8000 + 100 * (doc_id % 5) AS INTEGER) AS rate,
+             CAST(300 + doc_id % 100 AS BIGINT) AS n_samp
+      FROM documents
+    ), pix AS (
+      -- generate_series can't take lateral column bounds in DuckDB, so the
+      -- grid is the fixture's MAX geometry (w<=16, h<=9) filtered per row
+      SELECT m.doc_id,
+             CAST(SUM((m.doc_id + 7 * y.g + x.g) % 256) AS BIGINT) AS pixel_sum
+      FROM m, generate_series(0, 8) y(g), generate_series(0, 15) x(g)
+      WHERE m.modality = 'image' AND y.g < m.h AND x.g < m.w
+      GROUP BY m.doc_id
+    ), aud AS (
+      SELECT m.doc_id,
+             CAST(SUM(((m.doc_id * 13 + i.g * 7) % 4001 - 2000)
+                      * ((m.doc_id * 13 + i.g * 7) % 4001 - 2000)) AS BIGINT)
+               AS sample_sq_sum
+      FROM m, generate_series(0, 398) i(g)
+      WHERE m.modality = 'audio' AND i.g < m.n_samp
+      GROUP BY m.doc_id
+    ), decoded AS (
+      SELECT m.doc_id AS media_id, m.modality,
+        CASE WHEN m.modality = 'image' THEN m.w END AS width,
+        CASE WHEN m.modality = 'image' THEN m.h END AS height,
+        CASE WHEN m.modality = 'image' THEN CAST(m.w * m.h AS BIGINT) END AS n_pixels,
+        pix.pixel_sum,
+        CASE WHEN m.modality = 'audio' THEN m.rate END AS sample_rate,
+        CASE WHEN m.modality = 'audio' THEN m.n_samp END AS n_samples,
+        aud.sample_sq_sum
+      FROM m
+      LEFT JOIN pix ON pix.doc_id = m.doc_id
+      LEFT JOIN aud ON aud.doc_id = m.doc_id
+    )
+    SELECT *,
+      CAST(pixel_sum AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_pixel,
+      sqrt(CAST(sample_sq_sum AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
+      CAST(n_samples AS DOUBLE) * 1000.0 / CAST(sample_rate AS DOUBLE) AS duration_ms
+    FROM decoded
+    """,
+)
+def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: the fixture synthesizes PNG (all five scanline
+    filters) and WAV payloads whose parameters are closed-form in doc_id;
+    Spark decodes the actual bytes (stdlib zlib/wave) and the oracle
+    recomputes the expected geometry/pixel/sample statistics in SQL —
+    an inflate, unfilter, or PCM bug shifts the sums and fails the hash.
+    Derived doubles are single-rounding expressions (IEEE div/sqrt are
+    correctly rounded), so bit-equality across engines holds."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media_features(media_table_with_codecs(docs))
+    return decoded.select(
+        "*",
+        (F.col("pixel_sum").cast("double") / F.col("n_pixels").cast("double")).alias(
+            "mean_pixel"
+        ),
+        F.sqrt(
+            F.col("sample_sq_sum").cast("double") / F.col("n_samples").cast("double")
+        ).alias("rms"),
+        (
+            F.col("n_samples").cast("double")
+            * F.lit(1000.0)
+            / F.col("sample_rate").cast("double")
+        ).alias("duration_ms"),
     )
 
 

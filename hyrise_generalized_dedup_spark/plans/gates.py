@@ -298,9 +298,11 @@ PASSTHROUGH_SLOTS = [
     "ann_topk_brute",
     "ann_lsh_buckets",
     "ann_topk_lsh",
-    # multimodal (2)
+    # multimodal (2; mm_features — the stubbed-decoder plumbing slot —
+    # was superseded in round 5 by the oracle-backed real-decode slot;
+    # it stays in the full pytest registry)
     "mm_media_stats",
-    "mm_features",
+    "mm_decoded_features",
     # text (1; the other four are joined into 2 gates above)
     "text_fingerprint",
     # streaming (2)

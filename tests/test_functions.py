@@ -95,3 +95,159 @@ def test_multimodal_stub_and_plumbing(spark):
     assert by_id[0].feat_head == by_id[4].feat_head == by_id[8].feat_head
     assert all(abs(r.feat_norm - 1.0) < 1e-9 for r in feats)
     assert {r.modality for r in feats} == {"image", "audio", "video"}
+
+
+def _expected_pixels(d: int) -> np.ndarray:
+    from hyrise_generalized_dedup_spark.functions.multimodal import png_dims
+
+    w, h = png_dims(d)
+    return np.array([[(d + 7 * y + x) % 256 for x in range(w)] for y in range(h)])
+
+
+def test_png_roundtrip_all_filters():
+    """synth_png uses filter type (doc_id + y) % 5 per scanline, so any
+    doc_id with height >= 5 exercises None/Sub/Up/Average/Paeth in one
+    image; decode must reconstruct the exact pixel grid."""
+    from hyrise_generalized_dedup_spark.functions.multimodal import (
+        decode_png,
+        png_dims,
+        synth_png,
+    )
+
+    covered = set()
+    for d in (2, 9, 16, 23, 100, 487):
+        w, h = png_dims(d)
+        covered.update((d + y) % 5 for y in range(h))
+        got_w, got_h, px = decode_png(synth_png(d))
+        assert (got_w, got_h) == (w, h)
+        assert (px == _expected_pixels(d)).all()
+    assert covered == {0, 1, 2, 3, 4}
+
+
+def test_png_decode_rgb_and_rejections():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from hyrise_generalized_dedup_spark.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        DecodeUnavailable,
+        decode_png,
+    )
+
+    # hand-built 2x2 truecolor (type 2), filter 0 rows
+    rows = b"\x00" + bytes([10, 20, 30, 40, 50, 60]) + b"\x00" + bytes(
+        [70, 80, 90, 100, 110, 120]
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, px = decode_png(png)
+    assert (w, h) == (2, 2) and px.shape == (2, 2, 3)
+    assert px[1, 1].tolist() == [100, 110, 120]
+
+    # corrupt a CRC byte -> hard error, not silent garbage
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF  # inside IEND CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    # 16-bit depth -> DecodeUnavailable (documented stub boundary)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(DecodeUnavailable):
+        decode_png(png16)
+
+
+def test_wav_roundtrip_and_rejection():
+    import io
+    import wave as wave_mod
+
+    import pytest as _pytest
+
+    from hyrise_generalized_dedup_spark.functions.multimodal import (
+        DecodeUnavailable,
+        decode_wav,
+        synth_wav,
+        wav_params,
+    )
+
+    for d in (1, 4, 7, 64, 499):
+        rate, samples = decode_wav(synth_wav(d))
+        er, en = wav_params(d)
+        assert rate == er and len(samples) == en
+        i = np.arange(en)
+        assert (samples == (d * 13 + i * 7) % 4001 - 2000).all()
+
+    # stereo payload -> DecodeUnavailable
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00\x01\x00" * 4)
+    with _pytest.raises(DecodeUnavailable):
+        decode_wav(buf.getvalue())
+
+
+def test_decode_dispatch_by_magic():
+    import pytest as _pytest
+
+    from hyrise_generalized_dedup_spark.functions.multimodal import (
+        DecodeUnavailable,
+        decode_audio,
+        synth_png,
+        synth_wav,
+    )
+
+    w, h, _ = decode_image(synth_png(5))
+    assert (w, h) == (4 + 5 % 13, 3 + 5 % 7)
+    rate, _ = decode_audio(synth_wav(4))
+    assert rate == 8000 + 100 * (4 % 5)
+    with _pytest.raises(DecodeUnavailable):  # JPEG magic
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with _pytest.raises(DecodeUnavailable):  # MP3 frame sync
+        decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 16)
+
+
+def test_decoded_features_spark_path(spark):
+    """End-to-end: codec fixture -> Arrow decode UDF -> per-modality
+    features; pixel/sample sums match an independent numpy recomputation
+    and video rows pass through with NULL feature fields."""
+    from hyrise_generalized_dedup_spark.functions.multimodal import (
+        decode_media_features,
+        media_table_with_codecs,
+        wav_params,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(30)], "doc_id long, text string"
+    )
+    rows = {r.media_id: r for r in decode_media_features(media_table_with_codecs(docs)).collect()}
+    assert len(rows) == 30
+    for d, r in rows.items():
+        if d % 3 == 0:
+            exp = _expected_pixels(d)
+            assert (r.width, r.height) == (exp.shape[1], exp.shape[0])
+            assert r.pixel_sum == int(exp.sum())
+            assert r.sample_rate is None
+        elif d % 3 == 1:
+            er, en = wav_params(d)
+            i = np.arange(en)
+            s = (d * 13 + i * 7) % 4001 - 2000
+            assert (r.sample_rate, r.n_samples) == (er, en)
+            assert r.sample_sq_sum == int((s.astype(np.int64) ** 2).sum())
+            assert r.width is None
+        else:
+            assert r.width is None and r.sample_rate is None

@@ -357,6 +357,168 @@ def read_binary(path: str) -> BinaryTable:
     return table
 
 
+_FOR_BLOCK = 2048  # FrameOfReferenceSegment<T>::block_size (reference
+# src/lib/storage/frame_of_reference_segment.hpp:55)
+_INT32_MAX = 2**31 - 1
+
+
+def _compress_fixed_width(av: list[int], max_value: int) -> bytes:
+    """FixedWidthInteger compression: cv-type byte + narrowest of
+    u8/u16/u32 that fits max_value (reference
+    fixed_width_integer_compressor.cpp:21-28)."""
+    if max_value <= 0xFF:
+        cv, dt = CV_FIXED1, "<u1"
+    elif max_value <= 0xFFFF:
+        cv, dt = CV_FIXED2, "<u2"
+    else:
+        cv, dt = CV_FIXED4, "<u4"
+    return bytes([cv]) + np.asarray(av, dtype=dt).tobytes()
+
+
+def _compress_bitpacked(av: list[int], max_value: int) -> bytes:
+    """BitPacking compression: cv byte, bit width (ceil(log2(max+1)),
+    min 1), then zero-padded little-endian 64-bit words (reference
+    bitpacking_compressor.cpp:15-46; parsed by _unpack_bitpacked)."""
+    n = len(av)
+    bits = max(int(max_value).bit_length(), 1) if max_value else 1
+    n_words = 0 if n == 0 else (n * bits + 63) // 64
+    words = np.zeros(n_words, dtype="<u8")
+    for i, v in enumerate(av):
+        bitpos = i * bits
+        w, off = divmod(bitpos, 64)
+        words[w] |= np.uint64((v << off) & 0xFFFFFFFFFFFFFFFF)
+        if off + bits > 64:
+            words[w + 1] |= np.uint64(v >> (64 - off))
+    return bytes([CV_BITPACKING, bits]) + words.tobytes()
+
+
+def _compress_attribute_vector(av: list[int], max_value: int, vector_compression: str) -> bytes:
+    if vector_compression == "bitpacking":
+        return _compress_bitpacked(av, max_value)
+    return _compress_fixed_width(av, max_value)
+
+
+def _pack_typed(vals: list, ct: str) -> bytes:
+    if ct == "string":
+        return _pack_strings([str(v) for v in vals])
+    return np.asarray(vals, dtype=_DTYPES[ct]).tobytes()
+
+
+def _encode_dictionary_segment(
+    vals: list, ct: str, vector_compression: str, fixed_string: bool = False
+) -> bytes:
+    """DictionarySegment: sorted distinct non-null dictionary, value_id =
+    dictionary index, NULL encoded as value_id == dict_size; attribute-
+    vector width is chosen for the null id even when no NULL occurs
+    (reference dictionary_encoder.hpp:61-88, binary_writer.cpp:200-238)."""
+    dense = [v for v in vals if v is not None]
+    dictionary = sorted(set(dense))
+    index = {v: i for i, v in enumerate(dictionary)}
+    null_id = len(dictionary)
+    av = [null_id if v is None else index[v] for v in vals]
+    out = bytearray()
+    if fixed_string:
+        if ct != "string":
+            raise ValueError("FixedStringDictionary requires a string column")
+        out += bytes([ENC_FIXEDSTRINGDICT])
+    else:
+        out += bytes([ENC_DICTIONARY])
+    cv_bytes = _compress_attribute_vector(av, null_id, vector_compression)
+    out += cv_bytes[:1]  # cv-type id precedes the dictionary in the layout
+    out += struct.pack("<I", len(dictionary))
+    if fixed_string:
+        encoded = [str(v).encode("utf-8") for v in dictionary]
+        strlen = max((len(e) for e in encoded), default=0)
+        out += struct.pack("<I", strlen)
+        out += b"".join(e.ljust(strlen, b"\0") for e in encoded)
+    else:
+        out += _pack_typed(dictionary, ct)
+    out += cv_bytes[1:]
+    return bytes(out)
+
+
+def _encode_runlength_segment(vals: list, ct: str) -> bytes:
+    """RunLengthSegment: a new run starts when the null flag flips or the
+    value changes; NULL runs merge regardless of value and store the
+    type's default value (reference run_length_encoder.hpp:27-57 —
+    `current_value = segment_value.value()` reads the value-segment's
+    backing array, which holds T{} at NULL positions)."""
+    fill: object = "" if ct == "string" else 0
+    run_vals: list = []
+    run_nulls: list[int] = []
+    end_pos: list[int] = []
+    for i, v in enumerate(vals):
+        is_null = v is None
+        value = fill if is_null else v
+        if run_vals and bool(run_nulls[-1]) == is_null and (is_null or run_vals[-1] == value):
+            end_pos[-1] = i
+        else:
+            run_vals.append(value)
+            run_nulls.append(1 if is_null else 0)
+            end_pos.append(i)
+    out = bytearray([ENC_RUNLENGTH])
+    out += struct.pack("<I", len(run_vals))
+    out += _pack_typed(run_vals, ct)
+    out += bytes(run_nulls)
+    out += np.asarray(end_pos, dtype="<u4").tobytes()
+    return bytes(out)
+
+
+def _encode_for_segment(vals: list, ct: str, vector_compression: str) -> bytes:
+    """FrameOfReferenceSegment (int32 only): 2048-value blocks, per-block
+    minima over non-null values (an all-NULL block's minimum stays
+    numeric_limits<int32_t>::max()), NULL offsets = 0, the null bitmap is
+    written only when the segment contains a NULL (reference
+    frame_of_reference_encoder.hpp:25-120, binary_writer.cpp:256-280)."""
+    if ct != "int":
+        raise ValueError("FrameOfReference supports int columns only")
+    n = len(vals)
+    minima: list[int] = []
+    offsets: list[int] = []
+    has_null = any(v is None for v in vals)
+    for start in range(0, n, _FOR_BLOCK):
+        block = vals[start : start + _FOR_BLOCK]
+        non_null = [v for v in block if v is not None]
+        minimum = min(non_null) if non_null else _INT32_MAX
+        minima.append(minimum)
+        offsets.extend(0 if v is None else v - minimum for v in block)
+    max_offset = max(offsets, default=0)
+    out = bytearray([ENC_FRAMEOFREF])
+    cv_bytes = _compress_attribute_vector(offsets, max_offset, vector_compression)
+    out += cv_bytes[:1]
+    out += struct.pack("<I", len(minima))
+    out += np.asarray(minima, dtype="<i4").tobytes()
+    out += bytes([1 if has_null else 0])
+    if has_null:
+        out += bytes(bytearray(1 if v is None else 0 for v in vals))
+    out += cv_bytes[1:]
+    return bytes(out)
+
+
+def _encode_unencoded_segment(vals: list, ct: str, nullable: bool) -> bytes:
+    out = bytearray([ENC_UNENCODED])
+    has_null = any(v is None for v in vals)
+    if nullable:
+        out += bytes([1 if has_null else 0])
+    if has_null and not nullable:
+        raise ValueError("NULL in non-nullable column")
+    if nullable and has_null:
+        out += bytes(bytearray(1 if v is None else 0 for v in vals))
+    fill: object = "" if ct == "string" else 0
+    dense = [fill if v is None else v for v in vals]
+    out += _pack_typed(dense, ct)
+    return bytes(out)
+
+
+_ENCODING_NAMES = {
+    "unencoded": ENC_UNENCODED,
+    "dictionary": ENC_DICTIONARY,
+    "runlength": ENC_RUNLENGTH,
+    "fixedstringdictionary": ENC_FIXEDSTRINGDICT,
+    "frameofreference": ENC_FRAMEOFREF,
+}
+
+
 def write_binary(
     path: str,
     names: list[str],
@@ -364,12 +526,19 @@ def write_binary(
     nullables: list[bool],
     columns: list[list],
     chunk_size: int = 65535,
+    encodings: str | list[str] | None = None,
+    vector_compression: str = "fixed",
 ) -> None:
-    """Emit the reference binary format, Unencoded segments only — the
-    writer exists for round-trip testing and for handing fixtures to a
-    reference deployment; its encoder choice mirrors the reference
-    default for freshly-appended (unencoded) chunks
-    (binary_writer.cpp:176-189 _write_segment(ValueSegment))."""
+    """Emit the reference binary format. ``encodings`` selects the
+    segment encoding — a single name applied to every column or one name
+    per column, from {unencoded, dictionary, runlength,
+    fixedstringdictionary, frameofreference}; default unencoded mirrors
+    the reference's freshly-appended-chunk state (binary_writer.cpp:
+    156-170 _write_segment(ValueSegment)). Type-incompatible picks
+    (FrameOfReference on non-int, FixedStringDictionary on non-string)
+    fall back to unencoded, like the reference's ChunkEncoder applies
+    type-guarded specs. Verified byte-for-byte against the reference's
+    committed fixtures (tests/test_sources.py)."""
     n_rows = len(columns[0]) if columns else 0
     chunks = [
         (start, min(chunk_size, n_rows - start))
@@ -377,29 +546,50 @@ def write_binary(
     ]
     if n_rows == 0:
         chunks = []
+    # Normalize encodings to one list per chunk: a str applies everywhere;
+    # list[str] applies per column to every chunk; list[list[str]] is per
+    # chunk x column (the reference's mutable LAST chunk stays unencoded
+    # while finalized chunks are encoded — chunk_encoder.cpp applies specs
+    # per chunk, and the Mix fixtures exercise exactly that shape).
+    if encodings is None:
+        encodings = "unencoded"
+    if isinstance(encodings, str):
+        chunk_encodings = [[encodings] * len(names)] * len(chunks)
+    elif encodings and isinstance(encodings[0], (list, tuple)):
+        if len(encodings) != len(chunks):
+            raise ValueError(
+                f"per-chunk encodings: got {len(encodings)} lists for {len(chunks)} chunks"
+            )
+        chunk_encodings = [list(e) for e in encodings]
+    else:
+        chunk_encodings = [list(encodings)] * len(chunks)
+    for encs in chunk_encodings:
+        for e in encs:
+            if e not in _ENCODING_NAMES:
+                raise ValueError(
+                    f"unknown encoding {e!r}; one of {sorted(_ENCODING_NAMES)}"
+                )
     out = bytearray()
     out += struct.pack("<IIH", chunk_size, len(chunks), len(names))
     out += _pack_strings(types)
     out += bytes(bytearray(1 if x else 0 for x in nullables))
     out += _pack_strings(names)
-    for start, n in chunks:
+    for (start, n), encs in zip(chunks, chunk_encodings):
         out += struct.pack("<II", n, 0)  # row_count, num_sorted_columns
-        for ct, nullable, col in zip(types, nullables, columns):
+        for ct, nullable, col, enc in zip(types, nullables, columns, encs):
             vals = col[start : start + n]
-            out += bytes([ENC_UNENCODED])
-            has_null = any(v is None for v in vals)
-            if nullable:
-                out += bytes([1 if has_null else 0])
-            if has_null and not nullable:
-                raise ValueError("NULL in non-nullable column")
-            if nullable and has_null:
-                out += bytes(bytearray(1 if v is None else 0 for v in vals))
-            fill: object = "" if ct == "string" else 0
-            dense = [fill if v is None else v for v in vals]
-            if ct == "string":
-                out += _pack_strings([str(v) for v in dense])
+            if enc == "dictionary":
+                out += _encode_dictionary_segment(vals, ct, vector_compression)
+            elif enc == "fixedstringdictionary" and ct == "string":
+                out += _encode_dictionary_segment(
+                    vals, ct, vector_compression, fixed_string=True
+                )
+            elif enc == "runlength":
+                out += _encode_runlength_segment(vals, ct)
+            elif enc == "frameofreference" and ct == "int":
+                out += _encode_for_segment(vals, ct, vector_compression)
             else:
-                out += np.asarray(dense, dtype=_DTYPES[ct]).tobytes()
+                out += _encode_unencoded_segment(vals, ct, nullable)
     with open(path, "wb") as fh:
         fh.write(bytes(out))
 
@@ -440,7 +630,13 @@ def load_binary(spark, path: str):
     return spark.createDataFrame(rows, schema)
 
 
-def export_binary(df, path: str, chunk_size: int = 65535, max_rows: int = 100_000) -> None:
+def export_binary(
+    df,
+    path: str,
+    chunk_size: int = 65535,
+    max_rows: int = 100_000,
+    encodings: str | list[str] | None = None,
+) -> None:
     """DataFrame -> single reference-format .bin (driver-side collect,
     hard-capped like the .tbl exporter — fixture interchange only)."""
     n = df.count()
@@ -458,4 +654,6 @@ def export_binary(df, path: str, chunk_size: int = 65535, max_rows: int = 100_00
         nullables.append(bool(f.nullable))
     data = df.collect()
     columns = [[row[i] for row in data] for i in range(len(names))]
-    write_binary(path, names, types, nullables, columns, chunk_size=chunk_size)
+    write_binary(
+        path, names, types, nullables, columns, chunk_size=chunk_size, encodings=encodings
+    )

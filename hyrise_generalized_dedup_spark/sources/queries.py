@@ -50,8 +50,16 @@ def q_import_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(_FIXTURE_ROWS, _FIXTURE_SCHEMA)
     path = os.path.join(tempfile.mkdtemp(prefix="gd_bin_"), "fixture.bin")
     # chunk_size=2 -> 3 chunks: the multi-chunk header/segment framing is
-    # part of what the round trip must preserve
-    export_binary(df, path, chunk_size=2)
+    # part of what the round trip must preserve; per-chunk encodings so
+    # the gate drives all three encoded writers (dictionary null-id
+    # vector, run merging, FoR falls back to unencoded for non-int here)
+    # plus the reference's encoded-then-mutable-last-chunk shape
+    export_binary(
+        df,
+        path,
+        chunk_size=2,
+        encodings=[["dictionary"] * 5, ["runlength"] * 5, ["unencoded"] * 5],
+    )
     back = load_binary(spark, path)
     # float32 -> double for a stable cross-engine hash (DuckDB VALUES
     # literals are doubles); the CAST is part of the gate's contract

@@ -192,18 +192,36 @@ def neardup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .lsh import band_table, candidate_pairs, verified_edges
     from .minhash import signatures
 
+    import atexit
+    import shutil
+    import tempfile
+
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "doc_key", F.col("doc_id").cast("string")
     )
     sigs = signatures(docs, CANON_CFG, text_col="text", key_col="doc_key")
-    # persist=False: the gate's result is collected by the driver after
-    # this function returns, so there is no point where the cache could
-    # be released — trade one recompute for a leak-free session.
+    # The gate's result is collected by the driver after this function
+    # returns, so an executor-storage persist could never be released in
+    # time (leak-free-session rule). A TEMP PARQUET checkpoint gives the
+    # same lineage cut without pinning executor storage: the signature
+    # stage would otherwise re-execute once per consumer (band table,
+    # candidate branches, verification sideboard) — it dominated this
+    # gate's wall (bench round-4: most expensive single query). Same
+    # stage-boundary-as-durable-barrier shape the pipeline uses.
+    tmp = tempfile.mkdtemp(prefix="gd_gate_sigs_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    sigs.write.mode("overwrite").parquet(tmp)
+    sigs = spark.read.parquet(tmp)
     pairs = candidate_pairs(band_table(sigs), CANON_CFG, persist=False)
     edges = verified_edges(pairs, sigs, CANON_CFG).filter(
         FF.col("jaccard_est") >= CANON_CFG.jaccard_threshold
     )
-    cc = connected_components(edges, nodes=docs.select("doc_key"))
+    # gate corpora are far below the pipeline's 5M-doc broadcast bound —
+    # broadcast the label table so the latency-bound CC iteration chain
+    # drops its per-iteration shuffle (same decision run_pipeline makes)
+    cc = connected_components(
+        edges, nodes=docs.select("doc_key"), broadcast_labels_max=5_000_000
+    )
     return (
         cc.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -132,10 +132,22 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_table(docs).select("doc_id", "n_grams")
 
 
-@_register("text_fingerprint", None)  # winnowed minima are not SQL-expressible
+@_register(
+    "text_fingerprint",
+    # Winnowed minima are not SQL-expressible, so the oracle is a COMMITTED
+    # GOLDEN parquet regenerated by the seeded scripts/gen_goldens.py; the
+    # kernel itself is verified against a brute-force sliding-window-min
+    # oracle in pytest — the golden upgrades the driver slot from a
+    # rows-only check to a value check (any kernel-output drift mismatches).
+    """
+    SELECT doc_id, fp_len, fp_head
+    FROM read_parquet('/root/repo/resources/goldens/text_fingerprint.sf0_01.parquet')
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint table (doc_id, fp_len, fp_head) — pytest
-    verifies the kernel against a brute-force sliding-window min oracle."""
+    verifies the kernel against a brute-force sliding-window min oracle;
+    the driver slot value-checks against a committed golden parquet."""
     docs = load_table(spark, sf_dir, "documents")
     fp = fingerprint_table(docs)
     return fp.select(

@@ -251,3 +251,29 @@ def test_decoded_features_spark_path(spark):
             assert r.width is None
         else:
             assert r.width is None and r.sample_rate is None
+
+
+def test_goldens_match_current_kernels(spark):
+    """The committed golden parquets (driver-slot value oracles for the
+    non-SQL-expressible fingerprint/sketch slots) must equal what the
+    CURRENT kernels produce — a kernel change requires deliberately
+    regenerating them via scripts/gen_goldens.py."""
+    import duckdb
+
+    from hyrise_generalized_dedup_spark.ann.queries import ANN_QUERIES
+    from hyrise_generalized_dedup_spark.functions.queries import TEXT_QUERIES
+
+    for name, fn in (
+        ("text_fingerprint", TEXT_QUERIES["text_fingerprint"]),
+        ("ann_lsh_buckets", ANN_QUERIES["ann_lsh_buckets"]),
+    ):
+        got = sorted(map(tuple, fn(spark, "/root/testdata/sf0.01").collect()))
+        want = sorted(
+            map(
+                tuple,
+                duckdb.sql(
+                    f"SELECT * FROM read_parquet('/root/repo/resources/goldens/{name}.sf0_01.parquet')"
+                ).fetchall(),
+            )
+        )
+        assert got == want, f"golden drift for {name}: rerun scripts/gen_goldens.py"

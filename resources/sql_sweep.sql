@@ -372,8 +372,7 @@ SELECT c1.c_custkey, c2.c_custkey AS other FROM customer c1 JOIN customer c2
 ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey + 1000 = c2.c_custkey
 ORDER BY c1.c_custkey LIMIT 100;
 -- ====================== grouping sets / rollup / cube ======================
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ());
+
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
        GROUPING(o_orderstatus) AS g1, GROUPING(o_orderpriority) AS g2
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ());
@@ -768,7 +767,7 @@ SELECT event_id, LEAST(COALESCE(value, 999), 10.5) AS lv FROM events ORDER BY ev
 SELECT s_suppkey, LPAD(s_name, 25, '.') AS padded FROM supplier ORDER BY s_suppkey LIMIT 20;
 SELECT s_suppkey, RPAD(s_name, 25, '*') AS padded FROM supplier ORDER BY s_suppkey LIMIT 20;
 SELECT n_nationkey, REPEAT(n_name, 2) AS dbl FROM nation ORDER BY n_nationkey;
-SELECT n_nationkey, REVERSE(n_name) AS rev FROM nation ORDER BY n_nationkey;
+
 SELECT n_nationkey, TRANSLATE(n_name, 'AEI', 'aei') AS tr FROM nation ORDER BY n_nationkey;
 SELECT COUNT(*) AS n FROM part WHERE POSITION('lt' IN p_name) > 0;
 SELECT p_partkey, POSITION('o' IN p_name) AS pos FROM part ORDER BY p_partkey LIMIT 40;
@@ -793,7 +792,7 @@ SELECT STDDEV_POP(c_acctbal) AS sp FROM customer;
 SELECT REGR_COUNT(value, user_id) AS rc FROM events;
 SELECT REGR_AVGX(l_extendedprice, l_quantity) AS ax, REGR_AVGY(l_extendedprice, l_quantity) AS ay FROM lineitem;
 -- ====================== boolean aggregates =================================
-SELECT BOOL_AND(p_size > 0) AS all_pos, BOOL_OR(p_size > 49) AS any_big FROM part;
+
 SELECT l_returnflag, BOOL_AND(l_quantity < 60) AS under60 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
 SELECT o_orderstatus, BOOL_OR(o_totalprice > 400000) AS has_jumbo FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
 -- ====================== lateral joins ======================================
@@ -871,7 +870,7 @@ SELECT mx - mn AS spread FROM (SELECT MAX(p_retailprice) AS mx, MIN(p_retailpric
 -- ====================== distinct shapes ====================================
 SELECT COUNT(DISTINCT l_returnflag || l_linestatus) AS n FROM lineitem;
 SELECT COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) AS n_years FROM orders;
-SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus;
+
 SELECT DISTINCT FLOOR(c_acctbal / 1000) AS kbal FROM customer ORDER BY kbal;
 SELECT COUNT(DISTINCT o_custkey) AS n FROM orders WHERE o_totalprice > 200000;
 -- ====================== CASE round 2 =======================================
@@ -891,7 +890,7 @@ SELECT lang, COUNT(*) AS n, MIN(n_chars) AS shortest FROM documents GROUP BY lan
 SELECT doc_id, LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words FROM documents ORDER BY doc_id LIMIT 40;
 SELECT source, COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source ORDER BY source;
 SELECT doc_id FROM documents WHERE LENGTH(text) <> n_chars ORDER BY doc_id LIMIT 20;
-SELECT lang, CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars FROM documents GROUP BY lang ORDER BY lang;
+
 SELECT d1.doc_id AS a, d2.doc_id AS b FROM documents d1 JOIN documents d2 ON d1.text = d2.text AND d1.doc_id < d2.doc_id ORDER BY a, b LIMIT 40;
 SELECT doc_id, UPPER(SUBSTR(text, 1, 10)) AS head FROM documents ORDER BY doc_id LIMIT 30;
 -- ====================== embeddings table ===================================
@@ -1113,3 +1112,331 @@ SELECT COUNT(*) AS n FROM documents WHERE LENGTH(text) BETWEEN 100 AND 1000;
 SELECT lang, MIN(n_chars) AS shortest, MAX(n_chars) AS longest FROM documents GROUP BY lang HAVING MIN(n_chars) < 500 ORDER BY lang;
 SELECT t.bucket, COUNT(*) AS n FROM (SELECT FLOOR(value / 20) AS bucket FROM events WHERE value IS NOT NULL) t GROUP BY t.bucket ORDER BY t.bucket;
 SELECT r.r_name, agg.n_nations, agg.n_supp FROM region r JOIN (SELECT n.n_regionkey, COUNT(DISTINCT n.n_nationkey) AS n_nations, COUNT(s.s_suppkey) AS n_supp FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_regionkey) agg ON agg.n_regionkey = r.r_regionkey ORDER BY r.r_name;
+
+-- ======================= round-5 additions =======================
+-- correlated EXISTS x set-ops, derived-table shapes, decimal/interval
+-- edges, NULL-ordering across window frames, grouping sets, agg mixes
+-- (validated pre-merge by scripts/validate_sweep_candidates.py)
+SELECT n_nationkey, n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+  AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+ORDER BY n_nationkey;
+SELECT n_nationkey FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+UNION
+SELECT n_nationkey FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+ORDER BY n_nationkey;
+SELECT n_nationkey FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+INTERSECT
+SELECT n_nationkey FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+ORDER BY n_nationkey;
+SELECT n_nationkey FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+EXCEPT
+SELECT n_nationkey FROM nation n
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+ORDER BY n_nationkey;
+SELECT COUNT(*) AS n FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45);
+SELECT COUNT(*) AS n FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05);
+SELECT COUNT(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '1-URGENT');
+SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT p_brand, COUNT(*) AS n FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_returnflag = 'R')
+GROUP BY p_brand ORDER BY p_brand;
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+ORDER BY s_suppkey;
+SELECT r_regionkey FROM region r
+WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey
+              AND EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < 0))
+ORDER BY r_regionkey;
+SELECT COUNT(*) AS n FROM nation n
+WHERE n.n_nationkey IN (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier);
+SELECT COUNT(*) AS n FROM nation n
+WHERE n.n_nationkey IN (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier);
+SELECT COUNT(*) AS n FROM nation n
+WHERE n.n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_nationkey IS NOT NULL);
+SELECT t.c_nationkey, t.n FROM
+  (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey) t
+WHERE t.n > 3 ORDER BY t.c_nationkey;
+SELECT a.c_mktsegment, a.n_cust, b.n_ord FROM
+  (SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer GROUP BY c_mktsegment) a
+  JOIN (SELECT c.c_mktsegment, COUNT(*) AS n_ord
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment) b
+  ON a.c_mktsegment = b.c_mktsegment
+ORDER BY a.c_mktsegment;
+SELECT d.o_orderstatus, COUNT(*) AS n FROM
+  (SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 50000) d
+GROUP BY d.o_orderstatus ORDER BY d.o_orderstatus;
+SELECT x.l_returnflag, x.mx FROM
+  (SELECT l_returnflag, MAX(l_quantity) AS mx FROM lineitem GROUP BY l_returnflag) x
+ORDER BY x.l_returnflag;
+SELECT t2.bucket, COUNT(*) AS n FROM
+  (SELECT CASE WHEN t1.total > 200000 THEN 'hi' WHEN t1.total > 100000 THEN 'mid' ELSE 'lo' END AS bucket
+   FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_custkey) t1) t2
+GROUP BY t2.bucket ORDER BY t2.bucket;
+SELECT n.n_name, t.n_orders FROM nation n
+  JOIN (SELECT c.c_nationkey, COUNT(*) AS n_orders
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey) t
+  ON t.c_nationkey = n.n_nationkey
+ORDER BY n.n_name;
+SELECT AVG(t.n) AS avg_items FROM
+  (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey) t;
+SELECT MAX(t.n_parts) AS mx FROM
+  (SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_suppkey) t;
+SELECT t.l_linenumber, t.n FROM
+  (SELECT l_linenumber, COUNT(*) AS n FROM lineitem GROUP BY l_linenumber) t
+WHERE t.n > 100 ORDER BY t.l_linenumber;
+SELECT o.o_orderpriority, COUNT(*) AS n
+FROM orders o JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 48) big
+  ON big.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority;
+SELECT u.src, COUNT(*) AS n FROM
+  (SELECT 'cust' AS src, c_nationkey AS k FROM customer
+   UNION ALL
+   SELECT 'supp' AS src, s_nationkey AS k FROM supplier) u
+GROUP BY u.src ORDER BY u.src;
+SELECT t.k, t.n FROM
+  (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer GROUP BY c_nationkey
+   UNION ALL
+   SELECT s_nationkey AS k, COUNT(*) AS n FROM supplier GROUP BY s_nationkey) t
+WHERE t.k < 3 ORDER BY t.k, t.n;
+SELECT q.event_type, q.n FROM
+  (SELECT event_type, COUNT(*) AS n FROM events WHERE value IS NOT NULL GROUP BY event_type) q
+ORDER BY q.event_type;
+SELECT w.lang, w.longest FROM
+  (SELECT lang, MAX(n_chars) AS longest FROM documents GROUP BY lang) w
+ORDER BY w.lang;
+SELECT t.sz_band, COUNT(*) AS n FROM
+  (SELECT p_partkey, CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS sz_band FROM part) t
+GROUP BY t.sz_band ORDER BY t.sz_band;
+SELECT CAST(CAST(1.25 AS DECIMAL(10,2)) AS DOUBLE) AS d1,
+       CAST(CAST(2.50 AS DECIMAL(10,1)) AS DOUBLE) AS d2,
+       CAST(CAST(-3.75 AS DECIMAL(10,2)) AS DOUBLE) AS d3;
+SELECT CAST(CAST(123456789.984375 AS DECIMAL(38,6)) AS DOUBLE) AS big,
+       CAST(CAST(0.000001 AS DECIMAL(38,6)) AS DOUBLE) AS tiny;
+SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum,
+       CAST(AVG(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_avg
+FROM customer WHERE c_nationkey = 3;
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS rev
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS s4,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS s2
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT CAST(CAST(o_totalprice AS DECIMAL(18,1)) AS DOUBLE) AS p1
+FROM orders WHERE o_orderkey = 1;
+SELECT o_orderkey, CAST(o_orderdate + INTERVAL 30 DAY AS STRING) AS due
+FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey;
+SELECT o_orderkey, CAST(o_orderdate - INTERVAL 1 DAY AS STRING) AS prev_day
+FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey;
+SELECT o_orderkey, CAST(o_orderdate + INTERVAL 2 HOUR AS STRING) AS plus2h,
+       CAST(o_orderdate + INTERVAL 90 MINUTE AS STRING) AS plus90m
+FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey;
+SELECT COUNT(*) AS n FROM orders
+WHERE o_orderdate + INTERVAL 7 DAY < CAST('1996-01-01 00:00:00' AS TIMESTAMP);
+SELECT COUNT(*) AS n FROM lineitem
+WHERE l_shipdate >= CAST('1995-06-01 00:00:00' AS TIMESTAMP) - INTERVAL 90 DAY
+  AND l_shipdate < CAST('1995-06-01 00:00:00' AS TIMESTAMP);
+SELECT EXTRACT(YEAR FROM o_orderdate + INTERVAL 45 DAY) AS y, COUNT(*) AS n
+FROM orders GROUP BY y ORDER BY y;
+SELECT event_id, CAST(ts + INTERVAL 1 SECOND AS STRING) AS t1
+FROM events WHERE event_id % 997 = 0 ORDER BY event_id;
+SELECT CAST(CAST('2000-02-29 12:00:00' AS TIMESTAMP) + INTERVAL 1 DAY AS STRING) AS leap_next;
+SELECT CAST(GREATEST(CAST(1.5 AS DECIMAL(10,2)), CAST(2.25 AS DECIMAL(10,2))) AS DOUBLE) AS g,
+       CAST(LEAST(CAST(1.5 AS DECIMAL(10,2)), CAST(2.25 AS DECIMAL(10,2))) AS DOUBLE) AS l;
+SELECT event_id, value,
+       ROW_NUMBER() OVER (ORDER BY value ASC NULLS FIRST, event_id) AS rn
+FROM events WHERE event_id < 40 ORDER BY rn;
+SELECT event_id, value,
+       ROW_NUMBER() OVER (ORDER BY value ASC NULLS LAST, event_id) AS rn
+FROM events WHERE event_id < 40 ORDER BY rn;
+SELECT event_id, value,
+       ROW_NUMBER() OVER (ORDER BY value DESC NULLS FIRST, event_id) AS rn
+FROM events WHERE event_id < 40 ORDER BY rn;
+SELECT event_id, value,
+       ROW_NUMBER() OVER (ORDER BY value DESC NULLS LAST, event_id) AS rn
+FROM events WHERE event_id < 40 ORDER BY rn;
+SELECT event_id,
+       FIRST_VALUE(value) OVER (PARTITION BY event_type ORDER BY value ASC NULLS LAST, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv
+FROM events WHERE event_id < 60 ORDER BY event_id;
+SELECT event_id,
+       LAST_VALUE(value) OVER (PARTITION BY event_type ORDER BY value ASC NULLS FIRST, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+FROM events WHERE event_id < 60 ORDER BY event_id;
+SELECT event_id, value,
+       LAG(value) OVER (PARTITION BY event_type ORDER BY value ASC NULLS FIRST, event_id) AS prev_v
+FROM events WHERE event_id < 60 ORDER BY event_id;
+SELECT event_id, value,
+       LEAD(value) OVER (PARTITION BY event_type ORDER BY value ASC NULLS LAST, event_id) AS next_v
+FROM events WHERE event_id < 60 ORDER BY event_id;
+SELECT event_id,
+       COUNT(value) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt_nonnull
+FROM events WHERE event_id < 60 ORDER BY event_id;
+SELECT event_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS wsum
+FROM events WHERE event_id < 60 ORDER BY event_id;
+SELECT event_id,
+       MIN(value) OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS wmin
+FROM events WHERE event_id < 60 ORDER BY event_id;
+SELECT o_orderkey,
+       NTILE(4) OVER (ORDER BY o_totalprice ASC, o_orderkey) AS quartile
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey;
+SELECT l_orderkey, l_linenumber,
+       RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS r,
+       DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS dr
+FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber;
+SELECT event_id, value,
+       NTH_VALUE(value, 2) OVER (PARTITION BY event_type ORDER BY value ASC NULLS LAST, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v
+FROM events WHERE event_id < 60 ORDER BY event_id;
+SELECT user_id,
+       MAX(value) OVER (PARTITION BY user_id) AS umax,
+       MIN(value) OVER (PARTITION BY user_id) AS umin
+FROM events WHERE event_id < 80 ORDER BY user_id, umax NULLS FIRST;
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST;
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST;
+SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST;
+SELECT p_partkey, REPLACE(p_name, ' ', '_') AS snake
+FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT p_partkey, LPAD(CAST(p_size AS STRING), 4, '0') AS padded,
+       RPAD(p_brand, 12, '.') AS rpadded
+FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT c_custkey, POSITION('0' IN c_name) AS pos0
+FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey;
+SELECT doc_id, TRIM(SUBSTR(text, 1, 10)) AS head10
+FROM documents WHERE doc_id < 15 ORDER BY doc_id;
+SELECT doc_id, UPPER(lang) AS lang_u, LOWER(source) AS src_l
+FROM documents WHERE doc_id < 15 ORDER BY doc_id;
+SELECT event_id, COALESCE(value, -1) AS v_filled,
+       NULLIF(event_type, 'error') AS non_err
+FROM events WHERE event_id < 30 ORDER BY event_id;
+SELECT event_id, CASE WHEN value IS NULL THEN 'missing'
+                      WHEN value > 50 THEN 'high' ELSE 'low' END AS band
+FROM events WHERE event_id < 30 ORDER BY event_id;
+SELECT o_orderkey, CONCAT(o_orderstatus, '/', o_orderpriority) AS tag
+FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey;
+SELECT n_name, LENGTH(n_name) AS len, REVERSE(n_name) AS rev FROM nation ORDER BY n_nationkey;
+SELECT source, COUNT(*) AS n FROM documents WHERE text LIKE '%and%' GROUP BY source ORDER BY source;
+SELECT lang, COUNT(*) AS n FROM documents WHERE n_chars BETWEEN 100 AND 400 GROUP BY lang ORDER BY lang;
+SELECT GREATEST(p_size, 10) AS g, LEAST(p_size, 10) AS l, COUNT(*) AS n
+FROM part GROUP BY GREATEST(p_size, 10), LEAST(p_size, 10) ORDER BY g, l;
+SELECT COUNT(DISTINCT o_custkey) AS custs, COUNT(*) AS orders_n FROM orders;
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_orderpriority) AS prios,
+       MIN(o_orderdate) AS first_dt
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT l_returnflag,
+       CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS disc_rev
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT event_type,
+       COUNT(*) AS n_all,
+       COUNT(value) AS n_vals,
+       COUNT(*) - COUNT(value) AS n_nulls
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT c_nationkey, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+FROM customer GROUP BY c_nationkey
+HAVING MIN(c_acctbal) < 0 AND MAX(c_acctbal) > 5000
+ORDER BY c_nationkey;
+SELECT s_nationkey, COUNT(*) AS n FROM supplier
+GROUP BY s_nationkey HAVING COUNT(*) >= 2 ORDER BY s_nationkey;
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.9 FROM orders)
+ORDER BY o_orderkey;
+SELECT c_custkey, c_acctbal,
+       (SELECT MAX(s_acctbal) FROM supplier) AS best_supp_bal
+FROM customer WHERE c_custkey <= 10 ORDER BY c_custkey;
+SELECT c_nationkey, COUNT(*) AS n FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > (SELECT COUNT(*) FROM customer) / 30
+ORDER BY c_nationkey;
+SELECT n_name FROM nation
+WHERE n_regionkey = (SELECT MIN(r_regionkey) FROM region)
+ORDER BY n_name;
+SELECT p_partkey, p_retailprice FROM part
+WHERE p_retailprice = (SELECT MAX(p_retailprice) FROM part);
+SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) = (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) t)
+ORDER BY l_orderkey;
+SELECT c_nationkey AS k FROM customer WHERE c_nationkey < 4
+EXCEPT ALL
+SELECT s_nationkey AS k FROM supplier WHERE s_nationkey < 4
+ORDER BY k;
+SELECT c_nationkey AS k FROM customer WHERE c_nationkey < 4
+INTERSECT ALL
+SELECT s_nationkey AS k FROM supplier WHERE s_nationkey < 4
+ORDER BY k;
+SELECT n_regionkey AS k FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT r_regionkey AS k FROM region WHERE r_regionkey > 1
+ORDER BY k;
+SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b FROM nation a
+JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+ORDER BY nk_a, nk_b;
+SELECT COUNT(*) AS n FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+WHERE a.l_quantity = b.l_quantity;
+SELECT COUNT(*) AS n FROM orders a JOIN orders b
+ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE a.o_orderstatus <> b.o_orderstatus;
+SELECT DISTINCT EXTRACT(YEAR FROM o_orderdate) AS y FROM orders ORDER BY y;
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer WHERE c_nationkey < 5 ORDER BY c_mktsegment, c_nationkey;
+SELECT p_partkey FROM part WHERE p_partkey <= 30 ORDER BY p_partkey % 7, p_partkey;
+SELECT event_type, MIN(CAST(ts AS STRING)) AS first_ts, MAX(CAST(ts AS STRING)) AS last_ts
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(STDDEV_SAMP(l_quantity) AS DOUBLE) AS sd
+FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 10 ORDER BY l_returnflag;
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_rev
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT COUNT(*) FILTER (WHERE value IS NULL) AS n_null,
+       COUNT(*) FILTER (WHERE value > 50) AS n_high
+FROM events;
+SELECT c.c_mktsegment, n.n_name, COUNT(*) AS n
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE n.n_regionkey <= 2
+GROUP BY c.c_mktsegment, n.n_name
+HAVING COUNT(*) >= 2
+ORDER BY c.c_mktsegment, n.n_name;
+SELECT s.s_name, COALESCE(t.n, 0) AS n_ship
+FROM supplier s LEFT JOIN
+  (SELECT l_suppkey, COUNT(*) AS n FROM lineitem WHERE l_quantity > 40 GROUP BY l_suppkey) t
+  ON t.l_suppkey = s.s_suppkey
+ORDER BY s.s_name;
+SELECT event_type, user_id, COUNT(*) AS n
+FROM events
+WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) > 25)
+GROUP BY event_type, user_id
+ORDER BY event_type, user_id;

@@ -59,9 +59,19 @@ def main() -> None:
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     units = calibrate(lo)
-    # min-of-2 per level: noisy neighbors
-    t_lo = min(run_level(lo, units) for _ in range(2))
-    t_hi = min(run_level(hi, units) for _ in range(2))
+    # The calibration probe runs colder (frequency ramp, page-cache warmup)
+    # than the recorded runs, so enforce MIN_WALL_S on the RECORDED walls:
+    # if the warmed-up min comes in short, scale units and measure again.
+    while True:
+        # min-of-2 per level: noisy neighbors
+        t_lo = min(run_level(lo, units) for _ in range(2))
+        t_hi = min(run_level(hi, units) for _ in range(2))
+        shortest = min(t_lo, t_hi)
+        if shortest >= MIN_WALL_S:
+            break
+        import math
+
+        units = math.ceil(units * MIN_WALL_S / max(shortest, 0.1) * 1.15)
     # total work scales with proc count, so perfect scaling means equal
     # wall time; speedup for FIXED work = (t_lo * lo proportionality):
     # each level does n_procs * WORK_UNITS, so fixed-work speedup =

@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import GDConfig
+from ..goldens import golden_oracle
 from ..sources.tables import load_table
 from .gd import dedup_stats, gd_segments
 
@@ -180,7 +181,14 @@ def minhash_shingle_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", "n_shingles")
 
 
-@_register("neardup_cluster_sizes", None)  # LSH is not SQL-expressible -> rows-only gate
+@_register(
+    "neardup_cluster_sizes",
+    # LSH/CC are not SQL-expressible; the oracle is a committed golden
+    # parquet (deterministic under parallelism — probed by
+    # scripts/probe_golden_determinism.py; seeded hashes, exact counts).
+    # Brute-force cluster oracles stay gated in pytest (test_neardup.py).
+    golden_oracle("neardup_cluster_sizes", ["cluster_size", "n_clusters"]),
+)
 def neardup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline over documents: signatures -> LSH candidates
     -> verified edges -> connected components -> cluster-size histogram.
@@ -230,7 +238,17 @@ def neardup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("suffix_shared_substrings", None)  # suffix-array pass is not SQL-expressible
+@_register(
+    "suffix_shared_substrings",
+    # Suffix-array pass is not SQL-expressible; committed-golden value
+    # oracle (probed deterministic; edges are bit-identical across runs
+    # and core counts — BENCH/evals JSONL). Exactness oracle (brute-force
+    # LCS + hypothesis properties) stays in tests/test_suffix.py.
+    golden_oracle(
+        "suffix_shared_substrings",
+        ["source", "n_edges", "min_shared", "max_shared"],
+    ),
+)
 def suffix_shared_substrings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local suffix-array substring pass (the north rule's exact
     substring dedup stage) over near-dup clustered documents: edge counts
@@ -266,7 +284,13 @@ def suffix_shared_substrings_query(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@_register("simhash_blocks_docs", None)  # rows-only: simhash itself is not SQL-expressible
+@_register(
+    "simhash_blocks_docs",
+    # SimHash is not SQL-expressible; committed-golden value oracle
+    # (probed deterministic). Hamming-distance semantics stay brute-force
+    # oracled in pytest (tests/test_minhash.py simhash cases).
+    golden_oracle("simhash_blocks_docs", ["band_id", "n_buckets", "max_bucket"]),
+)
 def simhash_blocks_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit block table over documents (the hamming-block join
     keys): per-band bucket-size distribution — the skew census the salting

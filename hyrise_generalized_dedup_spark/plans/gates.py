@@ -246,15 +246,11 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(NULL AS BIGINT) AS n",
         ]),
     ],
-}
-
-# Rows-only components (no SQL oracle exists for either side) merged with
-# the same tagged-union machinery, just without a composed oracle — frees a
-# driver slot per merge while both components stay individually pytest-
-# checked in the full registry.
-ROWS_ONLY_MERGED: dict[str, list[Branch]] = {
     # near-dup cluster-size histogram + simhash block census (both skew
-    # census surfaces; LSH/CC and simhash are not SQL-expressible)
+    # census surfaces). Oracle-backed since round 5: LSH/CC and simhash
+    # can't be recomputed in SQL, but both components are deterministic
+    # under parallelism (probed) and carry committed-golden oracles
+    # (goldens.py), which _merged_oracle composes like any other SQL.
     "g_dedup_censuses": [
         ("neardup_clusters", "neardup_cluster_sizes", [
             "CAST(cluster_size AS BIGINT) AS k",
@@ -268,6 +264,14 @@ ROWS_ONLY_MERGED: dict[str, list[Branch]] = {
         ]),
     ],
 }
+
+# Rows-only components (no SQL oracle exists for either side) merged with
+# the same tagged-union machinery, just without a composed oracle — frees a
+# driver slot per merge while both components stay individually pytest-
+# checked in the full registry. Empty since round 5: the last rows-only
+# merge (g_dedup_censuses) became oracle-backed when its components gained
+# committed-golden oracles (see goldens.py) and moved to MERGED_GATES.
+ROWS_ONLY_MERGED: dict[str, list[Branch]] = {}
 
 # Per-doc text gates merge by JOINING on doc_id instead of a tagged union —
 # one row per document carrying every component's columns.

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..goldens import golden_oracle
 from ..sources.tables import load_tables
 from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES, _dsum, _register
 
@@ -259,7 +260,18 @@ def q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q_approx_distinct", None)  # HLL/quantile sketches are engine-specific
+@_register(
+    "q_approx_distinct",
+    # HLL++/GK sketches are engine-specific (DuckDB can't recompute them),
+    # but both estimates are DETERMINISTIC for a fixed input regardless of
+    # partitioning — HLL registers merge by max and GK quantile merge is
+    # order-stable here (probed bit-stable at local[4]/4 vs local[32]/32 by
+    # scripts/probe_golden_determinism.py) — so a committed golden
+    # value-checks the slot. Accuracy vs exact stays gated in pytest.
+    golden_oracle(
+        "q_approx_distinct", ["event_type", "approx_users", "p50_value", "n"]
+    ),
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (approx_count_distinct + percentile_approx) —
     the reference has NO approximate distinct (SURVEY §2.4: exact

@@ -1440,3 +1440,191 @@ FROM events
 WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) > 25)
 GROUP BY event_type, user_id
 ORDER BY event_type, user_id;
+
+-- round-5 tranche: recursive CTEs, GROUPING()/grouping-set HAVING, correlated
+-- scalar subqueries, nth_value/range-frames, TRY_CAST, bitwise ops, standard
+-- string forms (POSITION/TRIM variants/ILIKE/TRANSLATE), ordinals, VALUES,
+-- IS [NOT] DISTINCT FROM, EXCEPT/INTERSECT ALL, lateral aggregates
+WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10)
+SELECT CAST(SUM(n) AS BIGINT) AS s, COUNT(*) AS c FROM t;
+WITH RECURSIVE f(n, fib, prev) AS (
+  SELECT 1, 1, 0
+  UNION ALL
+  SELECT n + 1, fib + prev, fib FROM f WHERE n < 15
+)
+SELECT n, fib FROM f ORDER BY n;
+SELECT c_mktsegment, GROUPING(c_mktsegment) AS g, COUNT(*) AS n
+FROM customer GROUP BY ROLLUP(c_mktsegment) ORDER BY g, c_mktsegment;
+SELECT n_regionkey, n_nationkey, GROUPING(n_regionkey) AS g1, GROUPING(n_nationkey) AS g2, COUNT(*) AS n
+FROM nation GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
+ORDER BY g1, g2, n_regionkey, n_nationkey;
+SELECT r_name, (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS n_nations
+FROM region r ORDER BY r_name;
+SELECT s_name, (SELECT MAX(n_name) FROM nation n WHERE n.n_nationkey = s.s_nationkey) AS nat
+FROM supplier s WHERE s_suppkey <= 10 ORDER BY s_name;
+SELECT p_size, NTH_VALUE(p_name, 2) OVER (PARTITION BY p_size ORDER BY p_partkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_name, p_partkey
+FROM part WHERE p_size <= 5 ORDER BY p_size, p_partkey;
+SELECT p_partkey, p_size,
+  CAST(SUM(CAST(p_size AS BIGINT)) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+FROM part WHERE p_partkey <= 40 ORDER BY p_partkey;
+SELECT p_partkey, p_retailprice,
+  COUNT(*) OVER (ORDER BY p_partkey ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev3
+FROM part WHERE p_partkey <= 25 ORDER BY p_partkey;
+SELECT TRY_CAST(p_brand AS INTEGER) AS bad_int, COUNT(*) AS n
+FROM part GROUP BY bad_int ORDER BY bad_int NULLS FIRST;
+SELECT TRY_CAST(SUBSTRING(p_brand, 7, 2) AS INTEGER) AS brand_num, COUNT(*) AS n
+FROM part GROUP BY brand_num ORDER BY brand_num;
+SELECT p_partkey & 7 AS b_and, p_partkey | 8 AS b_or, COUNT(*) AS n
+FROM part WHERE p_partkey <= 32 GROUP BY b_and, b_or ORDER BY b_and, b_or;
+SELECT CAST(n_nationkey << 2 AS BIGINT) AS shl, CAST(n_nationkey >> 1 AS BIGINT) AS shr
+FROM nation ORDER BY shl;
+SELECT c_custkey, POSITION('0' IN c_name) AS pos
+FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey;
+SELECT TRIM(LEADING 'C' FROM c_mktsegment) AS trimmed, COUNT(*) AS n
+FROM customer GROUP BY trimmed ORDER BY trimmed;
+SELECT TRIM(BOTH 'AE' FROM r_name) AS t, r_name FROM region ORDER BY r_name;
+SELECT c_custkey FROM customer WHERE c_name ILIKE 'customer%0001%' ORDER BY c_custkey;
+SELECT SUBSTRING(c_name FROM 1 FOR 8) AS pfx, COUNT(*) AS n
+FROM customer GROUP BY pfx ORDER BY pfx;
+SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1;
+SELECT n_regionkey, n_name FROM nation ORDER BY 1, 2;
+SELECT COUNT(*) AS n FROM orders HAVING COUNT(*) > 0;
+SELECT CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sd
+FROM lineitem WHERE l_orderkey <= 100;
+SELECT l_returnflag, CAST(AVG(DISTINCT CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE) AS ad
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT p_size, CAST(POWER(2, p_size % 5) AS DOUBLE) AS pw, ABS(p_size - 25) AS ab, SIGN(p_size - 25) AS sg
+FROM part WHERE p_partkey <= 10 ORDER BY p_partkey;
+SELECT FLOOR(c_acctbal) AS fl, CEIL(c_acctbal) AS ce, ROUND(c_acctbal, 1) AS rd
+FROM customer WHERE c_custkey <= 15 ORDER BY c_custkey;
+SELECT CAST(SQRT(CAST(p_size AS DOUBLE)) AS DOUBLE) AS sq FROM part WHERE p_partkey <= 12 ORDER BY p_partkey;
+SELECT GREATEST(c_acctbal, 0.0) AS g, LEAST(c_acctbal, 1000.0) AS l
+FROM customer WHERE c_custkey <= 12 ORDER BY c_custkey;
+SELECT GREATEST(n_nationkey, n_regionkey, 3) AS g FROM nation ORDER BY n_nationkey;
+WITH seg AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment)
+SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b
+FROM seg a JOIN seg b ON a.n = b.n AND a.c_mktsegment < b.c_mktsegment
+ORDER BY seg_a, seg_b;
+WITH big AS (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3)
+SELECT COUNT(*) AS n_big, (SELECT COUNT(*) FROM big) AS n_again FROM big;
+SELECT r_name FROM region r
+WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20)
+ORDER BY r_name;
+SELECT n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < -900)
+ORDER BY n_name;
+SELECT CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'MACHINERY' THEN 'M' ELSE 'other' END AS tag,
+       COUNT(*) AS n
+FROM customer GROUP BY tag ORDER BY tag;
+SELECT COALESCE(NULLIF(l_returnflag, 'N'), 'neutral') AS flag, COUNT(*) AS n
+FROM lineitem GROUP BY flag ORDER BY flag;
+SELECT IFNULL(NULLIF(o_orderstatus, 'O'), 'open') AS st, COUNT(*) AS n
+FROM orders GROUP BY st ORDER BY st;
+SELECT o_orderkey, CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due
+FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey;
+SELECT CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS q, COUNT(*) AS n
+FROM orders GROUP BY q ORDER BY q;
+SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, s) ORDER BY id;
+SELECT v.id, n.n_name FROM (VALUES (0), (1), (2)) AS v(id)
+JOIN nation n ON n.n_regionkey = v.id
+ORDER BY v.id, n.n_name;
+SELECT x.n_regionkey AS k, COUNT(*) AS n FROM (
+  SELECT n_regionkey FROM nation WHERE n_nationkey < 10
+  UNION ALL
+  SELECT r_regionkey FROM region
+) x GROUP BY x.n_regionkey ORDER BY k;
+SELECT l_linestatus FROM lineitem WHERE l_orderkey <= 50
+EXCEPT ALL
+SELECT o_orderstatus FROM orders WHERE o_orderkey <= 50
+ORDER BY l_linestatus;
+SELECT n_regionkey FROM nation
+INTERSECT ALL
+SELECT r_regionkey FROM region
+ORDER BY n_regionkey;
+SELECT ranked.o_orderkey, ranked.rnk FROM (
+  SELECT o_orderkey, DENSE_RANK() OVER (ORDER BY o_totalprice DESC) AS rnk FROM orders
+) ranked WHERE ranked.rnk <= 5 ORDER BY ranked.rnk, ranked.o_orderkey;
+SELECT event_type,
+       LEAD(event_id, 2, -1) OVER (PARTITION BY event_type ORDER BY event_id) AS nxt2,
+       event_id
+FROM events WHERE event_id <= 40 ORDER BY event_type, event_id;
+SELECT user_id, CAST(PERCENT_RANK() OVER (ORDER BY user_id) AS DOUBLE) AS pr
+FROM (SELECT DISTINCT user_id FROM events WHERE user_id <= 20) u ORDER BY user_id;
+SELECT REPLACE(c_mktsegment, 'A', '@') AS repl, COUNT(*) AS n
+FROM customer GROUP BY repl ORDER BY repl;
+SELECT REVERSE(r_name) AS rev FROM region ORDER BY rev;
+SELECT REPEAT(SUBSTRING(r_name, 1, 2), 3) AS rep FROM region ORDER BY rep;
+SELECT TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS tr, COUNT(*) AS n
+FROM customer GROUP BY tr ORDER BY tr;
+SELECT MOD(p_partkey, 7) AS m, COUNT(*) AS n FROM part GROUP BY m ORDER BY m;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+HAVING COUNT(*) > 1
+ORDER BY o_orderstatus, o_orderpriority NULLS LAST, n;
+SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price_str
+FROM orders WHERE o_orderkey <= 10 ORDER BY o_orderkey;
+SELECT c.c_custkey, o.n_orders
+FROM customer c,
+LATERAL (SELECT COUNT(*) AS n_orders FROM orders o WHERE o.o_custkey = c.c_custkey) o
+WHERE c.c_custkey <= 15 ORDER BY c.c_custkey;
+SELECT CONCAT_WS('-', r_name, CAST(r_regionkey AS STRING)) AS tag FROM region ORDER BY tag;
+SELECT c_custkey FROM customer
+WHERE c_acctbal IS NOT DISTINCT FROM (SELECT MAX(c_acctbal) FROM customer)
+ORDER BY c_custkey;
+SELECT COUNT(*) AS n FROM events e1 JOIN events e2
+ON e1.user_id IS NOT DISTINCT FROM e2.user_id AND e1.event_id = e2.event_id - 1
+WHERE e1.event_id <= 100;
+SELECT event_type, COUNT(*) FILTER (WHERE value IS DISTINCT FROM NULL) AS n_set
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT UPPER(SUBSTRING(p_type, 1, 6)) AS t6, MIN(p_partkey) AS first_pk
+FROM part GROUP BY t6 ORDER BY t6;
+SELECT LOWER(r_name) AS lo, LENGTH(r_name) AS len FROM region ORDER BY lo;
+SELECT l_returnflag || '/' || l_linestatus AS combo, COUNT(*) AS n
+FROM lineitem GROUP BY combo ORDER BY combo;
+SELECT o_orderkey FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-03-31 23:59:59'
+  AND o_orderkey <= 200
+ORDER BY o_orderkey;
+SELECT CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS m,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
+GROUP BY m ORDER BY m;
+SELECT s_nationkey, COUNT(*) AS n_sup,
+       CAST(MIN(s_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(s_acctbal) AS DOUBLE) AS max_bal
+FROM supplier GROUP BY s_nationkey HAVING COUNT(*) >= 2 ORDER BY s_nationkey;
+SELECT a.r_name, b.r_name AS other_name
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey + b.r_regionkey = 4
+ORDER BY a.r_name, b.r_name;
+SELECT o_orderpriority, MIN(o_orderkey) AS first_ok, MAX(o_orderkey) AS last_ok
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT COUNT(DISTINCT o_custkey) AS n_custs FROM orders WHERE o_totalprice > 100000;
+SELECT c_nationkey, COUNT(*) AS n
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey;
+SELECT l_orderkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) = (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) m)
+ORDER BY l_orderkey;
+SELECT CAST(value AS DECIMAL(10,2)) AS v2, COUNT(*) AS n
+FROM events WHERE value IS NOT NULL AND event_id <= 50
+GROUP BY v2 ORDER BY v2;
+SELECT event_type, CAST(MIN(ts) AS STRING) AS first_ts
+FROM events
+WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 18
+GROUP BY event_type ORDER BY event_type;
+SELECT doc_id, n_chars FROM documents WHERE n_chars > (SELECT CAST(AVG(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) FROM documents) AND doc_id <= 100 ORDER BY doc_id;
+SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY CUBE(lang, source)
+ORDER BY lang NULLS LAST, source NULLS LAST;
+SELECT vec_id, label FROM embeddings WHERE label IS NULL OR label < 2 ORDER BY vec_id LIMIT 20;
+SELECT label, COUNT(*) AS n, MIN(vec_id) AS min_vec FROM embeddings GROUP BY label ORDER BY label NULLS FIRST;
+SELECT t.seg, t.n, CAST(t.n * CAST(100 AS DOUBLE) / SUM(t.n) OVER () AS DOUBLE) AS pct
+FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) t
+ORDER BY t.seg;

@@ -23,10 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 import pyarrow.parquet as pq
 
-GOLDENS = {
-    "text_fingerprint": ("hyrise_generalized_dedup_spark.functions.queries", "TEXT_QUERIES", ["doc_id"]),
-    "ann_lsh_buckets": ("hyrise_generalized_dedup_spark.ann.queries", "ANN_QUERIES", ["table_id"]),
-}
+from hyrise_generalized_dedup_spark.goldens import GOLDENS
 
 
 def main() -> None:

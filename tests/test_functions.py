@@ -258,21 +258,20 @@ def test_goldens_match_current_kernels(spark):
     non-SQL-expressible fingerprint/sketch slots) must equal what the
     CURRENT kernels produce — a kernel change requires deliberately
     regenerating them via scripts/gen_goldens.py."""
+    import importlib
+
     import duckdb
 
-    from hyrise_generalized_dedup_spark.ann.queries import ANN_QUERIES
-    from hyrise_generalized_dedup_spark.functions.queries import TEXT_QUERIES
+    from hyrise_generalized_dedup_spark.goldens import GOLDEN_DIR, GOLDENS
 
-    for name, fn in (
-        ("text_fingerprint", TEXT_QUERIES["text_fingerprint"]),
-        ("ann_lsh_buckets", ANN_QUERIES["ann_lsh_buckets"]),
-    ):
+    for name, (modpath, qreg, _sort) in GOLDENS.items():
+        fn = getattr(importlib.import_module(modpath), qreg)[name]
         got = sorted(map(tuple, fn(spark, "/root/testdata/sf0.01").collect()))
         want = sorted(
             map(
                 tuple,
                 duckdb.sql(
-                    f"SELECT * FROM read_parquet('/root/repo/resources/goldens/{name}.sf0_01.parquet')"
+                    f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.sf0_01.parquet')"
                 ).fetchall(),
             )
         )

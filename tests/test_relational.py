@@ -13,24 +13,21 @@ from hyrise_generalized_dedup_spark.plans import (
 from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
 
 
-# engine-specific sketches: no cross-engine oracle possible, pytest-gated
-ROWS_ONLY = {"q_approx_distinct"}
-
-
 @pytest.mark.parametrize("name", sorted(RELATIONAL_QUERIES))
 def test_relational_query_matches_duckdb(spark, sf_tiny, name):
     fn = RELATIONAL_QUERIES[name]
-    df = fn(spark, sf_tiny)
-    if name in ROWS_ONLY:
-        assert df.count() > 0
-        return
+    # engine-specific sketches (q_approx_distinct) carry a committed-golden
+    # oracle pinned to sf0.01 (goldens.py) — compare those at the goldens'
+    # scale; every other oracle recomputes at sf_tiny
     assert name in RELATIONAL_ORACLES, f"{name} must have an oracle"
-    ok, msg = compare_to_duckdb(df, RELATIONAL_ORACLES[name], sf_tiny)
+    sf = "/root/testdata/sf0.01" if "sf0_01.parquet" in RELATIONAL_ORACLES[name] else sf_tiny
+    df = fn(spark, sf)
+    ok, msg = compare_to_duckdb(df, RELATIONAL_ORACLES[name], sf)
     assert ok, f"{name}: {msg}"
 
 
 def test_all_queries_have_oracles():
-    assert set(RELATIONAL_ORACLES) == set(RELATIONAL_QUERIES) - ROWS_ONLY
+    assert set(RELATIONAL_ORACLES) == set(RELATIONAL_QUERIES)
 
 
 def test_approx_distinct_within_tolerance(spark, sf_small):

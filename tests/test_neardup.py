@@ -278,6 +278,67 @@ def test_connected_components_toy(spark):
     assert assign["lone"] == "lone"
 
 
+def test_cc_driver_path_matches_distributed(spark):
+    """The size-gated driver union-find (r5) must assign IDENTICAL labels
+    to the distributed min-label propagation on arbitrary graphs — both
+    define cluster_id as the component's minimum key. Random graphs plus
+    the pointer-jumping worst case (a long chain)."""
+    rng = np.random.default_rng(11)
+    cases = []
+    for n_nodes, n_edges in [(50, 30), (200, 400), (80, 79)]:
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        cases.append([(f"n{x:04d}", f"n{y:04d}") for x, y in zip(a, b)])
+    # chain short enough for the distributed path's max_iter (1 hop/iter)
+    cases.append([(f"c{i:04d}", f"c{i + 1:04d}") for i in range(20)])
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "key_a string, key_b string")
+        fast = {
+            r.doc_key: r.cluster_id
+            for r in connected_components(edges).collect()
+        }
+        slow = {
+            r.doc_key: r.cluster_id
+            for r in connected_components(edges, driver_max_edges=None).collect()
+        }
+        assert fast == slow
+
+
+def test_cc_driver_path_long_chain(spark):
+    """Pointer-jumping worst case: a 300-hop chain (far beyond the
+    distributed path's max_iter reach) collapses to its minimum key."""
+    pairs = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(300)]
+    edges = spark.createDataFrame(pairs, "key_a string, key_b string")
+    assign = {r.doc_key: r.cluster_id for r in connected_components(edges).collect()}
+    assert set(assign.values()) == {"c0000"} and len(assign) == 301
+
+
+def test_cc_driver_gate_falls_back_when_truncated(spark):
+    """limit(max+1) coming back oversized must route to the distributed
+    path (never cluster a truncated edge list) with identical output."""
+    pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(0, 40, 2)]
+    edges = spark.createDataFrame(pairs, "key_a string, key_b string")
+    small_budget = {
+        r.doc_key: r.cluster_id
+        for r in connected_components(edges, driver_max_edges=5).collect()
+    }
+    reference = {
+        r.doc_key: r.cluster_id
+        for r in connected_components(edges, driver_max_edges=None).collect()
+    }
+    assert small_budget == reference
+
+
+def test_cc_driver_path_empty_edges_and_singletons(spark):
+    edges = spark.createDataFrame([], "key_a string, key_b string")
+    nodes = spark.createDataFrame([("a",), ("b",)], "doc_key string")
+    assign = {
+        r.doc_key: r.cluster_id
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert assign == {"a": "a", "b": "b"}
+
+
 def test_sideboard_cache_evicts_prior_entries(tmp_path, monkeypatch):
     """ADVICE r3: reused python workers must not accumulate one open mmap
     pair per verified_edges invocation — loading a new sideboard evicts

@@ -80,10 +80,23 @@ def main() -> None:
     n_files = int(os.environ.get("BENCH_DEDUP_FILES", "40000"))
     corpus = generate_distributed(spark, n_files).repartition(CPUS * 4).cache()
     corpus.count()
-    out_dir = f"/tmp/bench_dedup_{os.getpid()}"
-    t0 = time.time()
-    summary = run_pipeline(spark, corpus, out_dir, resume=False, with_suffix_stage=True)
-    dedup_wall = time.time() - t0
+    # min-of-N for the pipeline too (default 2): single draws on this box
+    # swing up to ~40% on the python-worker-heavy stages, which made the
+    # headline files/sec number track host noise rather than plan changes
+    # across rounds. Stage walls are taken from the best run.
+    import shutil
+
+    pipeline_reps = int(os.environ.get("BENCH_PIPELINE_REPS", "2"))
+    dedup_wall, summary = float("inf"), None
+    for _ in range(pipeline_reps):
+        out_dir = f"/tmp/bench_dedup_{os.getpid()}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        s = run_pipeline(spark, corpus, out_dir, resume=False, with_suffix_stage=True)
+        wall = time.time() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if wall < dedup_wall:
+            dedup_wall, summary = wall, s
     timings["dedup_pipeline"] = round(dedup_wall, 3)
     # per-stage walls from the pipeline's own metrics so the suffix
     # stage's cost is visible in BENCH, not folded into the total;
@@ -94,9 +107,6 @@ def main() -> None:
         for k, v in summary.items()
         if isinstance(k, str) and k.endswith("_wall_ms") and isinstance(v, int)
     }
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +122,7 @@ def main() -> None:
                 "dedup_clusters": summary["n_clusters"],
                 "dedup_stage_walls": stage_walls,
                 "bench_reps": reps,
+                "bench_pipeline_reps": pipeline_reps,
                 "cpus": CPUS,
             }
         )

@@ -352,6 +352,12 @@ def main() -> None:
         action="store_true",
         help="delete checkpoint trees whose config hash differs from this run's",
     )
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="absorb corpus growth into the existing checkpoint tree "
+        "(--input is the FULL current corpus; see dedup/incremental.py)",
+    )
     args = ap.parse_args()
 
     from ..session import get_spark
@@ -374,13 +380,20 @@ def main() -> None:
     import time
 
     t0 = time.time()
-    summary = run_pipeline(
-        spark,
-        source,
-        args.output,
-        resume=args.resume,
-        with_suffix_stage=not args.no_suffix,
-    )
+    if args.incremental:
+        from .incremental import incremental_update
+
+        summary = incremental_update(
+            spark, source, args.output, with_suffix_stage=not args.no_suffix
+        )
+    else:
+        summary = run_pipeline(
+            spark,
+            source,
+            args.output,
+            resume=args.resume,
+            with_suffix_stage=not args.no_suffix,
+        )
     summary["pipeline_wall_ms"] = int((time.time() - t0) * 1000)
     summary["files_per_sec"] = round(n_in / (time.time() - t0), 2)
     print(json.dumps(summary, default=str))

@@ -70,6 +70,14 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(p, recursive))
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic-on-HDFS directory rename (a copy on object stores); the
+    incremental updater's checkpoint swap primitive."""
+    fs, s = _fs_path(spark, src)
+    _, d = _fs_path(spark, dst)
+    return bool(fs.rename(s, d))
+
+
 def mkdirs(spark: SparkSession, path: str) -> None:
     fs, p = _fs_path(spark, path)
     fs.mkdirs(p)

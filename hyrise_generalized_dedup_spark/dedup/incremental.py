@@ -15,7 +15,10 @@ whole corpus** (the pytest equivalence oracle in
 tests/test_incremental.py compares every stage output):
 
 - gd / signatures (content-heavy, per-doc deterministic): computed for
-  NEW docs only, unioned with the prior checkpoint. O(batch).
+  NEW docs only and APPENDED into the prior checkpoint dir — prior
+  per-doc rows are immutable, so append is the union and the stage
+  costs O(batch) compute AND O(batch) I/O (rewriting the full parquet
+  just to add a delta was the updater's biggest overhead).
 - reps / candidates / simhash / exact edges (signature-width shuffles,
   content-free): recomputed over the union — a new doc with a smaller
   id can take over an exact-signature group's representative, and a
@@ -41,10 +44,12 @@ Removed docs invalidate per-pair/per-cluster reuse wholesale, so a
 shrunken corpus raises instead of silently computing over ghosts — run
 the full pipeline for compaction.
 
-The checkpoint swap writes every updated stage to ``{stage}__inc``
-first, then drops all ``_DONE`` markers, renames, and re-marks — a
-crash mid-swap leaves markers absent and the normal resume path re-runs
-from the first unmarked stage instead of trusting a half-swapped tree.
+The checkpoint swap writes every recomputed stage to ``{stage}__inc``
+first, then drops its ``_DONE`` marker, renames, and re-marks; appended
+stages drop their marker BEFORE the append and are re-marked with the
+final swap — any crash leaves the affected stages unmarked and the
+normal resume path re-runs from the first unmarked stage instead of
+trusting a half-updated tree.
 """
 
 from __future__ import annotations
@@ -80,16 +85,33 @@ def _write_tmp(ckpt: Checkpointer, stage: str, df: DataFrame) -> DataFrame:
     return ckpt.spark.read.parquet(p)
 
 
-def _swap_all(ckpt: Checkpointer, stages: list[str]) -> None:
-    """Markers down -> rename __inc over live -> markers up."""
+def _append_stage(ckpt: Checkpointer, stage: str, new_rows: DataFrame) -> DataFrame:
+    """Append NEW docs' rows into the live checkpoint dir (per-doc stages
+    only — prior rows are immutable there, so append IS the union, and
+    rewriting O(corpus) parquet just to add an O(batch) delta was the
+    updater's single biggest overhead at bench scale). The ``_DONE``
+    marker comes down first and is re-raised only by the final swap: a
+    crash mid-append leaves the stage unmarked and the normal resume path
+    rebuilds it from scratch instead of trusting a half-appended dir."""
+    p = ckpt.path(stage)
+    fsutil.delete(ckpt.spark, fsutil.urljoin(p, "_DONE"))
+    new_rows.write.mode("append").parquet(p)
+    return ckpt.spark.read.parquet(p)
+
+
+def _swap_all(ckpt: Checkpointer, swapped: list[str], appended: list[str]) -> None:
+    """Markers down -> rename __inc over live -> all markers up."""
     spark = ckpt.spark
-    for stage in stages:
+    for stage in swapped:
         fsutil.delete(spark, fsutil.urljoin(ckpt.path(stage), "_DONE"))
-    for stage in stages:
+    for stage in swapped:
         final = ckpt.path(stage)
         fsutil.delete(spark, final)
         fsutil.rename(spark, final + "__inc", final)
-        fsutil.write_text(spark, fsutil.urljoin(final, "_DONE"), "done\n")
+    for stage in swapped + appended:
+        fsutil.write_text(
+            spark, fsutil.urljoin(ckpt.path(stage), "_DONE"), "done\n"
+        )
 
 
 def incremental_update(
@@ -148,28 +170,22 @@ def incremental_update(
         new_docs.unpersist()
         return {"n_files": n_docs, "n_new_files": 0, "unchanged": True}
 
-    # --- gd + signatures: new docs only, appended to the prior output ---
+    # --- gd + signatures: new docs only, APPENDED to the prior output ---
     metrics.start("gd")
-    segments = _write_tmp(
+    segments = _append_stage(
         ckpt,
         "gd",
-        ckpt.load("gd").unionByName(
-            gd_segments(
-                new_docs, cfg, content_col="content", key_cols=("doc_id",), keep_base=False
-            )
+        gd_segments(
+            new_docs, cfg, content_col="content", key_cols=("doc_id",), keep_base=False
         ),
     )
-    metrics.finish("gd", ckpt.path("gd") + "__inc")
+    metrics.finish("gd", ckpt.path("gd"))
 
     metrics.start("signatures")
-    sigs = _write_tmp(
-        ckpt,
-        "signatures",
-        old_sigs.unionByName(
-            signatures(new_docs, cfg, text_col="content", key_col="doc_id")
-        ),
+    sigs = _append_stage(
+        ckpt, "signatures", signatures(new_docs, cfg, text_col="content", key_col="doc_id")
     )
-    metrics.finish("signatures", ckpt.path("signatures") + "__inc")
+    metrics.finish("signatures", ckpt.path("signatures"))
 
     # --- reps: recomputed over the union (same plan as the pipeline) ---
     metrics.start("reps")
@@ -250,7 +266,8 @@ def incremental_update(
 
     # --- suffix: reuse clean clusters, recompute dirty ones ---
     n_dirty = None
-    swap_stages = ["gd", "signatures", "reps", "candidates", "edges", "clusters"]
+    appended_stages = ["gd", "signatures"]
+    swap_stages = ["reps", "candidates", "edges", "clusters"]
     if with_suffix_stage:
         metrics.start("suffix")
         old_clusters = ckpt.load("clusters").select(
@@ -299,6 +316,11 @@ def incremental_update(
         swap_stages.append("suffix")
     else:
         suffix = None
+        # a prior suffix checkpoint is now stale w.r.t. the grown corpus;
+        # leaving it marked done would let a later resume/incremental
+        # trust it silently — drop it instead
+        if ckpt.done("suffix"):
+            fsutil.delete(spark, ckpt.path("suffix"))
 
     # --- summary over the updated outputs (same shape as run_pipeline) ---
     stats = dedup_stats(segments).collect()[0].asDict()
@@ -344,7 +366,7 @@ def incremental_update(
     )
 
     # --- atomic-ish swap: tmp trees become the live checkpoints ---
-    _swap_all(ckpt, swap_stages)
+    _swap_all(ckpt, swap_stages, appended_stages)
     metrics.write_summary()
     docs.unpersist()
     new_docs.unpersist()

@@ -246,6 +246,25 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(NULL AS BIGINT) AS n",
         ]),
     ],
+    # Windowed streaming jobs (both REAL readStream->sink runs with a
+    # batch-recomputed DuckDB oracle): event-window aggregation + the
+    # round-5 streaming exact-dedup census (streaming/dedup.py)
+    "g_streaming_windows": [
+        ("windowed_counts", "stream_windowed_counts", [
+            "CAST(win_start AS STRING) AS s1",
+            "CAST(event_type AS STRING) AS s2",
+            "CAST(n_events AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+            "CAST(total_value AS DOUBLE) AS v",
+        ]),
+        ("dedup_census", "stream_dedup_census", [
+            "CAST(win_start AS STRING) AS s1",
+            "CAST(content_sha AS STRING) AS s2",
+            "CAST(n_copies AS BIGINT) AS n1",
+            "CAST(canonical_doc_id AS BIGINT) AS n2",
+            "CAST(NULL AS DOUBLE) AS v",
+        ]),
+    ],
     # near-dup cluster-size histogram + simhash block census (both skew
     # census surfaces). Oracle-backed since round 5: LSH/CC and simhash
     # can't be recomputed in SQL, but both components are deterministic
@@ -309,9 +328,8 @@ PASSTHROUGH_SLOTS = [
     "mm_decoded_features",
     # text (1; the other four are joined into 2 gates above)
     "text_fingerprint",
-    # streaming (2)
+    # streaming (1; the two windowed jobs merged into g_streaming_windows)
     "sessionize_events",
-    "stream_windowed_counts",
     # relational singles (19)
     "q1_pricing_summary",
     "q_rollup",

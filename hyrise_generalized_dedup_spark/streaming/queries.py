@@ -23,6 +23,41 @@ def _register(name: str, oracle: str | None):
 
 
 @_register(
+    "stream_dedup_census",
+    """
+    SELECT strftime(make_timestamp((((1577836800 + doc_id) // 60) * 60) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           sha256(text) AS content_sha,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup census as a REAL Structured Streaming job (readStream
+    over the documents feed -> watermark -> 1-min tumbling window ->
+    sha-grouped census -> parquet sink, availableNow): per window, one
+    row per distinct content sha with copy count and canonical min-id
+    doc. Ingest time derives deterministically from doc_id (1 doc/s
+    from a fixed epoch) so DuckDB recomputes the same windows in batch
+    — the streaming/batch equivalence oracle of streaming/dedup.py."""
+    import os
+
+    from .dedup import run_census_stream
+
+    out = run_census_stream(
+        spark, os.path.join(sf_dir, "documents.parquet"), window="1 minute"
+    )
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "content_sha",
+        "n_copies",
+        "canonical_doc_id",
+    )
+
+
+@_register(
     "sessionize_events",
     """
     WITH marked AS (

@@ -26,7 +26,7 @@ def test_driver_registry_within_cap():
     assert len(qs) <= DRIVER_SLOT_CAP
     assert set(os_) <= set(qs)
     # every module contributes slots
-    for prefix in ("gd_", "ann_", "mm_", "text_fingerprint", "sessionize", "stream_", "q1_", "g_"):
+    for prefix in ("gd_", "ann_", "mm_", "text_fingerprint", "sessionize", "g_streaming_windows", "q1_", "g_"):
         assert any(k.startswith(prefix) for k in qs), f"no slot with prefix {prefix}"
 
 

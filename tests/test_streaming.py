@@ -132,3 +132,66 @@ def test_stream_empty_source_returns_empty(spark, tmp_path):
     out = run_stream_batch(spark, sf_dir)
     assert out.count() == 0
     assert set(out.columns) == {"win_start", "event_type", "n_events", "total_value"}
+
+
+def _dup_docs(spark, tmp_path, n=400):
+    """Synth code corpus (15% exact dups) reshaped to the documents
+    stream schema; returns (parquet_path, batch_df)."""
+    from pyspark.sql import Window
+
+    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+    files = to_spark(spark, generate(n_rows=n, seed=21))
+    docs = files.select(
+        F.row_number()
+        .over(Window.orderBy("repo", "path", "commit"))
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("text"),
+        F.col("lang"),
+        F.lit("synth").alias("source"),
+        F.length("content").cast("long").alias("n_chars"),
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    return p, spark.read.parquet(p)
+
+
+def test_stream_dedup_census_equals_batch(spark, tmp_path):
+    """The streaming windowed dedup census (watermark + append mode)
+    over a bounded source equals the batch census — including copy
+    counts and canonical min-id docs for the duplicate families."""
+    from hyrise_generalized_dedup_spark.streaming.dedup import (
+        dedup_census,
+        run_census_stream,
+    )
+
+    path, docs = _dup_docs(spark, tmp_path)
+    batch = sorted(tuple(r) for r in dedup_census(docs).collect())
+    stream = sorted(tuple(r) for r in run_census_stream(spark, path).collect())
+    assert stream == batch
+    n_dup_rows = sum(1 for r in batch if r[2] > 1)
+    assert n_dup_rows > 0, "corpus must contain duplicate families"
+
+
+def test_stream_first_seen_drops_copies(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one arrival per
+    content sha; which member survives is arrival-order-dependent, so
+    the gate checks the kept SET (one per sha, member of the sha's
+    group), not doc identity."""
+    from hyrise_generalized_dedup_spark.streaming.dedup import (
+        first_seen,
+        run_first_seen_stream,
+    )
+
+    path, docs = _dup_docs(spark, tmp_path)
+    kept = run_first_seen_stream(spark, path).collect()
+    batch = first_seen(docs).collect()
+    assert len(kept) == len(batch)  # one survivor per distinct sha
+    assert {r.content_sha for r in kept} == {r.content_sha for r in batch}
+    # every kept doc really carries its sha's text (survivor is a true
+    # member of the duplicate family, not a fabricated row)
+    import hashlib
+
+    for r in kept:
+        assert hashlib.sha256((r.text or "").encode()).hexdigest() == r.content_sha

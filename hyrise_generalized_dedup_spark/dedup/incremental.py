@@ -170,6 +170,15 @@ def incremental_update(
         new_docs.unpersist()
         return {"n_files": n_docs, "n_new_files": 0, "unchanged": True}
 
+    # Invalidate EVERY stage marker before the first mutation: a crash
+    # anywhere mid-update must leave no stage marked done, because every
+    # prior output is stale w.r.t. the grown corpus — a later
+    # `run_pipeline(resume=True)` would otherwise silently reuse e.g. a
+    # pre-growth signatures checkpoint after gd was already appended.
+    # The final swap re-raises all markers once every stage is current.
+    for stage in required:
+        fsutil.delete(spark, fsutil.urljoin(ckpt.path(stage), "_DONE"))
+
     # --- gd + signatures: new docs only, APPENDED to the prior output ---
     metrics.start("gd")
     segments = _append_stage(

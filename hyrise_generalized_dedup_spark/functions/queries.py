@@ -89,6 +89,68 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+                         x -> length(x) > 0) AS nb,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, nb, w, list_distinct(nb) AS dl, len(nb) AS n_lines FROM base
+    ), grams AS (
+      SELECT doc_id, nb, dl, n_lines,
+             CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1]) END AS bg
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CASE WHEN n_lines = 0 THEN 0.0
+                ELSE 1.0 - len(dl) / CAST(n_lines AS DOUBLE) END AS dup_line_ratio,
+           CAST(coalesce(list_max(list_transform(dl,
+                  d -> len(list_filter(nb, x -> x = d)))), 0) AS INTEGER)
+             AS top_line_count,
+           CASE WHEN coalesce(list_sum(list_transform(dl,
+                       d -> len(list_filter(nb, x -> x = d)) * length(d))), 0) = 0
+                THEN 0.0
+                ELSE list_sum(list_transform(dl,
+                       d -> CASE WHEN len(list_filter(nb, x -> x = d)) > 1
+                                 THEN len(list_filter(nb, x -> x = d)) * length(d)
+                                 ELSE 0 END))
+                     / CAST(list_sum(list_transform(dl,
+                              d -> len(list_filter(nb, x -> x = d)) * length(d)))
+                            AS DOUBLE) END AS dup_line_char_ratio,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE) END
+             AS dup_bigram_ratio
+    FROM grams
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals for corpus quality filtering
+    (the duplicate-line / duplicate-n-gram family of filters used on
+    web/code training corpora): duplicate-line fraction, char-weighted
+    duplicate-line fraction, most-repeated-line count, duplicate word-
+    bigram fraction. All pure array HOFs over the split document — per-
+    doc map work inside the scan stage, no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    nb = T.nonblank_lines(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(nb).cast("long").alias("n_lines"),
+        T.dup_line_ratio(F.col("text")).alias("dup_line_ratio"),
+        T.top_line_count(F.col("text")).alias("top_line_count"),
+        T.dup_line_char_ratio(F.col("text")).alias("dup_line_char_ratio"),
+        T.dup_bigram_ratio(F.col("text")).alias("dup_bigram_ratio"),
+    )
+
+
+@_register(
     "text_langid",
     """
     SELECT doc_id, lang AS lang_declared,

@@ -86,6 +86,85 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def nonblank_lines(col: Column) -> Column:
+    """Whitespace-trimmed non-blank lines of the document, as an array
+    column. Regexp trim, not F.trim: SQL trim strips only 0x20 spaces,
+    so a tab-only line would count as content."""
+    return F.filter(
+        F.transform(
+            F.split(col, "\n"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def dup_line_ratio(col: Column) -> Column:
+    """Fraction of non-blank lines that are repeats of another line in
+    the same document (1 - distinct/total; 0.0 for line-less docs) — the
+    classic within-document repetition signal for corpus quality
+    filtering. Pure array HOFs: per-doc map work, no shuffle, so at
+    10^12 rows this runs inside the scan stage."""
+    nb = nonblank_lines(col)
+    n = F.size(nb)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(nb)).cast("double") / n
+    )
+
+
+def dup_line_char_ratio(col: Column) -> Column:
+    """Fraction of non-blank-line CHARACTERS that sit in duplicated
+    lines (char-weighted repetition: one long pasted block counts for
+    its size, not 1 line). O(distinct x lines) comparisons per doc via
+    HOFs — still map-only."""
+    nb = nonblank_lines(col)
+    dl = F.array_distinct(nb)
+
+    def _chars(dup_only: bool) -> Column:
+        def per_line(d: Column) -> Column:
+            cnt = F.size(F.filter(nb, lambda x: x == d))
+            chars = cnt * F.length(d)
+            if dup_only:
+                return F.when(cnt > 1, chars).otherwise(F.lit(0))
+            return chars
+
+        return F.aggregate(
+            F.transform(dl, per_line), F.lit(0), lambda acc, x: acc + x
+        )
+
+    total = _chars(False)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        _chars(True).cast("double") / total
+    )
+
+
+def top_line_count(col: Column) -> Column:
+    """Occurrence count of the most-repeated non-blank line (0 for
+    line-less docs)."""
+    nb = nonblank_lines(col)
+    counts = F.transform(
+        F.array_distinct(nb), lambda d: F.size(F.filter(nb, lambda x: x == d))
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def dup_bigram_ratio(col: Column) -> Column:
+    """Fraction of adjacent word-pair bigrams that are duplicates within
+    the document (Gopher-style duplicate-n-gram filter at n=2). Guarded
+    sequence: Spark's sequence(1, n) DESCENDS when n < 1, so docs with
+    fewer than two tokens short-circuit to 0.0."""
+    trimmed = F.trim(col)
+    w = F.split(trimmed, r"\s+")
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(w))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return F.when(n_tok < 2, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    )
+
+
 def lang_guess(col: Column) -> Column:
     """Rule-based language id over stopword markers; 'unk' when nothing
     fires. Deliberately simple and ANSI-SQL-reproducible (the DuckDB

@@ -298,6 +298,10 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
     "g_text_stats": [
         ("text_token_stats", ["doc_id", "n_chars", "n_tokens", "n_subwords"]),
         ("text_ngram_stats", ["doc_id", "n_grams"]),
+        ("text_repetition", [
+            "doc_id", "n_lines", "dup_line_ratio", "top_line_count",
+            "dup_line_char_ratio", "dup_bigram_ratio",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

@@ -51,6 +51,39 @@ def test_text_features_edge_cases(spark):
     assert out[1].q <= 0.5 < out[3].q
 
 
+def test_text_repetition_edge_cases(spark):
+    rows = [
+        (1, ""),                                  # empty -> all zeros
+        (2, " \n   \n\t\n"),                      # blank lines only
+        (3, "a\nb\nc"),                           # all distinct
+        (4, "x\nx\nx\ny"),                        # 3 copies of x
+        (5, "looong line\nlooong line\nz"),       # char-weighting
+        (6, "one"),                               # single token: no bigrams
+        (7, "go go go go"),                       # "go go" bigram x3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.size(T.nonblank_lines(F.col("text"))).alias("nl"),
+            T.dup_line_ratio(F.col("text")).alias("dlr"),
+            T.dup_line_char_ratio(F.col("text")).alias("dcr"),
+            T.top_line_count(F.col("text")).alias("top"),
+            T.dup_bigram_ratio(F.col("text")).alias("dbr"),
+        ).collect()
+    }
+    assert out[1] == (1, 0, 0.0, 0.0, 0, 0.0)
+    assert out[2].nl == 0 and out[2].dlr == 0.0 and out[2].top == 0
+    assert out[3] == (3, 3, 0.0, 0.0, 1, 0.0)
+    assert out[4].nl == 4 and out[4].dlr == 1 - 2 / 4 and out[4].top == 3
+    assert out[4].dcr == 3 / 4          # 3 of 4 single-char lines duplicated
+    # doc 5: chars = 2*11 + 1 = 23, duplicated chars = 22
+    assert out[5].dcr == 22 / 23 and out[5].top == 2
+    assert out[6].dbr == 0.0 and out[6].nl == 1
+    assert out[7].dbr == 1 - 1 / 3      # 3 bigrams, 1 distinct
+
+
 def test_winnow_matches_naive():
     rng = np.random.default_rng(3)
     blob = bytes(rng.integers(32, 127, 400, dtype=np.uint8))

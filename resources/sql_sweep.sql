@@ -1628,3 +1628,276 @@ SELECT label, COUNT(*) AS n, MIN(vec_id) AS min_vec FROM embeddings GROUP BY lab
 SELECT t.seg, t.n, CAST(t.n * CAST(100 AS DOUBLE) / SUM(t.n) OVER () AS DOUBLE) AS pct
 FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) t
 ORDER BY t.seg;
+SELECT n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+INTERSECT
+SELECT n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+ORDER BY n_name;
+SELECT n_nationkey FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+EXCEPT
+SELECT n_nationkey FROM nation n
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+ORDER BY n_nationkey;
+SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey AND l2.l_tax > 0.07)
+GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT c_mktsegment FROM customer
+EXCEPT ALL
+SELECT c_mktsegment FROM customer WHERE c_custkey <= 500
+ORDER BY c_mktsegment LIMIT 25;
+SELECT n_regionkey FROM nation WHERE n_nationkey > 5
+INTERSECT ALL
+SELECT CAST(o_orderkey % 5 AS BIGINT) FROM orders WHERE o_orderkey <= 40
+ORDER BY n_regionkey;
+SELECT c.c_mktsegment, t.n_orders, t.max_price
+FROM (SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_custkey) t
+JOIN customer c ON c.c_custkey = t.o_custkey
+WHERE t.n_orders >= 3
+ORDER BY c.c_mktsegment, t.n_orders DESC, t.max_price DESC LIMIT 30;
+SELECT a.o_orderpriority, a.n, b.total_n,
+       CAST(a.n * CAST(100 AS DOUBLE) / b.total_n AS DOUBLE) AS pct
+FROM (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority) a
+CROSS JOIN (SELECT COUNT(*) AS total_n FROM orders) b
+ORDER BY a.o_orderpriority;
+SELECT s.s_nationkey, s.n_supp, c.n_cust
+FROM (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+FULL OUTER JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+  ON s.s_nationkey = c.c_nationkey
+ORDER BY s.s_nationkey NULLS LAST, c.n_cust NULLS LAST;
+SELECT x.l_orderkey, x.n_lines, y.o_totalprice
+FROM (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 5) x
+JOIN (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders WHERE o_orderstatus = 'O') y
+  ON x.l_orderkey = y.o_orderkey
+ORDER BY x.n_lines DESC, x.l_orderkey LIMIT 20;
+SELECT event_id, value,
+       RANK() OVER (ORDER BY value DESC NULLS LAST, event_id) AS rk
+FROM events WHERE event_id <= 60 ORDER BY rk, event_id;
+SELECT event_id, value,
+       DENSE_RANK() OVER (ORDER BY value ASC NULLS FIRST, event_id) AS drk
+FROM events WHERE event_id <= 60 ORDER BY drk, event_id;
+SELECT user_id, event_id,
+       CAST(FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS smallest_value
+FROM events WHERE user_id <= 5 ORDER BY user_id, event_id;
+SELECT user_id, event_id,
+       CAST(LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY value DESC NULLS FIRST, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS smallest_or_null
+FROM events WHERE user_id <= 5 ORDER BY user_id, event_id;
+SELECT event_id, value,
+       COUNT(value) OVER (ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS nonnull_window
+FROM events WHERE event_id <= 80 ORDER BY event_id;
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) AS n_all
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted,
+       COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT c_nationkey,
+       MIN(c_acctbal) FILTER (WHERE c_acctbal > 0) AS min_pos_bal,
+       COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_neg
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey;
+SELECT l_linenumber,
+       CAST(ROUND(CAST(AVG(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_price_2dp
+FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber;
+SELECT o_orderstatus,
+       CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 10000) AS BIGINT) AS price_bucket,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus, price_bucket
+ORDER BY o_orderstatus, price_bucket;
+SELECT CAST(CEIL(CAST(p_retailprice AS DOUBLE) / 100) AS BIGINT) AS price_ceil, COUNT(*) AS n
+FROM part WHERE p_partkey <= 200 GROUP BY price_ceil ORDER BY price_ceil;
+SELECT p_size, CAST(MOD(p_partkey, 7) AS BIGINT) AS k7, COUNT(*) AS n
+FROM part WHERE p_size <= 10 GROUP BY p_size, k7 ORDER BY p_size, k7;
+SELECT event_type,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)), 1) AS DOUBLE) AS v1dp
+FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type;
+SELECT lang, source, GROUPING(lang) AS g_lang, GROUPING(source) AS g_source, COUNT(*) AS n
+FROM documents GROUP BY ROLLUP(lang, source)
+ORDER BY g_lang, g_source, lang NULLS LAST, source NULLS LAST;
+SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus) AS gs, COUNT(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gs, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST;
+SELECT n_name, NULLIF(n_regionkey, 2) AS rk_or_null,
+       COALESCE(NULLIF(n_regionkey, 2), -1) AS rk_defaulted
+FROM nation ORDER BY n_nationkey;
+SELECT p_partkey, GREATEST(p_size, 25) AS hi, LEAST(p_size, 25) AS lo
+FROM part WHERE p_partkey <= 60 ORDER BY p_partkey;
+SELECT s_suppkey, LPAD(CAST(s_suppkey AS STRING), 8, '0') AS padded,
+       RPAD(s_name, 30, '.') AS dotted
+FROM supplier WHERE s_suppkey <= 30 ORDER BY s_suppkey;
+SELECT c_custkey, REPLACE(c_name, 'Customer', 'Cst') AS short_name,
+       REVERSE(c_mktsegment) AS rseg
+FROM customer WHERE c_custkey <= 25 ORDER BY c_custkey;
+SELECT doc_id, SUBSTR(text, 1, 12) AS head12, LENGTH(text) AS n
+FROM documents WHERE doc_id <= 40 ORDER BY doc_id;
+SELECT event_type, REPEAT(event_type, 2) AS doubled, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT o_orderkey, CAST(o_orderdate AS STRING) AS od,
+       CAST(o_orderdate + INTERVAL '90' DAY AS STRING) AS due
+FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderkey;
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(QUARTER FROM o_orderdate) AS qtr, COUNT(*) AS n
+FROM orders GROUP BY yr, qtr ORDER BY yr, qtr;
+SELECT event_type, EXTRACT(MINUTE FROM ts) AS minute_of_hour, COUNT(*) AS n
+FROM events WHERE event_id <= 400 GROUP BY event_type, minute_of_hour
+ORDER BY event_type, minute_of_hour;
+SELECT DISTINCT n_regionkey AS k FROM nation
+UNION
+SELECT DISTINCT CAST(p_size AS BIGINT) AS k FROM part WHERE p_size <= 4
+ORDER BY k;
+SELECT 'cust' AS src, COUNT(*) AS n FROM customer
+UNION ALL
+SELECT 'supp' AS src, COUNT(*) AS n FROM supplier
+UNION ALL
+SELECT 'part' AS src, COUNT(*) AS n FROM part
+ORDER BY src;
+SELECT seg, n,
+       CAST(SUM(n) OVER (ORDER BY seg ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total
+FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) t
+ORDER BY seg;
+SELECT o_orderpriority, yr, n,
+       CAST(LAG(n) OVER (PARTITION BY o_orderpriority ORDER BY yr) AS BIGINT) AS prev_yr_n
+FROM (SELECT o_orderpriority, EXTRACT(YEAR FROM o_orderdate) AS yr, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority, yr) t
+ORDER BY o_orderpriority, yr;
+SELECT lang, NTILE(3) OVER (ORDER BY n DESC, lang) AS tertile, n
+FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) t
+ORDER BY tertile, lang;
+SELECT doc_id, LENGTH(text) - LENGTH(REPLACE(text, chr(10), '')) + 1 AS n_raw_lines
+FROM documents WHERE doc_id <= 50 ORDER BY doc_id;
+SELECT n_name, n_regionkey IN (0, 2, 4) AS in_even_region
+FROM nation ORDER BY n_nationkey;
+SELECT event_id, CAST(value AS DOUBLE) AS v
+FROM events WHERE event_id IN (1, 3, 5, 7, 9, 11) ORDER BY event_id;
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  WHERE c_nationkey IN (
+    SELECT n_nationkey FROM nation WHERE n_regionkey =
+      (SELECT MIN(r_regionkey) FROM region)))
+GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT c_mktsegment, COUNT(*) AS n_rich
+FROM customer
+WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) FROM customer
+                   WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2))
+GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) FROM orders))
+GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT a.n_nationkey, b.n_nationkey AS partner
+FROM nation a JOIN nation b ON a.n_nationkey + 1 = b.n_nationkey
+ORDER BY a.n_nationkey;
+SELECT n.n_name, COUNT(*) AS n_matches
+FROM nation n JOIN customer c ON c.c_nationkey % 5 = n.n_regionkey
+WHERE c.c_custkey <= 200
+GROUP BY n.n_name ORDER BY n.n_name;
+SELECT e1.event_id, e2.event_id AS next_id
+FROM events e1 JOIN events e2 ON e2.event_id = e1.event_id + 1 AND e1.user_id = e2.user_id
+WHERE e1.event_id <= 100
+ORDER BY e1.event_id;
+SELECT c_custkey,
+       CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS pr
+FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey;
+SELECT c_custkey,
+       CAST(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS cd
+FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey;
+SELECT user_id, event_id,
+       CAST(NTH_VALUE(value, 2) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_value
+FROM events WHERE user_id <= 4 ORDER BY user_id, event_id;
+SELECT o_orderkey, o_orderstatus,
+       CAST(LEAD(o_totalprice, 2) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS DOUBLE) AS price_2ahead
+FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderstatus, o_orderkey;
+SELECT o_orderkey,
+       CAST(LAG(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS DOUBLE) AS prev_price,
+       CAST(o_totalprice AS DOUBLE) AS price
+FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey;
+SELECT p_partkey, p_size,
+       COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS similar_size_n
+FROM part WHERE p_partkey <= 100 ORDER BY p_partkey;
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS recent_n
+FROM events WHERE user_id <= 3 ORDER BY user_id, event_id;
+SELECT doc_id, UPPER(SUBSTR(lang, 1, 1)) || LOWER(SUBSTR(lang, 2)) AS lang_title
+FROM documents WHERE doc_id <= 30 ORDER BY doc_id;
+SELECT s_suppkey, TRIM(s_name) AS name_trim, LENGTH(s_name) - LENGTH(TRIM(s_name)) AS pad_chars
+FROM supplier WHERE s_suppkey <= 40 ORDER BY s_suppkey;
+SELECT n_name, CONCAT_WS('-', n_name, CAST(n_regionkey AS STRING)) AS tagged
+FROM nation ORDER BY n_nationkey;
+SELECT event_type, SPLIT_PART(event_type, 'e', 1) AS before_e
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT doc_id, CONTAINS(text, 'def ') AS has_def, CONTAINS(text, 'class ') AS has_class
+FROM documents WHERE doc_id <= 60 ORDER BY doc_id;
+SELECT o_orderstatus,
+       SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+       SUM(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END) AS n_small
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT l_linestatus,
+       CAST(MAX(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS DOUBLE) AS max_returned_qty
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT c_nationkey,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN CAST(c_acctbal AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE) AS neg_total
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey;
+SELECT event_type, BOOL_AND(value IS NOT NULL) AS all_valued, BOOL_OR(value > 90) AS any_high
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT vec_id, label, label IS NULL AS unlabeled
+FROM embeddings WHERE vec_id <= 20 ORDER BY vec_id;
+SELECT label, COUNT(*) AS n, MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec
+FROM embeddings WHERE label IS NOT NULL GROUP BY label ORDER BY label;
+SELECT source, lang, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang;
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang HAVING COUNT(*) > 5 ORDER BY lang;
+SELECT n_nationkey, n_name,
+       CASE WHEN EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+            THEN 'has_supplier' ELSE 'no_supplier' END AS supplier_status
+FROM nation n ORDER BY n_nationkey;
+SELECT r_regionkey, r_name,
+       (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS n_nations
+FROM region r ORDER BY r_regionkey;
+SELECT c_custkey,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_finished
+FROM customer c WHERE c_custkey <= 50 ORDER BY c_custkey;
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 AND user_id <= 20 ORDER BY user_id;
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk = 1 AND o_custkey <= 60 ORDER BY o_custkey;
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+  AND c_custkey <= 120
+ORDER BY c_custkey;
+SELECT n_nationkey FROM nation
+WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_nationkey IS NOT NULL)
+ORDER BY n_nationkey;
+SELECT l_suppkey, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM lineitem GROUP BY l_suppkey
+HAVING COUNT(*) > 10 AND SUM(CAST(l_extendedprice AS DECIMAL(38,6))) > 500000
+ORDER BY l_suppkey;
+SELECT o_custkey, MIN(o_orderkey) AS first_ok, MAX(o_orderkey) AS last_ok
+FROM orders GROUP BY o_custkey
+HAVING MAX(o_orderkey) - MIN(o_orderkey) > 10000
+ORDER BY o_custkey LIMIT 40;
+SELECT event_id, CAST(value AS DOUBLE) / NULLIF(CAST(event_id AS DOUBLE), 0) AS ratio
+FROM events WHERE event_id BETWEEN 1 AND 30 ORDER BY event_id;
+SELECT p_partkey, CAST(p_retailprice AS DOUBLE) - CAST(p_size AS DOUBLE) * 10 AS adjusted
+FROM part WHERE p_partkey <= 50 ORDER BY p_partkey;
+SELECT ABS(CAST(c_acctbal AS DOUBLE)) AS abs_bal, c_custkey
+FROM customer WHERE c_acctbal < 0 ORDER BY abs_bal DESC, c_custkey LIMIT 20;

@@ -157,6 +157,77 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_paragraphs",
+    """
+    WITH paras AS (
+      SELECT doc_id, sha256(p) AS para_sha FROM (
+        SELECT doc_id,
+               regexp_replace(unnest(regexp_split_to_array(text, '\\n{2,}')),
+                              '^\\s+|\\s+$', '', 'g') AS p
+        FROM documents) t
+      WHERE length(p) > 0
+    ), census AS (
+      SELECT para_sha, COUNT(*) AS n_copies FROM paras GROUP BY para_sha
+    ), per_doc AS (
+      SELECT p.doc_id, COUNT(*) AS n_paras,
+             SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM paras p JOIN census c USING (para_sha) GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_paras,
+           CASE WHEN coalesce(pd.n_paras, 0) = 0 THEN 0.0
+                ELSE coalesce(pd.n_dup, 0) / CAST(pd.n_paras AS DOUBLE) END
+             AS dup_para_ratio
+    FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+    """,
+)
+def dedup_paragraphs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the sub-document granularity
+    used on web/code training corpora between exact-doc and fuzzy-doc
+    tiers): split on blank lines, census trimmed paragraphs by sha
+    across the WHOLE corpus, and report per doc how many of its
+    paragraphs exist elsewhere. Only (doc_id, para_sha) crosses the
+    shuffle — paragraph text never leaves the scan stage, so the
+    shuffled bytes are ~40/paragraph at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    paras = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", r"\n{2,}")).alias("para")
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace("para", r"^\s+|\s+$", "").alias("para"),
+        )
+        .filter(F.length("para") > 0)
+        .select("doc_id", F.sha2("para", 256).alias("para_sha"))
+    )
+    census = paras.groupBy("para_sha").agg(F.count(F.lit(1)).alias("n_copies"))
+    per_doc = (
+        paras.join(census, "para_sha")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    n_paras = F.coalesce("n_paras", F.lit(0)).cast("long")
+    n_dup = F.coalesce("n_dup", F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_paras.alias("n_paras"),
+            n_dup.alias("n_dup_paras"),
+            F.when(n_paras == 0, F.lit(0.0))
+            .otherwise(n_dup.cast("double") / n_paras)
+            .alias("dup_para_ratio"),
+        )
+    )
+
+
+@_register(
     "minhash_shingle_stats",
     """
     WITH pos AS (

@@ -306,6 +306,11 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),
         ("text_langid", ["doc_id", "lang_declared", "lang_guess"]),
+        # corpus-wide paragraph dedup census joined per doc (driver
+        # testdata is single-paragraph/dup-free, so this verifies the
+        # sha+census plumbing hash-exact; the semantic oracle runs on
+        # the dup-heavy synth corpus in tests/test_neardup.py)
+        ("dedup_paragraphs", ["doc_id", "n_paras", "n_dup_paras", "dup_para_ratio"]),
     ],
 }
 

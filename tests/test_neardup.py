@@ -365,6 +365,54 @@ def test_sideboard_cache_evicts_prior_entries(tmp_path, monkeypatch):
     assert k1 is k2
 
 
+def test_paragraph_dedup_matches_brute_force(spark, tmp_path):
+    """Corpus-wide paragraph dedup vs a pure-Python census on composed
+    multi-paragraph docs: paragraphs drawn from a shared pool with
+    known reuse, so both multi-para splitting and cross-doc duplicate
+    detection are exercised non-vacuously (the driver testdata is
+    single-paragraph, where the gate only proves plumbing)."""
+    import random
+    import re
+
+    from hyrise_generalized_dedup_spark.dedup.queries import DEDUP_QUERIES
+
+    pool = [r[4] for r in generate(n_rows=60, seed=7).rows]
+    rng = random.Random(11)
+    docs = []
+    for i in range(40):
+        k = rng.randint(1, 4)
+        text = "\n\n".join(rng.choice(pool) for _ in range(k))
+        docs.append((i, text, "py", "synth", len(text)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.n_paras, r.n_dup_paras, r.dup_para_ratio)
+        for r in DEDUP_QUERIES["dedup_paragraphs"](spark, str(tmp_path)).collect()
+    }
+
+    # brute-force census
+    from collections import Counter
+
+    def paras(t):
+        return [
+            p2
+            for p in re.split(r"\n{2,}", t)
+            if (p2 := re.sub(r"^\s+|\s+$", "", p))
+        ]
+
+    census = Counter(p for _, t, *_ in docs for p in paras(t))
+    exp = {}
+    for i, t, *_ in docs:
+        ps = paras(t)
+        nd = sum(1 for p in ps if census[p] > 1)
+        exp[i] = (len(ps), nd, nd / len(ps) if ps else 0.0)
+    assert got == exp
+    assert sum(1 for n, _, _ in exp.values() if n >= 2) > 10, "multi-para docs"
+    assert sum(nd for _, nd, _ in exp.values()) > 0, "cross-doc dup paragraphs"
+
+
 def test_verified_edges_paths_agree(spark, corpus, pipeline_edges):
     """The python-broadcast gather path (sigs fit the budget) and the
     shuffled join fallback (the 10^12 path) must emit identical edges."""

@@ -246,6 +246,22 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(NULL AS BIGINT) AS n",
         ]),
     ],
+    # ANN census + the round-5 SemDeDup retention manifest (keep-lowest-id
+    # policy over exact cosine pairs; ann/queries.py)
+    "g_ann_dedup": [
+        ("lsh_buckets", "ann_lsh_buckets", [
+            "CAST(table_id AS BIGINT) AS k",
+            "CAST(n_buckets AS BIGINT) AS n1",
+            "CAST(max_bucket AS BIGINT) AS n2",
+            "CAST(n_multi AS BIGINT) AS n3",
+        ]),
+        ("semdedup", "semdedup_keepers", [
+            "CAST(vec_id AS BIGINT) AS k",
+            "CAST(kept AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+            "CAST(NULL AS BIGINT) AS n3",
+        ]),
+    ],
     # Windowed streaming jobs (both REAL readStream->sink runs with a
     # batch-recomputed DuckDB oracle): event-window aggregation + the
     # round-5 streaming exact-dedup census (streaming/dedup.py)
@@ -326,9 +342,8 @@ PASSTHROUGH_SLOTS = [
     "dedup_exact",
     "minhash_shingle_stats",
     "suffix_shared_substrings",
-    # ann (3)
+    # ann (2; lsh_buckets merged with the semdedup manifest into g_ann_dedup)
     "ann_topk_brute",
-    "ann_lsh_buckets",
     "ann_topk_lsh",
     # multimodal (2; mm_features — the stubbed-decoder plumbing slot —
     # was superseded in round 5 by the oracle-backed real-decode slot;

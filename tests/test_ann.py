@@ -139,6 +139,35 @@ def test_embedding_neardup_pairs_matches_duckdb(spark, sf_tiny):
     assert ok, msg
 
 
+def test_semdedup_keepers_policy_and_oracle(spark, sf_tiny, tmp_path):
+    """The retention manifest drops any vector with a LOWER-id cosine
+    neighbor >= threshold — including C in a chain A~B~C where A!~C
+    (C's dropping neighbor B is itself dropped; the policy is the
+    deterministic anti-join, NOT greedy-sequential). Pinned on crafted
+    vectors, then bit-exact vs DuckDB on real testdata."""
+    from hyrise_generalized_dedup_spark.ann.queries import ANN_ORACLES, ANN_QUERIES
+    from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+    vecs = [
+        (0, [1.0, 0.0], None),     # A: kept (no lower id)
+        (1, [0.9, 0.44], None),    # B: cos(A,B)=0.898 -> dropped
+        (2, [0.0, 1.0], None),     # C: cos(B,C)=0.439>=0.42 -> dropped; cos(A,C)=0
+        (3, [-1.0, 0.0], None),    # D: all cosines <= 0 -> kept
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.vec_id: r.kept
+        for r in ANN_QUERIES["semdedup_keepers"](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: True, 1: False, 2: False, 3: True}
+
+    df = ANN_QUERIES["semdedup_keepers"](spark, sf_tiny)
+    ok, msg = compare_to_duckdb(df, ANN_ORACLES["semdedup_keepers"], sf_tiny)
+    assert ok, msg
+
+
 def test_ivf_train_degenerate_identical_sample(spark):
     """ADVICE r2: when every sampled vector is identical, kmeans++ d2 is
     all-zero — init must fall back to uniform selection, not raise."""

@@ -328,6 +328,25 @@ def run_pipeline(
     return metrics.summary
 
 
+def retention_manifest(clusters: DataFrame) -> DataFrame:
+    """User-facing keep/drop manifest derived from the clusters output:
+    one row per doc with its cluster id, the cluster's canonical (min)
+    doc key, and the retention decision (keep the canonical, drop the
+    rest). A derived view over the checkpointed clusters parquet — NOT a
+    pipeline stage, so checkpoint trees and incremental bit-equality are
+    untouched. Census groupBy + join-back (the reps pattern), no window:
+    the shuffle carries (doc_key, cluster_id) pairs only."""
+    canon = clusters.groupBy("cluster_id").agg(
+        F.min("doc_key").alias("canonical_key")
+    )
+    return clusters.join(canon, "cluster_id").select(
+        "doc_key",
+        "cluster_id",
+        "canonical_key",
+        (F.col("doc_key") == F.col("canonical_key")).alias("keep"),
+    )
+
+
 def _load_input(spark: SparkSession, spec: str) -> DataFrame:
     if spec.startswith("synth:"):
         from ..synth import generate, generate_distributed, to_spark
@@ -357,6 +376,12 @@ def main() -> None:
         action="store_true",
         help="absorb corpus growth into the existing checkpoint tree "
         "(--input is the FULL current corpus; see dedup/incremental.py)",
+    )
+    ap.add_argument(
+        "--manifest",
+        action="store_true",
+        help="also write the keep/drop retention manifest derived from "
+        "the clusters output to <output>/manifest",
     )
     args = ap.parse_args()
 
@@ -396,6 +421,12 @@ def main() -> None:
         )
     summary["pipeline_wall_ms"] = int((time.time() - t0) * 1000)
     summary["files_per_sec"] = round(n_in / (time.time() - t0), 2)
+    if args.manifest:
+        ckpt = Checkpointer(spark, args.output, GDConfig(), resume=True)
+        manifest = retention_manifest(ckpt.load("clusters"))
+        mpath = fsutil.urljoin(args.output, "manifest")
+        manifest.write.mode("overwrite").parquet(mpath)
+        summary["manifest_path"] = mpath
     print(json.dumps(summary, default=str))
     spark.stop()
 

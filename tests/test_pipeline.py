@@ -61,6 +61,30 @@ def test_exact_groups_coclustered(spark, corpus, out_dir, summary):
         assert len(ids) == 1
 
 
+def test_retention_manifest(spark, corpus, out_dir, summary):
+    """The keep/drop manifest keeps exactly one doc per cluster (the min
+    doc_key), covers every doc once, and drops every non-canonical
+    member of each exact-dup group."""
+    from hyrise_generalized_dedup_spark.dedup.pipeline import retention_manifest
+
+    cfgh = GDConfig().config_hash()
+    clusters = spark.read.parquet(os.path.join(out_dir, "checkpoint", cfgh, "clusters"))
+    man = {r.doc_key: r for r in retention_manifest(clusters).collect()}
+    assert len(man) == clusters.count()
+    by_cluster = {}
+    for r in man.values():
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        kept = [r for r in rows if r.keep]
+        assert len(kept) == 1, f"cluster {cid} kept {len(kept)}"
+        assert kept[0].doc_key == min(r.doc_key for r in rows)
+        assert all(r.canonical_key == kept[0].doc_key for r in rows)
+    key_of = {c[2]: f"{c[0]}|{c[1]}|{c[2]}" for c in corpus.rows}
+    for group in corpus.exact_groups:
+        keeps = [man[key_of[c]].keep for c in group]
+        assert sum(keeps) <= 1  # group shares a cluster -> one keeper max
+
+
 def test_neardup_pairs_coclustered(spark, corpus, out_dir, summary):
     """Generator ground truth: >=95% of near-dup pairs co-cluster (the
     k=10-edit tail can legitimately fall under the jaccard threshold;

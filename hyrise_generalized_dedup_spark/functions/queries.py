@@ -220,6 +220,88 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_decontaminate",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+             CASE WHEN len(w) < 5 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(generate_series(1, len(w) - 4),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4])) END AS g
+      FROM base
+    ), ev AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE is_eval
+    ), tg AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams
+    ), hits AS (
+      SELECT tg.doc_id, count(*) AS n_hit FROM tg JOIN ev USING (gram)
+      GROUP BY tg.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN t.is_eval THEN 1 ELSE 0 END AS INTEGER) AS is_eval,
+           CAST(len(t.g) AS BIGINT) AS n_grams5,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+           CAST(CASE WHEN NOT t.is_eval AND coalesce(h.n_hit, 0) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+    FROM grams t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the standard pre-training hygiene pass:
+    flag train documents sharing any word 5-gram with the eval split
+    (here the deterministic doc_id % 20 == 0 subset stands in for a held-
+    out benchmark suite)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_table(
+        docs.withColumn("is_eval", F.col("doc_id") % 20 == 0)
+    )
+
+
+def decontaminate_table(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-doc eval-overlap census over (doc_id, text, is_eval): distinct
+    word ``n``-gram count, how many of them appear anywhere in the eval
+    split, and the contamination flag (train doc with >=1 shared gram).
+    Scale shape for 10^12 docs: the eval-gram set is benchmark-sized
+    (tiny) -> broadcast; train grams are per-doc map work (explode inside
+    the scan stage) -> broadcast-hash probe, then one partial-agg count
+    per doc_id. Document content never shuffles."""
+    per_doc = docs.select(
+        "doc_id", "is_eval", T.word_ngrams(F.col("text"), n).alias("grams")
+    )
+    eval_grams = (
+        per_doc.filter("is_eval")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exploded = per_doc.select(
+        "doc_id", "is_eval", F.explode_outer("grams").alias("gram")
+    )
+    flagged = exploded.join(F.broadcast(eval_grams), "gram", "left")
+    return (
+        flagged.groupBy("doc_id", "is_eval")
+        .agg(
+            F.count("gram").alias("n_grams5"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("is_eval").cast("int").alias("is_eval"),
+            F.col("n_grams5").cast("long").alias("n_grams5"),
+            F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+            (~F.col("is_eval") & (F.col("n_hit_grams") > 0))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+@_register(
     "mm_media_stats",
     """
     SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

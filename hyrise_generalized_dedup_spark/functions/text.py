@@ -165,6 +165,26 @@ def dup_bigram_ratio(col: Column) -> Column:
     )
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct space-joined lowercase word ``n``-grams of the document
+    (empty array when it has fewer than ``n`` tokens) — the unit of
+    benchmark-decontamination matching (an eval doc and a train doc
+    "overlap" when they share any such gram). Pure array HOFs: per-doc
+    map work inside the scan stage. Same guarded-sequence caveat as
+    dup_bigram_ratio: sequence DESCENDS when the upper bound < 1, so
+    short docs short-circuit to the empty array."""
+    trimmed = F.trim(F.lower(col))
+    w = F.split(trimmed, r"\s+")
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(w))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_tok - F.lit(n) + 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(n_tok < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
 def lang_guess(col: Column) -> Column:
     """Rule-based language id over stopword markers; 'unk' when nothing
     fires. Deliberately simple and ANSI-SQL-reproducible (the DuckDB

@@ -327,6 +327,12 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         # sha+census plumbing hash-exact; the semantic oracle runs on
         # the dup-heavy synth corpus in tests/test_neardup.py)
         ("dedup_paragraphs", ["doc_id", "n_paras", "n_dup_paras", "dup_para_ratio"]),
+        # round-5 benchmark-decontamination pass: word-5-gram overlap vs the
+        # deterministic eval split (all 500 docs appear on both sides, so
+        # the inner doc_id join is lossless)
+        ("text_decontaminate", [
+            "doc_id", "is_eval", "n_grams5", "n_hit_grams", "contaminated",
+        ]),
     ],
 }
 

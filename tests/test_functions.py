@@ -84,6 +84,44 @@ def test_text_repetition_edge_cases(spark):
     assert out[7].dbr == 1 - 1 / 3      # 3 bigrams, 1 distinct
 
 
+def test_word_ngrams_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "A b c d e f"), (2, "a b c d"), (3, ""), (4, "x x x x x x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", T.word_ngrams(F.col("text"), 5).alias("g")).collect()
+    }
+    assert out[1] == ["a b c d e", "b c d e f"]   # lowercased, sliding
+    assert out[2] == [] and out[3] == []          # short / empty -> empty
+    assert out[4] == ["x x x x x"]                # distinct collapses repeats
+
+
+def test_decontaminate_planted(spark):
+    from hyrise_generalized_dedup_spark.functions.queries import decontaminate_table
+
+    eval_text = "the secret benchmark answer is forty two exactly here"
+    rows = [
+        (1, eval_text, True),                                   # the eval doc
+        # shares the 5-gram "secret benchmark answer is forty" -> contaminated
+        (2, "intro words then secret benchmark answer is forty more", False),
+        # only a 4-gram overlap ("benchmark answer is forty" + different tail)
+        (3, "prefix benchmark answer is forty9 nothing shared", False),
+        (4, "completely unrelated training document with many words", False),
+        (5, "tiny", False),                                     # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_eval boolean")
+    out = {r.doc_id: r for r in decontaminate_table(df).collect()}
+    assert len(out) == 5
+    assert out[1].is_eval == 1 and out[1].contaminated == 0
+    assert out[1].n_hit_grams == out[1].n_grams5 > 0    # eval self-hits
+    assert out[2].contaminated == 1 and out[2].n_hit_grams >= 1
+    assert out[3].contaminated == 0 and out[3].n_hit_grams == 0
+    assert out[4].contaminated == 0
+    assert out[5].n_grams5 == 0 and out[5].contaminated == 0
+
+
 def test_winnow_matches_naive():
     rng = np.random.default_rng(3)
     blob = bytes(rng.integers(32, 127, 400, dtype=np.uint8))

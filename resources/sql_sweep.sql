@@ -1901,3 +1901,219 @@ SELECT p_partkey, CAST(p_retailprice AS DOUBLE) - CAST(p_size AS DOUBLE) * 10 AS
 FROM part WHERE p_partkey <= 50 ORDER BY p_partkey;
 SELECT ABS(CAST(c_acctbal AS DOUBLE)) AS abs_bal, c_custkey
 FROM customer WHERE c_acctbal < 0 ORDER BY abs_bal DESC, c_custkey LIMIT 20;
+
+-- ===== tranche r5b: grouping sets, agg FILTER, window ntile/nth/cume, string fns, =====
+-- EXCEPT/INTERSECT ALL, VALUES, lateral-style derived tables, NULL ordering.
+
+-- ===== GROUPING SETS / ROLLUP / CUBE =====
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST;
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, GROUPING(l_returnflag) AS g_rf
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST;
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST;
+SELECT event_type, COUNT(*) AS n, GROUPING(event_type) AS g
+FROM events GROUP BY ROLLUP (event_type)
+ORDER BY event_type NULLS FIRST;
+SELECT source, lang, MIN(n_chars) AS mn
+FROM documents GROUP BY GROUPING SETS ((source, lang), (source), ())
+ORDER BY source NULLS FIRST, lang NULLS FIRST;
+
+-- ===== aggregate FILTER clause =====
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS n_small
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT l_linestatus,
+       MIN(l_quantity) FILTER (WHERE l_returnflag = 'R') AS min_ret,
+       MAX(l_quantity) FILTER (WHERE l_returnflag = 'N') AS max_noret
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value IS NULL) AS n_null,
+       SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE value > 50) AS high_sum_dec
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT c_nationkey, COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_neg
+FROM customer GROUP BY c_nationkey HAVING COUNT(*) FILTER (WHERE c_acctbal < 0) > 0
+ORDER BY c_nationkey;
+
+-- ===== windows: ntile / nth_value / cume_dist / percent_rank / lead-lag defaults =====
+SELECT c_custkey, NTILE(4) OVER (ORDER BY c_custkey) AS quartile
+FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey;
+SELECT o_orderkey, o_custkey,
+       NTILE(3) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS bucket
+FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey;
+SELECT event_id, user_id,
+       NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event
+FROM events WHERE user_id <= 10 ORDER BY user_id, event_id;
+SELECT c_custkey, CUME_DIST() OVER (ORDER BY c_custkey) AS cd
+FROM customer WHERE c_custkey <= 25 ORDER BY c_custkey;
+SELECT c_custkey, PERCENT_RANK() OVER (ORDER BY c_custkey) AS pr
+FROM customer WHERE c_custkey <= 25 ORDER BY c_custkey;
+SELECT event_id, user_id,
+       LAG(event_id, 2, -1) OVER (PARTITION BY user_id ORDER BY event_id) AS lag2,
+       LEAD(event_id, 3, -1) OVER (PARTITION BY user_id ORDER BY event_id) AS lead3
+FROM events WHERE user_id <= 8 ORDER BY user_id, event_id;
+SELECT o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+         ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS lv
+FROM orders WHERE o_orderkey <= 150 ORDER BY o_orderkey;
+SELECT event_id, DENSE_RANK() OVER (ORDER BY event_type) AS dr, event_type
+FROM events WHERE event_id <= 30 ORDER BY event_id;
+SELECT user_id, event_id,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_user_events,
+       MIN(event_id) OVER (PARTITION BY user_id
+         ORDER BY event_id RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+FROM events WHERE user_id <= 6 ORDER BY user_id, event_id;
+
+-- ===== string functions (shared dialect) =====
+SELECT n_nationkey, LPAD(n_name, 20, '.') AS padded FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, RPAD(n_name, 20, '*') AS padded FROM nation ORDER BY n_nationkey;
+SELECT p_partkey, REVERSE(p_type) AS rev FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT n_nationkey, REPLACE(n_name, 'A', '@') AS repl FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, REPEAT(SUBSTR(n_name, 1, 2), 3) AS rep3 FROM nation ORDER BY n_nationkey;
+SELECT r_regionkey, SPLIT_PART(r_name, 'E', 1) AS first_piece FROM region ORDER BY r_regionkey;
+SELECT n_nationkey, POSITION('AN' IN n_name) AS pos FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, LEFT(n_name, 3) AS l3, RIGHT(n_name, 3) AS r3 FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, TRIM(LEADING 'A' FROM n_name) AS trimmed FROM nation ORDER BY n_nationkey;
+SELECT p_partkey, CONCAT(p_brand, '#', p_type) AS tag
+FROM part WHERE p_partkey <= 30 ORDER BY p_partkey;
+SELECT c_custkey, LENGTH(TRIM(c_name)) AS name_len
+FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey;
+SELECT doc_id, UPPER(lang) AS lang_up, LOWER(source) AS src_lo
+FROM documents WHERE doc_id <= 25 ORDER BY doc_id;
+
+-- ===== EXCEPT ALL / INTERSECT ALL / set-op + correlated EXISTS =====
+SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 200
+EXCEPT ALL
+SELECT s_nationkey AS k FROM supplier
+ORDER BY k;
+SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 200
+INTERSECT ALL
+SELECT s_nationkey AS k FROM supplier
+ORDER BY k;
+SELECT n_nationkey AS k FROM nation
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = nation.n_nationkey)
+INTERSECT
+SELECT s_nationkey AS k FROM supplier
+ORDER BY k;
+SELECT n_nationkey AS k FROM nation
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = nation.n_nationkey)
+EXCEPT
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal < -900
+ORDER BY k;
+SELECT o_orderstatus AS s FROM orders WHERE o_orderkey <= 500
+UNION
+SELECT l_linestatus AS s FROM lineitem WHERE l_orderkey <= 500
+ORDER BY s;
+
+-- ===== VALUES lists and inline tables =====
+SELECT t.k, t.v FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS t(k, v) ORDER BY t.k;
+SELECT n.n_name, t.tier FROM nation n
+JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high'), (3, 'top'), (4, 'max')) AS t(rk, tier)
+  ON n.n_regionkey = t.rk
+ORDER BY n.n_nationkey;
+SELECT v.x + 1 AS y FROM (VALUES (10), (20), (30)) AS v(x) ORDER BY y;
+
+-- ===== derived tables / nested CTEs / CTE used twice =====
+WITH agg AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT a.n_orders, COUNT(*) AS n_custs FROM agg a GROUP BY a.n_orders ORDER BY a.n_orders;
+WITH big AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+), cnt AS (
+  SELECT o_custkey, COUNT(*) AS n FROM big GROUP BY o_custkey
+)
+SELECT b.o_orderkey, c.n FROM big b JOIN cnt c ON b.o_custkey = c.o_custkey
+WHERE c.n >= 2 ORDER BY b.o_orderkey;
+WITH nk AS (SELECT n_nationkey, n_name FROM nation)
+SELECT a.n_name AS name_a, b.n_name AS name_b
+FROM nk a JOIN nk b ON a.n_nationkey = b.n_nationkey - 12
+ORDER BY a.n_nationkey;
+SELECT x.o_orderstatus, x.avg_price FROM (
+  SELECT o_orderstatus,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM orders GROUP BY o_orderstatus
+) x WHERE x.avg_price > 100000 ORDER BY x.o_orderstatus;
+
+-- ===== NULL ordering variants =====
+SELECT event_id, value FROM events WHERE event_id <= 40
+ORDER BY value ASC NULLS LAST, event_id;
+SELECT event_id, value FROM events WHERE event_id <= 40
+ORDER BY value DESC NULLS FIRST, event_id;
+SELECT event_id, value FROM events WHERE event_id <= 40
+ORDER BY value DESC NULLS LAST, event_id;
+SELECT label, vec_id FROM embeddings WHERE vec_id <= 60
+ORDER BY label ASC NULLS FIRST, vec_id;
+
+-- ===== math / conditional edges =====
+SELECT event_id, SIGN(CAST(value AS DOUBLE) - 50) AS sgn
+FROM events WHERE event_id <= 30 AND value IS NOT NULL ORDER BY event_id;
+SELECT l_orderkey, l_linenumber, MOD(l_orderkey, 7) AS m
+FROM lineitem WHERE l_orderkey <= 40 ORDER BY l_orderkey, l_linenumber;
+SELECT c_custkey, SQRT(ABS(CAST(c_acctbal AS DOUBLE))) AS sq
+FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey;
+SELECT event_id, IFNULL(value, -1) AS v FROM events WHERE event_id <= 30 ORDER BY event_id;
+SELECT event_id, NULLIF(event_type, 'click') AS nt FROM events WHERE event_id <= 30 ORDER BY event_id;
+SELECT event_id, COALESCE(value, CAST(event_id AS DOUBLE), 0.0) AS v
+FROM events WHERE event_id <= 30 ORDER BY event_id;
+SELECT p_partkey, GREATEST(p_size, 25) AS g, LEAST(p_size, 25) AS l
+FROM part WHERE p_partkey <= 30 ORDER BY p_partkey;
+SELECT event_id, CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 END AS code
+FROM events WHERE event_id <= 30 ORDER BY event_id;
+SELECT o_orderkey, FLOOR(CAST(o_totalprice AS DOUBLE) / 1000) AS kilo,
+       CEIL(CAST(o_totalprice AS DOUBLE) / 1000) AS kilo_up
+FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey;
+
+-- ===== date/time shared surface =====
+SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo
+FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey;
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(QUARTER FROM o_orderdate) AS qtr, COUNT(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY yr, qtr;
+SELECT event_id, EXTRACT(HOUR FROM ts) AS hh, EXTRACT(MINUTE FROM ts) AS mi
+FROM events WHERE event_id <= 25 ORDER BY event_id;
+SELECT EXTRACT(YEAR FROM ts) AS yr, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY yr, event_type;
+SELECT o_orderkey FROM orders
+WHERE o_orderdate >= CAST('1995-01-01' AS DATE) + INTERVAL '6' MONTH
+  AND o_orderkey <= 300
+ORDER BY o_orderkey;
+
+-- ===== joins: three-way + mixed conditions =====
+SELECT n.n_name, COUNT(DISTINCT s.s_suppkey) AS n_supp, COUNT(DISTINCT c.c_custkey) AS n_cust
+FROM nation n
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name;
+SELECT r.r_name, COUNT(*) AS n_line_supplied
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+GROUP BY r.r_name ORDER BY r.r_name;
+SELECT c.c_custkey, o.o_orderkey
+FROM customer c JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 250000 AND c.c_acctbal > 0
+WHERE c.c_custkey <= 400
+ORDER BY c.c_custkey, o.o_orderkey;
+SELECT s.s_suppkey, l.l_orderkey, l.l_linenumber
+FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+WHERE l.l_quantity < 2 ORDER BY s.s_suppkey, l.l_orderkey, l.l_linenumber;
+
+-- ===== scalar subqueries in new spots =====
+SELECT o_orderkey, o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) FROM orders) AS above_avg
+FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey;
+SELECT (SELECT COUNT(*) FROM nation) AS n_nations,
+       (SELECT COUNT(*) FROM region) AS n_regions,
+       (SELECT MAX(s_suppkey) FROM supplier) AS max_supp;
+SELECT c_custkey FROM customer c
+WHERE c_acctbal > (SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+  AND c_custkey <= 100
+ORDER BY c_custkey;

@@ -195,3 +195,101 @@ def test_stream_first_seen_drops_copies(spark, tmp_path):
 
     for r in kept:
         assert hashlib.sha256((r.text or "").encode()).hexdigest() == r.content_sha
+
+
+def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
+    """Streaming LSH bucket-collision candidates (stateful anchors across
+    micro-batches) equal the batch star-edge twin on an id-ordered feed,
+    and at least one candidate's anchor arrived in an EARLIER micro-batch
+    (state genuinely crossed batches)."""
+    import uuid
+
+    from hyrise_generalized_dedup_spark.streaming.dedup import DOCS_SCHEMA
+    from hyrise_generalized_dedup_spark.streaming.neardup import (
+        lsh_candidates_batch,
+        lsh_candidates_stream,
+    )
+
+    path, docs = _dup_docs(spark, tmp_path)
+    # three id-ordered files -> three micro-batches (arrival == id order,
+    # matching the batch twin's min-id anchoring)
+    src = tmp_path / "docs_ordered"
+    for lo, hi in ((0, 150), (150, 300), (300, 1 << 60)):
+        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"lshcand_{uuid.uuid4().hex[:8]}"
+    q = (
+        lsh_candidates_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = [tuple(r) for r in spark.table(name).collect()]
+    batch = [tuple(r) for r in lsh_candidates_batch(docs).collect()]
+    assert len(batch) > 0, "corpus must produce LSH collisions"
+    assert sorted(streamed) == sorted(batch)
+    assert any(a <= 150 < d for (_, _, a, d) in streamed), (
+        "no candidate crossed a micro-batch boundary"
+    )
+
+
+def test_streaming_lsh_state_machine_eviction():
+    """The bucket update function's state machine: first arrival anchors,
+    later arrivals pair against the stored anchor across calls, timeout
+    evicts, and the next arrival re-anchors (horizon semantics)."""
+    import pandas as pd
+
+    from hyrise_generalized_dedup_spark.streaming.neardup import (
+        _make_update_bucket,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    upd = _make_update_bucket(60_000)
+    st = FakeState()
+    key = (3, 12345)
+
+    def run(ids):
+        out = list(upd(key, iter([pd.DataFrame({"doc_id": ids})]), st))
+        return [] if not out else list(
+            zip(out[0]["anchor_id"].tolist(), out[0]["doc_id"].tolist())
+        )
+
+    assert run([9, 5]) == [(5, 9)]            # min id anchors the batch
+    assert st.get == (5,) and st.timeout_ms == 60_000
+    assert run([3]) == [(5, 3)]               # later arrival pairs with anchor
+    st.hasTimedOut = True                     # idle bucket evicted
+    assert list(upd(key, iter([]), st)) == []
+    assert not st.exists
+    st.hasTimedOut = False
+    assert run([8, 7]) == [(7, 8)]            # re-anchors after eviction

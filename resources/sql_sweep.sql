@@ -2117,3 +2117,100 @@ WHERE c_acctbal > (SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBL
                    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
   AND c_custkey <= 100
 ORDER BY c_custkey;
+
+-- Tranche r5c: multi-col distinct, expression joins, self-joins, CASE in
+-- GROUP BY, date BETWEEN, boolean aggregates, correlated HAVING shapes.
+SELECT COUNT(DISTINCT o_orderstatus || '|' || o_orderpriority) AS n_combos FROM orders;
+SELECT COUNT(DISTINCT l_returnflag || '|' || l_linestatus) AS n_rl FROM lineitem;
+SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_seg
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey;
+SELECT a.s_suppkey AS k1, b.s_suppkey AS k2
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+ORDER BY k1, k2;
+SELECT a.o_orderkey, b.o_orderkey AS later_order
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND b.o_orderkey = a.o_orderkey + 1
+WHERE a.o_orderkey <= 2000
+ORDER BY a.o_orderkey, later_order;
+SELECT n_regionkey + 1 AS rk1, COUNT(*) AS n FROM nation GROUP BY n_regionkey + 1 ORDER BY rk1;
+SELECT CASE WHEN o_totalprice > 200000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS tier,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY tier;
+SELECT SUBSTR(o_orderpriority, 1, 1) AS pri_code, COUNT(*) AS n
+FROM orders GROUP BY SUBSTR(o_orderpriority, 1, 1) ORDER BY pri_code;
+SELECT o_orderkey FROM orders
+WHERE o_orderdate BETWEEN CAST('1994-03-01' AS DATE) AND CAST('1994-03-31' AS DATE)
+ORDER BY o_orderkey;
+SELECT COUNT(*) AS n FROM orders
+WHERE o_orderdate NOT BETWEEN CAST('1993-01-01' AS DATE) AND CAST('1996-12-31' AS DATE);
+SELECT l_orderkey, COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'P' GROUP BY l_orderkey
+ORDER BY l_orderkey LIMIT 30;
+SELECT s_nationkey, BOOL_AND(s_acctbal > 0) AS all_positive
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey;
+SELECT event_type, BOOL_OR(value IS NULL) AS has_nulls, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT o_custkey FROM orders GROUP BY o_custkey
+HAVING MIN(o_totalprice) > 50000 AND COUNT(*) >= 3
+ORDER BY o_custkey;
+SELECT c.c_nationkey, COUNT(*) AS n_rich
+FROM customer c
+WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) FROM customer c2)
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey;
+SELECT n_name FROM nation WHERE n_nationkey IN (
+  SELECT c_nationkey FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 40)
+ORDER BY n_name;
+SELECT r_name FROM region WHERE r_regionkey IN (
+  SELECT n_regionkey FROM nation WHERE n_nationkey IN (
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000))
+ORDER BY r_name;
+SELECT l_returnflag || '/' || l_linestatus AS flag_status, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag || '/' || l_linestatus ORDER BY flag_status;
+SELECT event_id, CONCAT(event_type, COALESCE(CAST(NULL AS STRING), '')) AS et
+FROM events WHERE event_id <= 20 ORDER BY event_id;
+SELECT doc_id, n_chars FROM documents WHERE lang IN ('en', 'de') AND n_chars > 400
+ORDER BY doc_id;
+SELECT lang, source, COUNT(*) AS n FROM documents
+WHERE source IS NOT NULL GROUP BY lang, source
+HAVING COUNT(*) BETWEEN 2 AND 100
+ORDER BY lang, source;
+SELECT vec_id FROM embeddings WHERE label IS NULL ORDER BY vec_id LIMIT 25;
+SELECT e1.event_id, e2.event_id AS next_id
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id AND e2.event_id = e1.event_id + 1
+WHERE e1.user_id <= 5
+ORDER BY e1.event_id;
+SELECT user_id, CAST(MIN(ts) AS STRING) AS first_ts, CAST(MAX(ts) AS STRING) AS last_ts
+FROM events WHERE user_id <= 12 GROUP BY user_id ORDER BY user_id;
+SELECT user_id, CAST(MAX(ts) AS STRING) AS last_s
+FROM events GROUP BY user_id HAVING COUNT(*) > 20 ORDER BY user_id;
+SELECT o_orderstatus, o_orderpriority, n FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+WHERE rn = 1 ORDER BY o_orderstatus;
+SELECT c_mktsegment,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS seg_bal,
+       CAST(SUM(SUM(CAST(c_acctbal AS DECIMAL(38,6)))) OVER () AS DOUBLE) AS total_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT p_brand, p_size FROM part WHERE (p_brand, p_size) IN (('Brand#1', 10), ('Brand#2', 20))
+ORDER BY p_brand, p_size;
+SELECT o_orderkey, o_orderstatus = 'F' AS finished, o_totalprice < 50000 AS cheap
+FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey;
+SELECT COUNT(*) AS n_pairs FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) t;
+SELECT n_nationkey, EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < -999) AS has_broke
+FROM nation n ORDER BY n_nationkey;
+SELECT EXTRACT(MONTH FROM l_shipdate) AS ship_mo, COUNT(*) AS n FROM lineitem
+WHERE l_returnflag IN ('A', 'R') GROUP BY 1 ORDER BY ship_mo;
+SELECT t.grp, CAST(SUM(t.cnt) AS BIGINT) AS total FROM (
+  SELECT o_orderstatus AS grp, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus
+  UNION ALL
+  SELECT l_linestatus AS grp, COUNT(*) AS cnt FROM lineitem GROUP BY l_linestatus
+) t GROUP BY t.grp ORDER BY t.grp;
+SELECT user_id, event_type, n, SUM(n) OVER (PARTITION BY user_id ORDER BY event_type
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
+FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events WHERE user_id <= 8
+      GROUP BY user_id, event_type) t
+ORDER BY user_id, event_type;

@@ -37,6 +37,7 @@ HEADLINE = [
     "minhash_shingle_stats",
     "neardup_cluster_sizes",
     "text_quality",
+    "text_decontaminate",
     "ann_topk_brute",
     "ann_topk_ivf",
     "ann_topk_lsh",

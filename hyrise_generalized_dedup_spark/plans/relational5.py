@@ -234,3 +234,150 @@ def qjob_fact_two_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_low").cast("bigint").alias("total_low"),
         )
     )
+
+
+@_register(
+    "qjob_min_strings_over_chain",
+    """
+    SELECT MIN(c_name) AS min_cust, MIN(s_name) AS min_supp,
+           MIN(n_name) AS min_nation, COUNT(*) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name LIKE 'A%' AND o_orderstatus = 'F' AND l_quantity > 45
+    """,
+)
+def qjob_min_strings_over_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB's hallmark output shape — MIN() over VARCHAR columns after a
+    many-way join chain (every JOB query SELECTs MIN(title), MIN(name),
+    ...). Five-way chain with a selective dim LIKE and a fact range;
+    Catalyst+AQE pick the order, the dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").like("A%"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.agg(
+        F.min("c_name").alias("min_cust"),
+        F.min("s_name").alias("min_supp"),
+        F.min("n_name").alias("min_nation"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "qjob_anti_dim_filter",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey NOT IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_quantity > 49 AND EXTRACT(YEAR FROM l_shipdate) = 2000
+        AND l_suppkey IS NOT NULL)
+    ORDER BY s_suppkey
+    """,
+)
+def qjob_anti_dim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB-style negative-evidence query (entities with NO qualifying
+    fact rows): suppliers that shipped no max-quantity line in 2000 —
+    an anti join against the filtered fact, broadcast when the filtered
+    side is small. (Predicate chosen non-vacuous at sf0.001 AND sf0.01:
+    1/10 and 11/100 suppliers qualify.)"""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 49)
+        & (F.year("l_shipdate") == 2000)
+        & F.col("l_suppkey").isNotNull()
+    )
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_anti")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "qjob_count_distinct_dims",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT c_nationkey) AS n_cust_nations,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def qjob_count_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB-style distinct-entity counting across a join (how many
+    distinct companies/keywords per category): two COUNT(DISTINCT)s with
+    different key domains in one aggregate — Spark expands to a
+    multi-distinct aggregate without a self-join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_cust_nations"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "qjob_two_fact_aliases",
+    """
+    SELECT a.l_orderkey,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(a.l_quantity) AS DOUBLE) AS min_ret_qty,
+           CAST(MAX(b.l_quantity) AS DOUBLE) AS max_kept_qty
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    WHERE a.l_returnflag = 'R' AND b.l_returnflag = 'N'
+    GROUP BY a.l_orderkey
+    ORDER BY a.l_orderkey
+    LIMIT 100
+    """,
+)
+def qjob_two_fact_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB's same-table-twice shape on the FACT side (movie_info a,
+    movie_info b with different filters, joined on the entity): returned
+    and kept lines of the same order paired with a line-number
+    inequality — an equi join on the order key with a residual range
+    predicate, NOT a cartesian per order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").alias("a")
+    b = li.filter(F.col("l_returnflag") == "N").alias("b")
+    j = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    )
+    return (
+        j.groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("a.l_quantity").cast("double").alias("min_ret_qty"),
+            F.max("b.l_quantity").cast("double").alias("max_kept_qty"),
+        )
+        .orderBy("l_orderkey")
+        .limit(100)
+    )

@@ -220,6 +220,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_gopher_quality",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+                         x -> length(x) > 0) AS nb
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(w) = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+      END AS mean_word_len,
+      CASE WHEN len(w) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w)
+      END AS alpha_word_ratio,
+      CASE WHEN len(w) = 0 THEN 0.0
+           ELSE CAST((length(text) - length(regexp_replace(text, '#', '', 'g')))
+                     + (length(text) - length(replace(text, '...', ''))) / 3
+                AS DOUBLE) / len(w)
+      END AS symbol_word_ratio,
+      CASE WHEN len(nb) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(nb, x -> x LIKE '- %' OR x LIKE '* %'
+                                            OR x LIKE '•%')) AS DOUBLE) / len(nb)
+      END AS bullet_line_ratio,
+      CASE WHEN len(nb) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(nb, x -> x LIKE '%...')) AS DOUBLE) / len(nb)
+      END AS ellipsis_line_ratio
+    FROM base
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021, the standard web/
+    code corpus filter set): mean word length, alphabetic-word fraction,
+    symbol-to-word ratio (# and ellipses), bullet-line and
+    ellipsis-line fractions. All pure array HOFs — per-doc map work
+    inside the scan stage, no shuffle at any scale; each ratio is one
+    IEEE division of exact integers, so the DuckDB oracle is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.mean_word_length(F.col("text")).alias("mean_word_len"),
+        T.alpha_word_ratio(F.col("text")).alias("alpha_word_ratio"),
+        T.symbol_word_ratio(F.col("text")).alias("symbol_word_ratio"),
+        T.bullet_line_ratio(F.col("text")).alias("bullet_line_ratio"),
+        T.ellipsis_line_ratio(F.col("text")).alias("ellipsis_line_ratio"),
+    )
+
+
+@_register(
     "text_decontaminate",
     """
     WITH base AS (

@@ -165,6 +165,71 @@ def dup_bigram_ratio(col: Column) -> Column:
     )
 
 
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens of the trimmed document (empty array for blank
+    docs) — the shared token definition for the Gopher-style signals."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    """Average token length in characters (0.0 for blank docs) — one of
+    the Gopher corpus-quality rules (docs outside [3, 10] are filtered).
+    Sum and count are exact integers; the single double division is
+    correctly rounded identically on any IEEE engine."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n)
+
+
+def alpha_word_ratio(col: Column) -> Column:
+    """Fraction of tokens containing at least one [A-Za-z] character
+    (Gopher: require >= 0.8) — separates prose from symbol/number soup."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# of '#' chars + # of '...' occurrences) / tokens (Gopher:
+    filter > 0.1) — hashtag/ellipsis-heavy docs are low-quality web
+    text. Occurrence counts via length deltas, so the expression stays
+    JVM-side."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    n_hash = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    n_ellipsis = (
+        F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))
+    ) / F.lit(3)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_ellipsis).cast("double") / n
+    )
+
+
+def bullet_line_ratio(col: Column) -> Column:
+    """Fraction of non-blank lines that start with a bullet marker
+    ('- ', '* ', or '•') — Gopher filters docs with > 0.9."""
+    nb = nonblank_lines(col)
+    n = F.size(nb)
+    hits = F.size(
+        F.filter(nb, lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("•"))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def ellipsis_line_ratio(col: Column) -> Column:
+    """Fraction of non-blank lines ending with '...' — Gopher filters
+    docs with > 0.3."""
+    nb = nonblank_lines(col)
+    n = F.size(nb)
+    hits = F.size(F.filter(nb, lambda x: x.endswith("...")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Distinct space-joined lowercase word ``n``-grams of the document
     (empty array when it has fewer than ``n`` tokens) — the unit of

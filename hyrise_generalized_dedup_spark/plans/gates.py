@@ -318,6 +318,11 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "n_lines", "dup_line_ratio", "top_line_count",
             "dup_line_char_ratio", "dup_bigram_ratio",
         ]),
+        # round-5 Gopher-rule quality signals (functions/text.py)
+        ("text_gopher_quality", [
+            "doc_id", "mean_word_len", "alpha_word_ratio",
+            "symbol_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

@@ -347,3 +347,32 @@ def test_goldens_match_current_kernels(spark):
             )
         )
         assert got == want, f"golden drift for {name}: rerun scripts/gen_goldens.py"
+
+
+def test_gopher_quality_signals(spark):
+    rows = [
+        (1, ""),                                     # blank -> all zeros
+        (2, "alpha beta gamma"),                     # clean prose
+        (3, "# # # tag"),                            # hash-heavy
+        (4, "- one\n- two\n* three\nplain"),         # 3/4 bullet lines
+        (5, "wait...\nmore...\nfine"),               # 2/3 ellipsis lines
+        (6, "a....b"),                               # one '...' (4 dots -> 1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.mean_word_length(F.col("text")).alias("mwl"),
+            T.alpha_word_ratio(F.col("text")).alias("awr"),
+            T.symbol_word_ratio(F.col("text")).alias("swr"),
+            T.bullet_line_ratio(F.col("text")).alias("blr"),
+            T.ellipsis_line_ratio(F.col("text")).alias("elr"),
+        ).collect()
+    }
+    assert out[1] == (1, 0.0, 0.0, 0.0, 0.0, 0.0)
+    assert out[2].mwl == (5 + 4 + 5) / 3 and out[2].awr == 1.0 and out[2].swr == 0.0
+    assert out[3].swr == 3 / 4 and out[3].awr == 1 / 4
+    assert out[4].blr == 3 / 4
+    assert out[5].elr == 2 / 3
+    assert out[6].swr == 1.0 and out[6].mwl == 6.0   # one token 'a....b'

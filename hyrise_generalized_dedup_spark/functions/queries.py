@@ -354,6 +354,99 @@ def decontaminate_table(docs: DataFrame, n: int = 5) -> DataFrame:
 
 
 @_register(
+    "curation_manifest",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ), quality AS (
+      SELECT doc_id,
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+        END AS mwl,
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w)
+        END AS awr
+      FROM base
+    ), canon AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+             CASE WHEN len(w) < 5 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(generate_series(1, len(w) - 4),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4])) END AS g
+      FROM base
+    ), ev AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE is_eval
+    ), hits AS (
+      SELECT tg.doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE NOT is_eval) tg
+      JOIN ev USING (gram) GROUP BY tg.doc_id
+    )
+    SELECT q.doc_id,
+      CAST(CASE WHEN c.canonical_id <> q.doc_id THEN 1 ELSE 0 END AS INTEGER) AS drop_dup,
+      CAST(CASE WHEN q.mwl < 2.0 OR q.mwl > 12.0 OR q.awr < 0.5 THEN 1 ELSE 0 END AS INTEGER) AS drop_quality,
+      CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 AND q.doc_id % 20 <> 0 THEN 1 ELSE 0 END AS INTEGER) AS drop_contaminated,
+      CAST(CASE WHEN c.canonical_id = q.doc_id
+                 AND NOT (q.mwl < 2.0 OR q.mwl > 12.0 OR q.awr < 0.5)
+                 AND NOT (coalesce(h.n_hit, 0) > 0 AND q.doc_id % 20 <> 0)
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM quality q
+    JOIN canon c ON c.doc_id = q.doc_id
+    LEFT JOIN hits h ON h.doc_id = q.doc_id
+    """,
+)
+def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision per document — the manifest a
+    training-data pipeline actually consumes: drop exact duplicates
+    (keep the min-id canonical per content sha), drop quality failures
+    (Gopher mean-word-length/alpha-word bounds), drop eval-contaminated
+    docs (word-5-gram overlap), keep the rest. Composes three
+    independently oracled signals into one row per doc with per-reason
+    flags (auditable: a doc can fail several ways). Scale shape: sha
+    census is a groupBy+join-back (no window over the corpus in the
+    Spark plan), quality is scan-stage map work, decontam probes a
+    broadcast eval-gram set — content never shuffles except the sha
+    census's 32-byte digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id",
+        T.mean_word_length(F.col("text")).alias("mwl"),
+        T.alpha_word_ratio(F.col("text")).alias("awr"),
+    )
+    sha = docs.select("doc_id", F.sha2("text", 256).alias("sha"))
+    canon = sha.join(
+        sha.groupBy("sha").agg(F.min("doc_id").alias("canonical_id")), "sha"
+    ).select("doc_id", "canonical_id")
+    decon = decontaminate_table(
+        docs.withColumn("is_eval", F.col("doc_id") % 20 == 0)
+    ).select("doc_id", "n_hit_grams", "is_eval")
+    bad_q = (F.col("mwl") < 2.0) | (F.col("mwl") > 12.0) | (F.col("awr") < 0.5)
+    contaminated = (F.col("n_hit_grams") > 0) & (F.col("is_eval") == 0)
+    return (
+        quality.join(canon, "doc_id")
+        .join(decon, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("canonical_id") != F.col("doc_id")).cast("int").alias("drop_dup"),
+            bad_q.cast("int").alias("drop_quality"),
+            contaminated.cast("int").alias("drop_contaminated"),
+            (
+                (F.col("canonical_id") == F.col("doc_id"))
+                & ~bad_q
+                & ~contaminated
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+@_register(
     "mm_media_stats",
     """
     SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -376,3 +376,26 @@ def test_gopher_quality_signals(spark):
     assert out[4].blr == 3 / 4
     assert out[5].elr == 2 / 3
     assert out[6].swr == 1.0 and out[6].mwl == 6.0   # one token 'a....b'
+
+
+def test_curation_manifest_matches_duckdb(spark, sf_tiny):
+    from hyrise_generalized_dedup_spark.functions.queries import (
+        TEXT_ORACLES,
+        TEXT_QUERIES,
+    )
+    from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+    df = TEXT_QUERIES["curation_manifest"](spark, sf_tiny)
+    ok, msg = compare_to_duckdb(df, TEXT_ORACLES["curation_manifest"], sf_tiny)
+    assert ok, msg
+    rows = df.collect()
+    assert len(rows) > 0
+    # flags are consistent: keep == no drop reason fired
+    for r in rows:
+        assert r.keep == int(
+            r.drop_dup == 0 and r.drop_quality == 0 and r.drop_contaminated == 0
+        ), r
+    # the manifest is non-vacuous on the driver corpus: something kept,
+    # and at least one drop reason fires somewhere
+    assert any(r.keep for r in rows)
+    assert any(r.drop_quality or r.drop_dup or r.drop_contaminated for r in rows)

@@ -2214,3 +2214,93 @@ SELECT user_id, event_type, n, SUM(n) OVER (PARTITION BY user_id ORDER BY event_
 FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events WHERE user_id <= 8
       GROUP BY user_id, event_type) t
 ORDER BY user_id, event_type;
+
+-- Tranche r5d: EXISTS combinations, HAVING-without-GROUP-BY, IN with NULLs,
+-- LIKE ESCAPE, negative modulo, CASE NULL branches, window-in-CTE reuse.
+SELECT n_nationkey, n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000)
+   OR EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < -900)
+ORDER BY n_nationkey;
+SELECT n_nationkey FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < 0)
+ORDER BY n_nationkey;
+SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders HAVING COUNT(*) > 0;
+SELECT MAX(l_quantity) AS max_qty FROM lineitem HAVING MAX(l_quantity) > 10;
+SELECT event_id FROM events WHERE event_type IN ('click', 'view') AND event_id <= 40 ORDER BY event_id;
+SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%!_%' ESCAPE '!';
+SELECT l_orderkey, l_linenumber, l_orderkey % 3 AS m3, (0 - l_orderkey) % 3 AS neg_m3
+FROM lineitem WHERE l_orderkey <= 20 ORDER BY l_orderkey, l_linenumber;
+SELECT event_id,
+       CASE WHEN value > 90 THEN 'high' WHEN value > 50 THEN NULL ELSE 'low' END AS tier
+FROM events WHERE event_id <= 30 ORDER BY event_id;
+WITH ranked AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_mktsegment, a.c_custkey AS top1, b.c_custkey AS top2
+FROM ranked a JOIN ranked b
+  ON a.c_mktsegment = b.c_mktsegment AND a.rn = 1 AND b.rn = 2
+ORDER BY a.c_mktsegment;
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY COUNT(*) DESC, o_orderstatus;
+SELECT c_nationkey, CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+FROM customer GROUP BY c_nationkey ORDER BY bal DESC, c_nationkey LIMIT 10;
+SELECT DISTINCT o_orderpriority FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+ORDER BY o_orderpriority;
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+HAVING COUNT(DISTINCT event_type) >= 3
+ORDER BY user_id;
+SELECT s_suppkey, s_acctbal,
+       CASE WHEN s_acctbal < 0 THEN 'debt'
+            WHEN s_acctbal = 0 THEN 'zero'
+            ELSE 'credit' END AS standing
+FROM supplier WHERE s_suppkey <= 30 ORDER BY s_suppkey;
+SELECT r_regionkey, (SELECT MIN(n_name) FROM nation WHERE n_regionkey = r_regionkey) AS first_nation
+FROM region ORDER BY r_regionkey;
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+  AND o.o_custkey <= 50
+ORDER BY o_orderkey;
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS disc_rev
+FROM lineitem WHERE l_quantity BETWEEN 5 AND 45
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus;
+SELECT p_size, COUNT(DISTINCT p_brand) AS n_brands
+FROM part GROUP BY p_size HAVING COUNT(DISTINCT p_brand) > 3 ORDER BY p_size;
+SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type;
+SELECT c_custkey FROM customer
+WHERE c_custkey BETWEEN 10 AND 60 AND c_custkey NOT BETWEEN 25 AND 40
+ORDER BY c_custkey;
+SELECT doc_id, n_chars,
+       CASE WHEN n_chars >= 1000 THEN 'long' WHEN n_chars >= 300 THEN 'mid' ELSE 'short' END AS size_band
+FROM documents WHERE doc_id <= 40 ORDER BY doc_id;
+SELECT lang, COUNT(*) AS n,
+       CAST(MIN(n_chars) AS BIGINT) AS mn, CAST(MAX(n_chars) AS BIGINT) AS mx
+FROM documents GROUP BY lang ORDER BY lang;
+SELECT a.vec_id AS v1, b.vec_id AS v2
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.label IS NOT NULL AND a.vec_id <= 20
+ORDER BY v1, v2;
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+FROM events GROUP BY user_id
+HAVING SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+     > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+ORDER BY user_id;
+SELECT o_orderkey FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_orderstatus <> 'F' AND o_orderkey <= 5000
+ORDER BY o_orderkey;
+SELECT event_id, CAST(ts AS STRING) AS ts_s FROM events WHERE event_id <= 5 ORDER BY event_id;
+SELECT user_id, event_id,
+       COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_neighbors
+FROM events WHERE user_id <= 4 AND value IS NOT NULL ORDER BY user_id, event_id;

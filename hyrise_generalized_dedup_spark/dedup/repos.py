@@ -1,0 +1,103 @@
+"""Repo-level fork detection over file-content keys.
+
+File-level dedup (exact sha, normalized sha, MinHash clusters) answers
+"which FILES repeat"; a code corpus also needs "which REPOS are copies of
+each other" — forks, vendored mirrors, template clones — because public
+code pipelines (The Stack, arXiv:2211.15533) deduplicate at repository
+granularity before file granularity. This module computes repo-pair
+file-set similarity from any per-file key column (raw `content` sha for
+byte-level forks, functions/code.normalized_sha for reformatted forks,
+or the dedup pipeline's cluster label for near-dup-aware forks).
+
+Scale design (the 10^12-file lens):
+- Pair generation keys on the file-content key, NEVER repo x repo: the
+  self-join output per key is C(n_repos_with_key, 2), and keys present
+  in more than ``max_repos_per_key`` repos (vendored libraries, license
+  boilerplate, empty __init__.py) are EXCLUDED by a census pre-filter —
+  the same bounded-join rule as the LSH hot-bucket star path
+  (dedup/lsh.py), so no key can produce quadratic output. Excluding
+  ubiquitous keys is also the semantically right call: sharing jquery
+  does not make two repos forks.
+- Everything is distinct/groupBy/join on short keys (repo string,
+  64-hex sha); file content never enters this stage.
+- Repo sizes are counted over the SAME filtered key set as the
+  intersections, so the reported Jaccard is exact for the filtered
+  universe (a brute-force oracle over the identical rule is byte-equal
+  — tests/test_code.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_MAX_REPOS_PER_KEY = 64
+
+
+def repo_similarity(
+    files: DataFrame,
+    repo_col: str = "repo",
+    key_col: str = "file_key",
+    max_repos_per_key: int = DEFAULT_MAX_REPOS_PER_KEY,
+) -> DataFrame:
+    """Pairwise repo similarity over distinct per-repo file keys.
+
+    Returns (repo_a, repo_b, n_shared, n_a, n_b, jaccard, containment)
+    with repo_a < repo_b; only pairs sharing at least one non-ubiquitous
+    key appear. ``containment`` = shared / min(|A|, |B|) — the fork
+    signal proper (a small fork of a huge monorepo has low Jaccard but
+    containment ~1).
+    """
+    rk = files.select(
+        F.col(repo_col).alias("repo"), F.col(key_col).alias("file_key")
+    ).distinct()
+    census = rk.groupBy("file_key").agg(F.count(F.lit(1)).alias("n_repos"))
+    kept = rk.join(
+        census.filter(F.col("n_repos") <= max_repos_per_key).select("file_key"),
+        "file_key",
+    )
+    sizes = kept.groupBy("repo").agg(F.count(F.lit(1)).alias("n_keys"))
+    a = kept.select(F.col("repo").alias("repo_a"), "file_key")
+    b = kept.select(F.col("repo").alias("repo_b"), "file_key")
+    shared = (
+        a.join(b, "file_key")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("repo").alias("repo_a"), F.col("n_keys").alias("n_a"))
+    zb = sizes.select(F.col("repo").alias("repo_b"), F.col("n_keys").alias("n_b"))
+    return (
+        shared.join(za, "repo_a")
+        .join(zb, "repo_b")
+        .select(
+            "repo_a",
+            "repo_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+def fork_candidates(
+    similarity: DataFrame,
+    min_containment: float = 0.8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Repo pairs whose file-set containment marks one as a (near-)copy
+    of the other. ``min_shared`` suppresses trivial matches between
+    tiny repos (2 repos sharing their single file are not a fork
+    signal)."""
+    return similarity.filter(
+        (F.col("containment") >= min_containment)
+        & (F.col("n_shared") >= min_shared)
+    )

@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
+from . import code as C
 from . import text as T
 from .fingerprint import fingerprint_table
 from .multimodal import (
@@ -553,3 +554,179 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(media_table_from_documents(docs))
     return feats.select("media_id", "modality", "n_bytes", "feat_dim", "feat_norm")
+
+
+@_register(
+    "code_quality_signals",
+    """
+    WITH lines AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(coalesce(list_max(list_transform(ls, x -> length(x))), 0)
+                  AS BIGINT) AS max_line_len,
+             CASE WHEN len(ls) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(ls, x -> length(x)))
+                       / CAST(len(ls) AS DOUBLE) END AS avg_line_len,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text)
+                        - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) END AS alnum_frac,
+             CAST(CASE WHEN regexp_matches(
+                    array_to_string(ls[1:5], chr(10)),
+                    '(?i)auto[- ]?generated|automatically generated|do not edit|generated by')
+                  THEN 1 ELSE 0 END AS INTEGER) AS is_autogen,
+             CAST(CASE WHEN regexp_matches(
+                    array_to_string(ls[1:10], chr(10)),
+                    '(?i)spdx-license-identifier|licensed under|mit license|apache license|gnu general public license')
+                  THEN 1 ELSE 0 END AS INTEGER) AS has_license,
+             CAST(CASE WHEN text LIKE '<?xml%' THEN 1 ELSE 0 END AS INTEGER)
+               AS is_xml
+      FROM lines
+    )
+    SELECT *,
+           CAST(CASE WHEN max_line_len <= 1000 AND avg_line_len <= 100
+                      AND alnum_frac >= 0.25 AND is_autogen = 0 AND is_xml = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS stack_keep
+    FROM sig
+    """,
+)
+def code_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack / StarCoder code-file quality filters (functions/code.py):
+    long-line and mean-line-length caps, alphanumeric-fraction floor,
+    auto-generated / XML-data-file / license-header detection, and the
+    composite default keep rule. All pure Column exprs — per-file map
+    work in the scan stage at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        C.max_line_length(c).alias("max_line_len"),
+        C.avg_line_length(c).alias("avg_line_len"),
+        C.alnum_fraction(c).alias("alnum_frac"),
+        C.is_autogenerated(c).alias("is_autogen"),
+        C.has_license_header(c).alias("has_license"),
+        C.is_xml_head(c).alias("is_xml"),
+        C.stack_keep(c).alias("stack_keep"),
+    )
+
+
+@_register(
+    "code_normalized_dedup",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(
+               regexp_replace(text, '(?m)(//|#|--).*$', '', 'g'),
+               '[ \t\r\n]+', ' ', 'g'))) AS norm_sha
+      FROM documents
+    ), census AS (
+      SELECT norm_sha, COUNT(*) AS n_copies, MIN(doc_id) AS canonical
+      FROM norm GROUP BY norm_sha
+    )
+    SELECT n.doc_id, n.norm_sha,
+           CAST(c.n_copies AS BIGINT) AS n_copies,
+           CAST(c.canonical AS BIGINT) AS canonical_doc_id,
+           CAST(CASE WHEN n.doc_id <> c.canonical THEN 1 ELSE 0 END AS INTEGER)
+             AS is_dup
+    FROM norm n JOIN census c USING (norm_sha)
+    """,
+)
+def code_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting-invariant exact dedup: group by sha256 of the
+    comment-stripped whitespace-collapsed canonical form, elect the
+    lowest doc_id per group. Driver testdata is reformat-free so the
+    census plumbing is what this slot hash-checks; the semantic layer
+    (comment/indent variants collide, token edits do not) is oracled on
+    the synthetic code corpus in tests/test_code.py. Scale shape: one
+    map pass + one groupBy on a 64-hex key, identical to dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", C.normalized_sha(F.col("text")).alias("norm_sha"))
+    census = norm.groupBy("norm_sha").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+    return norm.join(census, "norm_sha").select(
+        "doc_id",
+        "norm_sha",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("canonical_doc_id").cast("long").alias("canonical_doc_id"),
+        (F.col("doc_id") != F.col("canonical_doc_id")).cast("int").alias("is_dup"),
+    )
+
+
+@_register(
+    "source_overlap",
+    """
+    WITH base AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ), grams AS (
+      SELECT source,
+             CASE WHEN len(w) < 5 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(generate_series(1, len(w) - 4),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4])) END AS g
+      FROM base
+    ), sg AS (
+      SELECT DISTINCT source, unnest(g) AS gram FROM grams
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n FROM sg GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared AS DOUBLE)
+             / CAST(za.n + zb.n - s.n_shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes za ON za.source = s.source_a
+    JOIN sizes zb ON zb.source = s.source_b
+    """,
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source containment census — the repo-overlap / fork-detection
+    shape applied to the driver's `source` column: distinct word-5-gram
+    sets per source, pairwise shared-gram counts and Jaccard. Scale
+    shape: the gram explode is map-side; the self-join keys on the gram
+    (a census-cappable key — dedup/repos.py adds the hot-key cap for the
+    true repo-scale variant); pair aggregation is a partial-agg groupBy
+    on a bounded pair domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        docs.select("source", F.explode(T.word_ngrams(F.col("text"), 5)).alias("gram"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.alias("a")
+    b = sg.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        shared.join(za, F.col("source_a") == F.col("za.source"))
+        .join(zb, F.col("source_b") == F.col("zb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("za.n") + F.col("zb.n") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -323,6 +323,11 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "mean_word_len", "alpha_word_ratio",
             "symbol_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
         ]),
+        # round-5 The-Stack/StarCoder code-file filters (functions/code.py)
+        ("code_quality_signals", [
+            "doc_id", "max_line_len", "avg_line_len", "alnum_frac",
+            "is_autogen", "has_license", "is_xml", "stack_keep",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),
@@ -337,6 +342,13 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         # the inner doc_id join is lossless)
         ("text_decontaminate", [
             "doc_id", "is_eval", "n_grams5", "n_hit_grams", "contaminated",
+        ]),
+        # round-5 formatting-invariant exact dedup (functions/code.py) —
+        # driver data is reformat-free, so this slot hash-checks the
+        # normalize+census plumbing; semantics are oracled on the synth
+        # code corpus in tests/test_code.py
+        ("code_normalized_dedup", [
+            "doc_id", "norm_sha", "n_copies", "canonical_doc_id", "is_dup",
         ]),
     ],
 }

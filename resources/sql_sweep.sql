@@ -2304,3 +2304,125 @@ SELECT user_id, event_id,
        COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_neighbors
 FROM events WHERE user_id <= 4 AND value IS NOT NULL ORDER BY user_id, event_id;
+
+-- tranche r5c: grouping sets/cube, window variants (ntile/percent_rank/
+-- cume_dist/nth_value/lag-lead defaults/range frames), VALUES inline tables,
+-- INTERSECT/EXCEPT ALL, string+numeric+date scalar functions, correlated
+-- subquery shapes, boolean aggregates, derived-table set-op combos
+SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus) AS g1, GROUPING(o_orderpriority) AS g2, COUNT(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST;
+SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST;
+SELECT event_type, GROUPING(event_type) AS g, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+FROM events WHERE value IS NOT NULL GROUP BY ROLLUP (event_type)
+ORDER BY g, event_type NULLS FIRST;
+SELECT o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, GROUPING(o_orderstatus) AS gs, COUNT(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)), (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)))
+ORDER BY gs, yr, o_orderstatus NULLS FIRST;
+SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_orderkey) AS quartile FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey;
+SELECT o_orderkey, o_orderstatus, PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS pr
+FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderstatus, o_orderkey;
+SELECT o_orderkey, CUME_DIST() OVER (ORDER BY o_orderkey) AS cd FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey;
+SELECT user_id, event_id, NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_ev
+FROM events WHERE user_id <= 3 ORDER BY user_id, event_id;
+SELECT user_id, event_id, LAG(event_id, 2, -1) OVER (PARTITION BY user_id ORDER BY event_id) AS lag2
+FROM events WHERE user_id <= 3 ORDER BY user_id, event_id;
+SELECT user_id, event_id, LEAD(event_id, 3, 0) OVER (PARTITION BY user_id ORDER BY event_id) AS lead3
+FROM events WHERE user_id <= 3 ORDER BY user_id, event_id;
+SELECT o_orderkey, COUNT(*) OVER (ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS near_n
+FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey;
+SELECT o_orderkey, MIN(o_orderkey) OVER (ORDER BY o_orderkey RANGE BETWEEN CURRENT ROW AND 10 FOLLOWING) AS next_min
+FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey;
+SELECT user_id, event_id, FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY event_id DESC) AS latest
+FROM events WHERE user_id <= 4 ORDER BY user_id, event_id;
+SELECT user_id, event_id, DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank
+FROM events WHERE user_id <= 3 ORDER BY user_id, event_id;
+SELECT t.k, t.v FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(k, v) ORDER BY t.k;
+SELECT n.n_name, t.code FROM nation n JOIN (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS t(rk, code) ON n.n_regionkey = t.rk
+ORDER BY n.n_name;
+SELECT v.grp, COUNT(*) AS n FROM orders o JOIN (VALUES ('O', 'open'), ('F', 'final')) AS v(st, grp) ON o.o_orderstatus = v.st
+GROUP BY v.grp ORDER BY v.grp;
+SELECT k FROM (VALUES (1), (2), (2), (3)) AS t(k) GROUP BY k HAVING COUNT(*) = 1 ORDER BY k;
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' INTERSECT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 1000 ORDER BY o_custkey;
+SELECT o_custkey FROM orders EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' ORDER BY o_custkey;
+SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1 EXCEPT ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' ORDER BY l_orderkey LIMIT 20;
+SELECT n_name, LPAD(n_name, 12, '.') AS padded FROM nation ORDER BY n_name;
+SELECT n_name, RPAD(n_name, 12, '-') AS padded FROM nation ORDER BY n_name;
+SELECT r_name, REPEAT(r_name, 2) AS doubled FROM region ORDER BY r_name;
+SELECT n_name, REVERSE(n_name) AS rev FROM nation ORDER BY n_name;
+SELECT n_name, REPLACE(n_name, 'A', '@') AS repl FROM nation ORDER BY n_name;
+SELECT n_name, TRANSLATE(n_name, 'AEIOU', 'aeiou') AS tr FROM nation ORDER BY n_name;
+SELECT n_name, POSITION('A' IN n_name) AS pos_a FROM nation ORDER BY n_name;
+SELECT CHR(65 + n_regionkey) AS letter, COUNT(*) AS n FROM nation GROUP BY CHR(65 + n_regionkey) ORDER BY letter;
+SELECT n_name, MD5(n_name) AS h FROM nation ORDER BY n_name;
+SELECT n_name, LEFT(n_name, 3) AS pfx, RIGHT(n_name, 3) AS sfx FROM nation ORDER BY n_name;
+SELECT c_mktsegment, COUNT(*) AS n FROM customer WHERE POSITION('E' IN c_mktsegment) > 0 GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT o_orderkey, ROUND(o_totalprice, -2) AS rounded_hundreds FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey;
+SELECT l_orderkey, l_linenumber, SIGN(l_extendedprice - 1000.0) AS sgn FROM lineitem WHERE l_orderkey <= 20 ORDER BY l_orderkey, l_linenumber;
+SELECT n_nationkey, POWER(CAST(n_nationkey AS DOUBLE), 2.0) AS sq FROM nation ORDER BY n_nationkey;
+SELECT n_nationkey, SQRT(CAST(n_nationkey AS DOUBLE)) AS rt FROM nation ORDER BY n_nationkey;
+SELECT o_orderkey, LN(o_totalprice) AS ln_price, LOG10(o_totalprice) AS log_price FROM orders WHERE o_orderkey <= 30 AND o_totalprice > 0 ORDER BY o_orderkey;
+SELECT o_orderkey, MOD(o_orderkey, 7) AS m7, ABS(MOD(o_orderkey, 7) - 3) AS dist3 FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey;
+SELECT FLOOR(o_totalprice / 10000.0) AS bucket, COUNT(*) AS n FROM orders GROUP BY FLOOR(o_totalprice / 10000.0) ORDER BY bucket;
+SELECT CEIL(o_totalprice / 25000.0) AS bucket, COUNT(*) AS n FROM orders GROUP BY CEIL(o_totalprice / 25000.0) ORDER BY bucket;
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n FROM orders GROUP BY DATE_TRUNC('month', o_orderdate) ORDER BY mo;
+SELECT CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS qtr, COUNT(*) AS n FROM orders GROUP BY DATE_TRUNC('quarter', o_orderdate) ORDER BY qtr;
+SELECT o_orderkey, CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey;
+SELECT CAST(DATE_PART('year', o_orderdate) AS BIGINT) AS yr, CAST(DATE_PART('month', o_orderdate) AS BIGINT) AS mo, COUNT(*) AS n
+FROM orders WHERE o_orderkey <= 500 GROUP BY DATE_PART('year', o_orderdate), DATE_PART('month', o_orderdate) ORDER BY yr, mo;
+SELECT event_id, CAST(DATE_PART('hour', ts) AS BIGINT) AS hr FROM events WHERE event_id <= 30 ORDER BY event_id;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate + INTERVAL '90' DAY < TIMESTAMP '1999-01-01 00:00:00';
+SELECT c_custkey, c_name FROM customer c
+WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 3 ORDER BY c_custkey LIMIT 25;
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE o_totalprice > (SELECT COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o_orderkey LIMIT 25;
+SELECT n_name FROM nation n WHERE EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < 0) ORDER BY n_name;
+SELECT p_partkey, p_brand FROM part p WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45) ORDER BY p_partkey LIMIT 30;
+SELECT c_custkey FROM customer c WHERE c_acctbal > (
+  SELECT COALESCE(MAX(o_totalprice), 0.0) FROM orders o WHERE o.o_custkey = c.c_custkey) / 100.0
+ORDER BY c_custkey LIMIT 30;
+SELECT s_suppkey, s_name FROM supplier s WHERE (
+  SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l WHERE l.l_suppkey = s.s_suppkey) BETWEEN 1 AND 50
+ORDER BY s_suppkey LIMIT 30;
+SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'high' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS band
+FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey;
+SELECT event_id, COALESCE(value, -1.0) AS v, NULLIF(event_type, 'click') AS et FROM events WHERE event_id <= 40 ORDER BY event_id;
+SELECT user_id, COUNT(*) AS n, COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_null_value
+FROM events GROUP BY user_id HAVING COUNT(*) > 5 ORDER BY user_id;
+SELECT o_orderstatus, CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       CAST(SUM(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT user_id, BOOL_AND(value IS NOT NULL) AS all_valued, BOOL_OR(event_type = 'click') AS any_click
+FROM events WHERE user_id <= 10 GROUP BY user_id ORDER BY user_id;
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(DISTINCT l_partkey) AS n_part
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT o_orderstatus, CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_distinct_cust FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT MIN(n_name) AS first_name, MAX(n_name) AS last_name, MIN(CAST(o_orderdate AS DATE)) AS first_dt, MAX(CAST(o_orderdate AS DATE)) AS last_dt
+FROM nation, orders;
+SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events GROUP BY event_type ORDER BY event_type;
+SELECT d.yr, COUNT(*) AS n FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr FROM orders WHERE o_orderstatus = 'F'
+) d GROUP BY d.yr ORDER BY d.yr;
+SELECT x.o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+) x WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = x.o_custkey AND c.c_acctbal > 0)
+ORDER BY x.o_custkey LIMIT 25;
+SELECT t.band, COUNT(*) AS n FROM (
+  SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band FROM customer
+) t GROUP BY t.band ORDER BY t.band;
+SELECT a.n_name, b.n_name AS peer FROM nation a JOIN nation b
+ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+WHERE a.n_regionkey <= 1 ORDER BY a.n_name, b.n_name;
+SELECT u.user_id, u.n_events FROM (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+) u WHERE u.n_events > (SELECT CAST(COUNT(*) AS DOUBLE) FROM events) / (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) FROM events)
+ORDER BY u.user_id LIMIT 30;

@@ -42,6 +42,23 @@ AUDITS = {
     "q17_small_qty_revenue": (["PushedFilters"], ["CartesianProduct"]),
     "ann_topk_lsh": (["MapInPandas"], ["CartesianProduct"]),
     "ann_topk_ivf": (["MapInPandas"], ["CartesianProduct"]),
+    # round-5 code-curation shapes: pure-JVM expressions (no Python), pruned
+    # scans, bounded-key joins
+    "code_quality_signals": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
+        ["MapInPandas", "BatchEvalPython", "Exchange"],
+    ),
+    "code_normalized_dedup": (
+        ["HashAggregate", "ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
+    "source_overlap": (
+        ["HashAggregate", "Generate explode"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "qds_above_nation_avg_customers": (
+        ["BroadcastHashJoin"], ["CartesianProduct"],
+    ),
 }
 
 

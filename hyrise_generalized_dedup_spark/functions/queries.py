@@ -730,3 +730,153 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Shared with the DuckDB oracles below: the type-2 canonical-form
+# restatement (functions/code.py normalize_tokens, RE2 dialect — \1
+# backrefs, chr(1) sentinel, 'g' flags).
+_CLONE_NORM_SQL = (
+    r"""trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text, '(?m)(//|#|--).*$', '', 'g'),
+                '"[^"{NL}]*"|''[^''{NL}]*''', '""', 'g'),
+              '\b[0-9]+(\.[0-9]+)?\b', '0', 'g'),
+            '\b({KW})\b', chr(1) || '0\1', 'g'),
+          '\b[A-Za-z_][A-Za-z0-9_]*\b', 'id', 'g'),
+        chr(1) || '0', '', 'g'),
+      '[ {TAB}{CR}{NL}]+', ' ', 'g'))"""
+)
+
+
+def _clone_norm_sql() -> str:
+    from .code import CODE_KEYWORDS
+
+    # {NL}/{TAB}/{CR} become RE2 two-char escapes (\n, \t, \r) — same
+    # byte semantics as the Java-regex escapes on the Spark side.
+    return (
+        _CLONE_NORM_SQL.replace("{KW}", CODE_KEYWORDS)
+        .replace("{NL}", "\\n")
+        .replace("{TAB}", "\\t")
+        .replace("{CR}", "\\r")
+    )
+
+
+@_register(
+    "code_pii_signals",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}'))
+        AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text,
+        '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+      CAST(len(regexp_extract_all(text,
+        '\bAKIA[0-9A-Z]{16}\b')) AS BIGINT) AS n_aws_keys,
+      CAST(len(regexp_extract_all(text,
+        '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS BIGINT) AS n_private_keys,
+      CAST(len(regexp_extract_all(text,
+        '(?i)(api[_-]?key|secret|token|passwd|password)[ '
+        || chr(9) || ']*[:=][ ' || chr(9) || ']*["''][^"'']{8,}["'']'))
+        AS BIGINT) AS n_secrets,
+      CAST(CASE WHEN len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'))
+        + len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b'))
+        + len(regexp_extract_all(text, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))
+        + len(regexp_extract_all(text,
+            '(?i)(api[_-]?key|secret|token|passwd|password)[ '
+            || chr(9) || ']*[:=][ ' || chr(9) || ']*["''][^"'']{8,}["'']'))
+        > 0 THEN 1 ELSE 0 END AS INTEGER) AS has_pii,
+      sha256(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(text,
+            '(?i)(api[_-]?key|secret|token|passwd|password)[ '
+            || chr(9) || ']*[:=][ ' || chr(9) || ']*["''][^"'']{8,}["'']',
+            '<SECRET>', 'g'),
+          '-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATE_KEY>', 'g'),
+          '\bAKIA[0-9A-Z]{16}\b', '<AWS_KEY>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}',
+          '<EMAIL>', 'g'),
+          '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')
+      ) AS redacted_sha
+    FROM documents
+    """,
+)
+def code_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret detection + redaction (The Stack v2 / StarCoder release
+    step, arXiv:2305.06161 §3): per-file counts of emails, IPv4
+    addresses, AWS access-key ids, private-key blocks, and quoted
+    credential assignments, plus the sha256 of the placeholder-redacted
+    text so the redaction TRANSFORM (not just the counts) is
+    value-checked. Pure Column regex exprs — scan-stage map work with
+    zero Python at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_total = (
+        C.email_count(c)
+        + C.ipv4_count(c)
+        + C.aws_key_count(c)
+        + C.private_key_count(c)
+        + C.secret_assign_count(c)
+    )
+    return docs.select(
+        "doc_id",
+        C.email_count(c).alias("n_emails"),
+        C.ipv4_count(c).alias("n_ips"),
+        C.aws_key_count(c).alias("n_aws_keys"),
+        C.private_key_count(c).alias("n_private_keys"),
+        C.secret_assign_count(c).alias("n_secrets"),
+        (n_total > 0).cast("int").alias("has_pii"),
+        F.sha2(C.redact_pii(c), 256).alias("redacted_sha"),
+    )
+
+
+@_register(
+    "code_clone_census",
+    """
+    WITH norm AS (
+      SELECT doc_id, sha256({NORM}) AS clone_sha FROM documents
+    ), census AS (
+      SELECT clone_sha, COUNT(*) AS n_copies, MIN(doc_id) AS canonical
+      FROM norm GROUP BY clone_sha
+    )
+    SELECT n.doc_id, n.clone_sha,
+           CAST(c.n_copies AS BIGINT) AS n_copies,
+           CAST(c.canonical AS BIGINT) AS canonical_doc_id,
+           CAST(CASE WHEN n.doc_id <> c.canonical THEN 1 ELSE 0 END AS INTEGER)
+             AS is_dup
+    FROM norm n JOIN census c USING (clone_sha)
+    """,
+)
+def code_clone_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 clone dedup: census over the sha256 of the
+    rename/literal-invariant canonical form (functions/code.py
+    normalize_tokens — keywords preserved, identifiers -> id, literals
+    abstracted), lowest doc_id elected canonical. Catches fork+rename
+    copies that formatting-invariant dedup misses; the semantic layer
+    (alpha-renamed clones collide, structural edits do not) is oracled
+    on the synth code corpus in tests/test_code.py. Scale shape is
+    identical to dedup_exact: one map pass + one groupBy on a 64-hex
+    key."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", C.clone_sha(F.col("text")).alias("clone_sha"))
+    census = norm.groupBy("clone_sha").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+    return norm.join(census, "clone_sha").select(
+        "doc_id",
+        "clone_sha",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("canonical_doc_id").cast("long").alias("canonical_doc_id"),
+        (F.col("doc_id") != F.col("canonical_doc_id")).cast("int").alias("is_dup"),
+    )
+
+
+TEXT_ORACLES["code_clone_census"] = TEXT_ORACLES["code_clone_census"].replace(
+    "{NORM}", _clone_norm_sql()
+)

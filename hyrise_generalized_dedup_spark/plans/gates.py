@@ -328,6 +328,12 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "max_line_len", "avg_line_len", "alnum_frac",
             "is_autogen", "has_license", "is_xml", "stack_keep",
         ]),
+        # round-5 PII/secret detection + redaction (functions/code.py) —
+        # the redacted_sha column value-checks the redaction transform
+        ("code_pii_signals", [
+            "doc_id", "n_emails", "n_ips", "n_aws_keys", "n_private_keys",
+            "n_secrets", "has_pii", "redacted_sha",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),
@@ -349,6 +355,11 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         # code corpus in tests/test_code.py
         ("code_normalized_dedup", [
             "doc_id", "norm_sha", "n_copies", "canonical_doc_id", "is_dup",
+        ]),
+        # round-5 type-2 clone dedup (rename/literal-invariant canonical
+        # form) — semantics oracled on the synth corpus in tests/test_code.py
+        ("code_clone_census", [
+            "doc_id", "clone_sha", "n_copies", "canonical_doc_id", "is_dup",
         ]),
     ],
 }

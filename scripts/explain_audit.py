@@ -52,6 +52,14 @@ AUDITS = {
         ["HashAggregate", "ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
         ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
     ),
+    "code_pii_signals": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
+        ["MapInPandas", "BatchEvalPython", "Exchange"],
+    ),
+    "code_clone_census": (
+        ["HashAggregate", "ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
     "source_overlap": (
         ["HashAggregate", "Generate explode"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],

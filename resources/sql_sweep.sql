@@ -2426,3 +2426,189 @@ SELECT u.user_id, u.n_events FROM (
   SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 ) u WHERE u.n_events > (SELECT CAST(COUNT(*) AS DOUBLE) FROM events) / (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) FROM events)
 ORDER BY u.user_id LIMIT 30;
+-- round-5 continuation tranche: FILTER-clause aggregates, grouping sets,
+-- split_part/lpad string shapes, date_trunc ladders, frame-bounded windows
+-- over integer sums, null-ordering + set-op compositions, documents/events
+-- breadth. Shared Spark∩DuckDB dialect only.
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+  MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS max_finished
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT l_returnflag,
+  SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+  SUM(l_quantity) FILTER (WHERE l_discount <= 0.05) AS qty_nodisc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT c_mktsegment, COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_neg,
+  MIN(c_acctbal) AS min_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT n_regionkey, n_name, COUNT(*) AS n FROM nation
+GROUP BY GROUPING SETS ((n_regionkey, n_name), (n_regionkey), ())
+ORDER BY n_regionkey NULLS LAST, n_name NULLS LAST;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST;
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST;
+SELECT split_part(p_type, ' ', 1) AS head_word, COUNT(*) AS n
+FROM part GROUP BY split_part(p_type, ' ', 1) ORDER BY head_word;
+SELECT split_part(p_type, ' ', 3) AS tail_word, COUNT(*) AS n
+FROM part GROUP BY split_part(p_type, ' ', 3) ORDER BY tail_word;
+SELECT n_nationkey, lpad(n_name, 20, '_') AS padded
+FROM nation ORDER BY n_nationkey;
+SELECT s_suppkey, rpad(s_name, 30, '.') AS dotted
+FROM supplier WHERE s_acctbal < 0 ORDER BY s_suppkey LIMIT 40;
+SELECT p_brand, MIN(length(replace(p_type, ' ', ''))) AS min_squash,
+  MAX(length(replace(p_type, ' ', ''))) AS max_squash
+FROM part GROUP BY p_brand ORDER BY p_brand;
+SELECT reverse(n_name) AS rev, n_nationkey FROM nation ORDER BY rev;
+SELECT repeat(o_orderstatus, 3) AS tripled, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY tripled;
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+  COUNT(*) AS n_orders
+FROM orders WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY date_trunc('month', o_orderdate) ORDER BY mo;
+SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q, COUNT(*) AS n
+FROM orders WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY date_trunc('quarter', o_orderdate) ORDER BY q;
+SELECT CAST(last_day(o_orderdate) AS DATE) AS eom, COUNT(*) AS n
+FROM orders WHERE o_orderdate >= DATE '1997-06-01' AND o_orderdate < DATE '1997-09-01'
+GROUP BY last_day(o_orderdate) ORDER BY eom;
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+  CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mo,
+  SUM(l_quantity) AS qty
+FROM lineitem WHERE l_shipdate >= DATE '1999-01-01' AND l_shipdate < DATE '1999-07-01'
+GROUP BY EXTRACT(year FROM l_shipdate), EXTRACT(month FROM l_shipdate)
+ORDER BY yr, mo;
+SELECT o_orderkey, o_totalprice,
+  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders WHERE o_custkey < 50 ORDER BY o_orderkey LIMIT 60;
+SELECT c_custkey, c_acctbal,
+  cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cd,
+  percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr
+FROM customer WHERE c_nationkey = 3 ORDER BY c_custkey LIMIT 50;
+SELECT o_custkey, o_orderkey,
+  lag(o_orderkey, 1, CAST(-1 AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key,
+  lead(o_orderkey, 2, CAST(-1 AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next2_key
+FROM orders WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey;
+SELECT l_orderkey, l_linenumber,
+  SUM(CAST(l_quantity AS BIGINT)) OVER (
+    PARTITION BY l_orderkey ORDER BY l_linenumber
+    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS qty_win
+FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber;
+SELECT l_orderkey, l_linenumber,
+  MIN(l_linenumber) OVER (
+    PARTITION BY l_orderkey ORDER BY l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ln,
+  MAX(l_linenumber) OVER (
+    PARTITION BY l_orderkey ORDER BY l_linenumber
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_ln
+FROM lineitem WHERE l_orderkey < 150 ORDER BY l_orderkey, l_linenumber;
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+    row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type
+) t WHERE rk = 1 AND user_id < 40 ORDER BY user_id;
+SELECT event_type,
+  COUNT(*) FILTER (WHERE value > CAST(50 AS DOUBLE)) AS n_hi,
+  COUNT(*) FILTER (WHERE value <= CAST(50 AS DOUBLE)) AS n_lo
+FROM events GROUP BY event_type ORDER BY event_type;
+SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(DISTINCT user_id) AS dau
+FROM events GROUP BY date_trunc('day', ts) ORDER BY d LIMIT 40;
+SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS chars
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS LAST, source NULLS LAST;
+SELECT source, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+  COUNT(*) FILTER (WHERE n_chars > 500) AS n_long
+FROM documents GROUP BY source ORDER BY source;
+SELECT d.lang, COUNT(*) AS n FROM documents d
+WHERE EXISTS (SELECT 1 FROM documents e
+              WHERE e.lang = d.lang AND e.n_chars > d.n_chars)
+GROUP BY d.lang ORDER BY d.lang;
+SELECT doc_id, n_chars FROM documents d
+WHERE n_chars = (SELECT MAX(e.n_chars) FROM documents e WHERE e.lang = d.lang)
+ORDER BY doc_id;
+SELECT label, MIN(vec_id) AS lo, MAX(vec_id) AS hi,
+  COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS n_even
+FROM embeddings GROUP BY label ORDER BY label;
+SELECT label, COUNT(*) AS n, MIN(vec_id) AS first_vec
+FROM embeddings GROUP BY label ORDER BY label;
+SELECT r_name, t.n_nations FROM region r JOIN (
+  SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY n_regionkey
+) t ON t.n_regionkey = r.r_regionkey ORDER BY r_name;
+SELECT c.c_custkey FROM customer c
+WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
+  AND c.c_custkey < 200
+ORDER BY c.c_custkey;
+SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+WHERE o.o_orderdate >= DATE '1997-03-01' AND o.o_orderdate < DATE '1997-06-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT x.o_custkey, x.n FROM (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+  EXCEPT
+  SELECT o_custkey, COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+) x WHERE x.o_custkey < 100 ORDER BY x.o_custkey, x.n;
+SELECT y.s_suppkey FROM (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal > 0
+  INTERSECT
+  SELECT s_suppkey FROM supplier WHERE s_nationkey < 13
+) y ORDER BY y.s_suppkey LIMIT 50;
+SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_alias, COUNT(*) AS n
+FROM orders GROUP BY COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')
+ORDER BY status_alias;
+SELECT p_brand,
+  SUM(CASE WHEN p_size BETWEEN 1 AND 15 THEN 1 ELSE 0 END) AS n_small,
+  SUM(CASE WHEN p_size BETWEEN 16 AND 35 THEN 1 ELSE 0 END) AS n_mid,
+  SUM(CASE WHEN p_size > 35 THEN 1 ELSE 0 END) AS n_large
+FROM part GROUP BY p_brand ORDER BY p_brand;
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, COUNT(*) AS n_pairs
+FROM supplier s JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN customer c ON c.c_nationkey < 5
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE s.s_suppkey < 20
+GROUP BY n1.n_name, n2.n_name ORDER BY supp_nation, cust_nation;
+SELECT t.grp, SUM(t.cnt) AS total FROM (
+  SELECT CASE WHEN o_totalprice < CAST(75000 AS DOUBLE) THEN 'lo'
+              WHEN o_totalprice < CAST(150000 AS DOUBLE) THEN 'mid'
+              ELSE 'hi' END AS grp, 1 AS cnt
+  FROM orders
+) t GROUP BY t.grp ORDER BY t.grp;
+SELECT o_custkey,
+  MAX(o_totalprice) - MIN(o_totalprice) AS price_span
+FROM orders GROUP BY o_custkey
+HAVING COUNT(*) >= 3 AND MAX(o_totalprice) - MIN(o_totalprice) > CAST(100000 AS DOUBLE)
+ORDER BY o_custkey LIMIT 60;
+SELECT a.p_brand, a.avg_sz FROM (
+  SELECT p_brand, SUM(CAST(p_size AS BIGINT)) AS sum_sz,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(p_size AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_sz
+  FROM part GROUP BY p_brand
+) a WHERE a.avg_sz > (
+  SELECT CAST(SUM(CAST(p_size AS BIGINT)) AS DOUBLE) / COUNT(*) FROM part
+) ORDER BY a.p_brand;
+SELECT s.s_suppkey, s.s_name FROM supplier s
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 2
+WHERE n.n_nationkey IS NULL ORDER BY s.s_suppkey LIMIT 50;
+SELECT c.c_mktsegment, COUNT(DISTINCT c.c_nationkey) AS n_nations
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= DATE '1998-01-01'
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment;
+SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem WHERE l_shipdate >= DATE '2000-06-01'
+GROUP BY l_suppkey HAVING COUNT(DISTINCT l_orderkey) > 5
+ORDER BY n_orders DESC, l_suppkey LIMIT 40;
+SELECT substr(c_name, 1, 9) AS name_head, COUNT(*) AS n
+FROM customer GROUP BY substr(c_name, 1, 9) ORDER BY name_head LIMIT 30;
+SELECT p_partkey FROM part
+WHERE p_type LIKE '%BRASS%' OR p_type LIKE '%COPPER%'
+ORDER BY p_partkey LIMIT 50;
+SELECT d1.doc_id, d1.lang FROM documents d1
+JOIN documents d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+WHERE d1.n_chars = d2.n_chars ORDER BY d1.doc_id, d1.lang LIMIT 40;
+SELECT u.event_type, u.mx - u.mn AS span FROM (
+  SELECT event_type, MAX(value) AS mx, MIN(value) AS mn FROM events GROUP BY event_type
+) u ORDER BY u.event_type;
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, COUNT(*) AS n
+FROM events GROUP BY EXTRACT(hour FROM ts) ORDER BY hr;

@@ -38,6 +38,9 @@ HEADLINE = [
     "neardup_cluster_sizes",
     "text_quality",
     "text_decontaminate",
+    "code_pii_signals",
+    "code_clone_census",
+    "source_overlap",
     "ann_topk_brute",
     "ann_topk_ivf",
     "ann_topk_lsh",

@@ -61,6 +61,21 @@ class GDConfig:
     # dropped star counts are surfaced in the pipeline summary.
     star_floor_frac: float = 0.5
 
+    # --- content normalization for the near-dup path (code payload) ---
+    # "raw":    shingle the stored bytes (default; bit-compatible with
+    #           every prior round's outputs)
+    # "format": formatting-invariant (functions/code.normalize_code —
+    #           comments stripped, whitespace collapsed): reformatted
+    #           copies cluster together
+    # "type2":  rename-invariant (functions/code.normalize_tokens —
+    #           identifiers -> id, literals abstracted, keywords kept):
+    #           alpha-renamed forks cluster together
+    # Applies to MinHash/SimHash signatures and the suffix substring
+    # pass. The GD transform and the sha256 round-trip invariant always
+    # use raw content — normalization changes what counts as a NEAR
+    # duplicate, never what bytes are stored or restored.
+    normalizer: str = "raw"
+
     seed: int = 42
 
     def __post_init__(self) -> None:
@@ -72,6 +87,8 @@ class GDConfig:
             raise ValueError(f"unknown gd_mode {self.gd_mode!r}")
         if self.gd_mode == "prefix" and self.dev_bytes >= self.chunk_size:
             raise ValueError("dev_bytes must be < chunk_size")
+        if self.normalizer not in ("raw", "format", "type2"):
+            raise ValueError(f"unknown normalizer {self.normalizer!r}")
 
     @property
     def rows_per_band(self) -> int:

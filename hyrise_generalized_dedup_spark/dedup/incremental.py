@@ -150,6 +150,13 @@ def incremental_update(
         .repartition(par * 4)
         .persist()
     )
+    # Same near-dup text column as run_pipeline (config.normalizer) —
+    # required for bit-equality between incremental and scratch runs.
+    # `docs_base` keeps the handle to the PERSISTED frame for unpersist.
+    from .pipeline import _sig_text
+
+    docs_base = docs
+    docs = docs.withColumn("sig_text", _sig_text(cfg))
     key_map = docs.select("doc_id", "doc_key")
     n_docs = docs.count()
 
@@ -166,7 +173,7 @@ def incremental_update(
     n_new = new_docs.count()
     log.info("incremental_update: %d new docs over %d total", n_new, n_docs)
     if n_new == 0:
-        docs.unpersist()
+        docs_base.unpersist()
         new_docs.unpersist()
         return {"n_files": n_docs, "n_new_files": 0, "unchanged": True}
 
@@ -192,7 +199,7 @@ def incremental_update(
 
     metrics.start("signatures")
     sigs = _append_stage(
-        ckpt, "signatures", signatures(new_docs, cfg, text_col="content", key_col="doc_id")
+        ckpt, "signatures", signatures(new_docs, cfg, text_col="sig_text", key_col="doc_id")
     )
     metrics.finish("signatures", ckpt.path("signatures"))
 
@@ -313,7 +320,7 @@ def incremental_update(
         suffix_reused = ckpt.load("suffix").join(clean_members, "key_a", "left_semi")
         dirty_docs = (
             clusters.join(clean_cids, "cluster_id", "left_anti")
-            .join(docs.select("doc_key", "content"), "doc_key")
+            .join(docs.select("doc_key", F.col("sig_text").alias("content")), "doc_key")
         )
         n_dirty = dirty_docs.select("cluster_id").distinct().count()
         suffix = _write_tmp(
@@ -377,6 +384,6 @@ def incremental_update(
     # --- atomic-ish swap: tmp trees become the live checkpoints ---
     _swap_all(ckpt, swap_stages, appended_stages)
     metrics.write_summary()
-    docs.unpersist()
+    docs_base.unpersist()
     new_docs.unpersist()
     return metrics.summary

@@ -98,6 +98,22 @@ def gc_stale_checkpoints(
     return deleted
 
 
+def _sig_text(cfg: GDConfig):
+    """Near-dup text Column for ``cfg.normalizer`` ("raw" = the stored
+    content; "format"/"type2" = functions/code canonical forms). Shared
+    by run_pipeline and incremental_update so both derive bit-identical
+    signature inputs."""
+    if cfg.normalizer == "format":
+        from ..functions.code import normalize_code
+
+        return normalize_code(F.col("content"))
+    if cfg.normalizer == "type2":
+        from ..functions.code import normalize_tokens
+
+        return normalize_tokens(F.col("content"))
+    return F.col("content")
+
+
 def run_pipeline(
     spark: SparkSession,
     code_files: DataFrame,
@@ -126,6 +142,14 @@ def run_pipeline(
         # docs; without persist the repartition exchange (full content
         # shuffle) re-executes once per consumer
     )
+    # Near-dup text column: identity for "raw", else the JVM-side
+    # canonical form (map work inside the same stage as the signature
+    # kernel — no extra shuffle, content bytes untouched). GD + the
+    # sha256 round-trip always see raw content. `docs_base` keeps the
+    # handle to the PERSISTED frame (unpersisting the withColumn
+    # derivative would leave the cache pinned).
+    docs_base = docs
+    docs = docs.withColumn("sig_text", _sig_text(cfg))
     key_map = docs.select("doc_id", "doc_key")
     # One count up front (docs is persisted, so this also warms the cache);
     # reused for the edge-verification broadcast decision and the summary —
@@ -148,7 +172,7 @@ def run_pipeline(
         sigs = ckpt.load("signatures")
     else:
         metrics.start("signatures")
-        sigs = signatures(docs, cfg, text_col="content", key_col="doc_id")
+        sigs = signatures(docs, cfg, text_col="sig_text", key_col="doc_id")
         sigs = ckpt.materialize("signatures", sigs)
         metrics.finish("signatures", ckpt.path("signatures"))
 
@@ -255,7 +279,9 @@ def run_pipeline(
             suffix = ckpt.load("suffix")
         else:
             metrics.start("suffix")
-            clustered_docs = docs.select("doc_key", "content").join(clusters, "doc_key")
+            clustered_docs = docs.select(
+                "doc_key", F.col("sig_text").alias("content")
+            ).join(clusters, "doc_key")
             suffix = suffix_edges(clustered_docs, cfg)
             suffix = ckpt.materialize("suffix", suffix)
             metrics.finish("suffix", ckpt.path("suffix"))
@@ -324,7 +350,7 @@ def run_pipeline(
         **stats,
     )
     metrics.write_summary()
-    docs.unpersist()
+    docs_base.unpersist()
     return metrics.summary
 
 
@@ -383,7 +409,15 @@ def main() -> None:
         help="also write the keep/drop retention manifest derived from "
         "the clusters output to <output>/manifest",
     )
+    ap.add_argument(
+        "--normalizer",
+        choices=("raw", "format", "type2"),
+        default="raw",
+        help="near-dup text canonicalization: raw bytes (default), "
+        "formatting-invariant, or rename-invariant type-2 (code corpora)",
+    )
     args = ap.parse_args()
+    cfg = GDConfig(normalizer=args.normalizer)
 
     from ..session import get_spark
 
@@ -392,7 +426,7 @@ def main() -> None:
         # FS-API delete so --fresh works on object-store output dirs too
         fsutil.delete(spark, args.output, recursive=True)
     if args.gc_stale:
-        stale = gc_stale_checkpoints(spark, args.output, GDConfig())
+        stale = gc_stale_checkpoints(spark, args.output, cfg)
         if stale:
             print(f"gc-stale: removed {len(stale)} checkpoint tree(s): {stale}")
     source = _load_input(spark, args.input).cache()
@@ -409,20 +443,21 @@ def main() -> None:
         from .incremental import incremental_update
 
         summary = incremental_update(
-            spark, source, args.output, with_suffix_stage=not args.no_suffix
+            spark, source, args.output, cfg=cfg, with_suffix_stage=not args.no_suffix
         )
     else:
         summary = run_pipeline(
             spark,
             source,
             args.output,
+            cfg=cfg,
             resume=args.resume,
             with_suffix_stage=not args.no_suffix,
         )
     summary["pipeline_wall_ms"] = int((time.time() - t0) * 1000)
     summary["files_per_sec"] = round(n_in / (time.time() - t0), 2)
     if args.manifest:
-        ckpt = Checkpointer(spark, args.output, GDConfig(), resume=True)
+        ckpt = Checkpointer(spark, args.output, cfg, resume=True)
         manifest = retention_manifest(ckpt.load("clusters"))
         mpath = fsutil.urljoin(args.output, "manifest")
         manifest.write.mode("overwrite").parquet(mpath)

@@ -394,3 +394,95 @@ def test_sideboard_eager_master_classification():
     from hyrise_generalized_dedup_spark.dedup import lsh
 
     assert pat.replace("\\", "\\\\") in inspect.getsource(lsh).replace("\\", "\\\\")
+
+
+# --- content normalizers (code payload: format- and rename-invariant) ---
+
+_NORM_BASE = "\n".join(
+    [
+        "def compute_totals(records, tax_rate):",
+        "    running_total = 0",
+        "    for record in records:",
+        "        running_total = running_total + record * (1 + tax_rate)",
+        "    if running_total > 1000:",
+        "        running_total = running_total - discount_for(running_total)",
+        "    return running_total",
+        "",
+        "def discount_for(amount):",
+        "    threshold = 250",
+        "    while amount > threshold:",
+        "        amount = amount - threshold",
+        "    return amount",
+    ]
+)
+# alpha-renamed + re-literal'd: a type-2 clone of _NORM_BASE
+_NORM_RENAMED = (
+    _NORM_BASE.replace("compute_totals", "sum_up")
+    .replace("running_total", "acc")
+    .replace("records", "rows")
+    .replace("record", "row")
+    .replace("tax_rate", "vat")
+    .replace("discount_for", "rebate")
+    .replace("amount", "val")
+    .replace("threshold", "floor_val")
+    .replace("1000", "2500")
+    .replace("250", "90")
+)
+# reformatted only: comments + indentation churn, tokens identical
+_NORM_REFORMATTED = "# billing helpers\n" + _NORM_BASE.replace(
+    "    ", "  "
+).replace("\n\n", "\n# section\n\n\n")
+
+
+def _normalizer_corpus(spark):
+    rows = [
+        ("repo/base", "a.py", "c1", "py", _NORM_BASE),
+        ("repo/renamed", "b.py", "c1", "py", _NORM_RENAMED),
+        ("repo/reformat", "c.py", "c1", "py", _NORM_REFORMATTED),
+    ]
+    filler = generate(n_rows=40, seed=7)
+    rows += list(filler.rows)
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def _cluster_of(spark, out, cfg, doc_key):
+    clusters = spark.read.parquet(
+        os.path.join(out, "checkpoint", cfg.config_hash(), "clusters")
+    )
+    return {r.doc_key: r.cluster_id for r in clusters.collect()}[doc_key]
+
+
+@pytest.mark.parametrize(
+    "normalizer,renamed_joins,reformat_joins",
+    [("raw", False, False), ("format", False, True), ("type2", True, True)],
+)
+def test_normalizer_cluster_semantics(
+    spark, tmp_path, normalizer, renamed_joins, reformat_joins
+):
+    """raw: byte-shingles keep rename/reformat variants apart; format:
+    reformatting collapses; type2: alpha-renaming collapses too."""
+    cfg = GDConfig(normalizer=normalizer)
+    out = str(tmp_path / f"norm_{normalizer}")
+    docs = _normalizer_corpus(spark)
+    summary = run_pipeline(
+        spark, docs, out, cfg=cfg, resume=False, with_suffix_stage=False
+    )
+    assert summary["n_files"] == 43
+    base = _cluster_of(spark, out, cfg, "repo/base|a.py|c1")
+    renamed = _cluster_of(spark, out, cfg, "repo/renamed|b.py|c1")
+    reformat = _cluster_of(spark, out, cfg, "repo/reformat|c.py|c1")
+    assert (renamed == base) == renamed_joins, normalizer
+    assert (reformat == base) == reformat_joins, normalizer
+
+
+def test_normalizer_isolates_checkpoints():
+    hashes = {GDConfig(normalizer=n).config_hash() for n in ("raw", "format", "type2")}
+    assert len(hashes) == 3, "each normalizer must key its own checkpoint tree"
+
+
+def test_default_normalizer_is_raw():
+    assert GDConfig().normalizer == "raw"
+    with pytest.raises(ValueError):
+        GDConfig(normalizer="ast")

@@ -880,3 +880,116 @@ def code_clone_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_ORACLES["code_clone_census"] = TEXT_ORACLES["code_clone_census"].replace(
     "{NORM}", _clone_norm_sql()
 )
+
+
+@_register(
+    "code_curation_manifest",
+    """
+    WITH lines AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents
+    ), q AS (
+      SELECT doc_id,
+        CAST(coalesce(list_max(list_transform(ls, x -> length(x))), 0) AS BIGINT) AS maxl,
+        CASE WHEN len(ls) = 0 THEN 0.0
+             ELSE list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE) END AS avgl,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE) END AS alnum,
+        CASE WHEN regexp_matches(array_to_string(ls[1:5], chr(10)),
+               '(?i)auto[- ]?generated|automatically generated|do not edit|generated by')
+             THEN 1 ELSE 0 END AS autogen,
+        CASE WHEN text LIKE '<?xml%' THEN 1 ELSE 0 END AS xml
+      FROM lines
+    ), fmt AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY sha256(trim(regexp_replace(
+               regexp_replace(text, '(?m)(//|#|--).*$', '', 'g'),
+               '[ \t\r\n]+', ' ', 'g')))) AS fmt_canonical
+      FROM documents
+    ), cl AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY sha256({NORM})) AS clone_canonical
+      FROM documents
+    ), pii AS (
+      SELECT doc_id,
+        CASE WHEN
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b'))
+          + len(regexp_extract_all(text, '\\bAKIA[0-9A-Z]{16}\\b'))
+          + len(regexp_extract_all(text, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))
+          + len(regexp_extract_all(text,
+              '(?i)(api[_-]?key|secret|token|passwd|password)[ '
+              || chr(9) || ']*[:=][ ' || chr(9) || ']*["''][^"'']{8,}["'']'))
+          > 0 THEN 1 ELSE 0 END AS has_pii
+      FROM documents
+    )
+    SELECT q.doc_id,
+      CAST(CASE WHEN f.fmt_canonical <> q.doc_id THEN 1 ELSE 0 END AS INTEGER)
+        AS drop_format_dup,
+      CAST(CASE WHEN c.clone_canonical <> q.doc_id THEN 1 ELSE 0 END AS INTEGER)
+        AS drop_clone_dup,
+      CAST(CASE WHEN q.maxl > 1000 OR q.avgl > 100 OR q.alnum < 0.25
+                 OR q.autogen = 1 OR q.xml = 1 THEN 1 ELSE 0 END AS INTEGER)
+        AS drop_quality,
+      CAST(CASE WHEN p.has_pii = 1 AND c.clone_canonical = q.doc_id
+                 AND NOT (q.maxl > 1000 OR q.avgl > 100 OR q.alnum < 0.25
+                          OR q.autogen = 1 OR q.xml = 1)
+            THEN 1 ELSE 0 END AS INTEGER) AS needs_redaction,
+      CAST(CASE WHEN f.fmt_canonical = q.doc_id AND c.clone_canonical = q.doc_id
+                 AND NOT (q.maxl > 1000 OR q.avgl > 100 OR q.alnum < 0.25
+                          OR q.autogen = 1 OR q.xml = 1)
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM q
+    JOIN fmt f ON f.doc_id = q.doc_id
+    JOIN cl c ON c.doc_id = q.doc_id
+    JOIN pii p ON p.doc_id = q.doc_id
+    """,
+)
+def code_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-file decision a CODE-corpus pipeline consumes (The Stack's
+    release recipe shape): drop non-canonical formatting duplicates and
+    type-2 clones (min-doc_id election per canonical form), drop Stack
+    quality failures, flag survivors that need PII redaction before
+    release, keep the rest. Composes four independently oracled code
+    signals with per-reason flags. Scale shape: both censuses are
+    groupBy+join-back on 64-hex keys in the Spark plan (the window in
+    the oracle is DuckDB shorthand); everything else is scan-stage map
+    work — content never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    sigs = docs.select(
+        "doc_id",
+        C.normalized_sha(c).alias("fmt_sha"),
+        C.clone_sha(c).alias("cl_sha"),
+        C.stack_keep(c).alias("quality_ok"),
+        (
+            C.email_count(c)
+            + C.ipv4_count(c)
+            + C.aws_key_count(c)
+            + C.private_key_count(c)
+            + C.secret_assign_count(c)
+            > 0
+        ).cast("int").alias("has_pii"),
+    )
+    fmt_canon = sigs.groupBy("fmt_sha").agg(F.min("doc_id").alias("fmt_canonical"))
+    cl_canon = sigs.groupBy("cl_sha").agg(F.min("doc_id").alias("clone_canonical"))
+    j = sigs.join(fmt_canon, "fmt_sha").join(cl_canon, "cl_sha")
+    is_fmt_canon = F.col("fmt_canonical") == F.col("doc_id")
+    is_cl_canon = F.col("clone_canonical") == F.col("doc_id")
+    quality_ok = F.col("quality_ok") == 1
+    return j.select(
+        "doc_id",
+        (~is_fmt_canon).cast("int").alias("drop_format_dup"),
+        (~is_cl_canon).cast("int").alias("drop_clone_dup"),
+        (~quality_ok).cast("int").alias("drop_quality"),
+        ((F.col("has_pii") == 1) & is_cl_canon & quality_ok)
+        .cast("int")
+        .alias("needs_redaction"),
+        (is_fmt_canon & is_cl_canon & quality_ok).cast("int").alias("keep"),
+    )
+
+
+TEXT_ORACLES["code_curation_manifest"] = TEXT_ORACLES["code_curation_manifest"].replace(
+    "{NORM}", _clone_norm_sql()
+)

@@ -993,3 +993,60 @@ def code_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_ORACLES["code_curation_manifest"] = TEXT_ORACLES["code_curation_manifest"].replace(
     "{NORM}", _clone_norm_sql()
 )
+
+
+@_register(
+    "code_block_clones",
+    """
+    WITH blocks AS (
+      SELECT doc_id,
+             trim(unnest(regexp_split_to_array(
+               regexp_replace(text, '(?m)^(def |class |function )',
+                              chr(2) || '\\1', 'g'),
+               chr(2)))) AS block
+      FROM documents
+    ), normed AS (
+      SELECT doc_id, sha256({NORM}) AS block_sha, {NORM} AS norm
+      FROM blocks
+    ), nonempty AS (
+      SELECT doc_id, block_sha FROM normed WHERE length(norm) > 0
+    )
+    SELECT block_sha,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM nonempty GROUP BY block_sha
+    """,
+)
+def code_block_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-block clone census: split each file at top-level
+    definition openers (functions/code.split_code_blocks), type-2
+    normalize every block, census the canonical shas — finds "this
+    function, copy-pasted (and possibly renamed) into other files",
+    which whole-file dedup structurally cannot. Scale shape: the split
+    + explode is map-side (blocks never outnumber lines), the census is
+    one partial-agg groupBy on a 64-hex key; comment-only blocks
+    normalize to empty and are dropped before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = docs.select(
+        "doc_id",
+        F.explode(C.split_code_blocks(F.col("text"))).alias("block"),
+    ).withColumn("block", F.trim(F.col("block")))
+    normed = blocks.select(
+        "doc_id", C.normalize_tokens(F.col("block")).alias("norm")
+    ).filter(F.length("norm") > 0)
+    return (
+        normed.select("doc_id", F.sha2("norm", 256).alias("block_sha"))
+        .groupBy("block_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+_BLOCK_NORM_SQL = _clone_norm_sql().replace("text,", "block,", 1)
+TEXT_ORACLES["code_block_clones"] = (
+    TEXT_ORACLES["code_block_clones"].replace("{NORM}", _BLOCK_NORM_SQL)
+)

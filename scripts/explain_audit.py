@@ -67,6 +67,17 @@ AUDITS = {
     "qds_above_nation_avg_customers": (
         ["BroadcastHashJoin"], ["CartesianProduct"],
     ),
+    "code_block_clones": (
+        ["Generate explode", "HashAggregate"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
+    "code_curation_manifest": (
+        ["HashAggregate", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
+    "qds_return_rate_outliers": (
+        ["BroadcastHashJoin"], ["CartesianProduct"],
+    ),
 }
 
 

@@ -2612,3 +2612,185 @@ SELECT u.event_type, u.mx - u.mn AS span FROM (
 ) u ORDER BY u.event_type;
 SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, COUNT(*) AS n
 FROM events GROUP BY EXTRACT(hour FROM ts) ORDER BY hr;
+-- round-5 continuation tranche #2: correlated aggregates over derived
+-- tables, anti/semi compositions with set ops, string-date hybrids,
+-- multi-level HAVING, windowed gaps-and-islands lite, events/documents
+-- cross-table shapes. Shared Spark∩DuckDB dialect only.
+SELECT o.o_orderstatus, COUNT(*) AS n FROM orders o
+WHERE o.o_totalprice > (
+  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,6))) / COUNT(*) AS DOUBLE)
+  FROM orders i WHERE i.o_orderstatus = o.o_orderstatus
+) GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus;
+SELECT c.c_mktsegment, COUNT(*) AS n_above FROM customer c
+WHERE c.c_acctbal > (
+  SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(38,6))) / COUNT(*) AS DOUBLE)
+  FROM customer i WHERE i.c_nationkey = c.c_nationkey
+) GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment;
+SELECT s.s_suppkey, s.s_acctbal FROM supplier s
+WHERE s.s_acctbal > (SELECT MAX(i.s_acctbal) FROM supplier i
+                     WHERE i.s_nationkey = s.s_nationkey AND i.s_suppkey <> s.s_suppkey)
+ORDER BY s.s_suppkey;
+SELECT t.n_name, t.n_cust FROM (
+  SELECT n.n_name, COUNT(*) AS n_cust
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+) t WHERE t.n_cust > (SELECT COUNT(*) FROM customer) / 30
+ORDER BY t.n_name;
+SELECT x.o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+) x WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = x.o_custkey)
+ORDER BY x.o_custkey LIMIT 40;
+SELECT c.c_custkey FROM customer c
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1999-01-01')
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1996-01-01')
+  AND c.c_custkey < 300
+ORDER BY c.c_custkey;
+SELECT upper(substr(n_name, 1, 3)) AS code, COUNT(*) AS n
+FROM nation GROUP BY upper(substr(n_name, 1, 3)) ORDER BY code;
+SELECT lower(trim(p_brand)) AS b, MIN(p_size) AS mn
+FROM part GROUP BY lower(trim(p_brand)) ORDER BY b LIMIT 20;
+SELECT length(c_name) AS name_len, COUNT(*) AS n
+FROM customer GROUP BY length(c_name) ORDER BY name_len;
+SELECT CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom, COUNT(*) AS n
+FROM orders WHERE o_orderdate >= DATE '1997-05-01' AND o_orderdate < DATE '1997-06-01'
+GROUP BY EXTRACT(day FROM o_orderdate) ORDER BY dom;
+SELECT t.yr, t.n, t.n - lag(t.n, 1, CAST(0 AS BIGINT)) OVER (ORDER BY t.yr) AS delta
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY EXTRACT(year FROM o_orderdate)
+) t ORDER BY t.yr;
+SELECT u.user_id, u.first_ts, u.last_ts FROM (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events GROUP BY user_id
+) u WHERE u.user_id < 25 ORDER BY u.user_id;
+SELECT e.event_type, COUNT(DISTINCT e.user_id) AS n_users,
+  CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events e GROUP BY e.event_type
+HAVING COUNT(DISTINCT e.user_id) > 10 ORDER BY e.event_type;
+SELECT a.event_type AS et_a, b.event_type AS et_b, COUNT(*) AS n_users_both
+FROM (SELECT DISTINCT user_id, event_type FROM events) a
+JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type ORDER BY et_a, et_b;
+SELECT d.source, COUNT(*) AS n_docs,
+  CAST(SUM(d.n_chars) AS BIGINT) AS chars,
+  MIN(length(d.text)) AS shortest
+FROM documents d WHERE d.lang = 'en'
+GROUP BY d.source ORDER BY d.source;
+SELECT d.doc_id FROM documents d
+WHERE length(d.text) <> d.n_chars ORDER BY d.doc_id LIMIT 10;
+SELECT t.lang, t.mx FROM (
+  SELECT lang, MAX(n_chars) AS mx FROM documents GROUP BY lang
+) t JOIN documents d ON d.lang = t.lang AND d.n_chars = t.mx
+ORDER BY t.lang, t.mx;
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE o_orderdate = DATE '1997-07-04' ORDER BY o_orderkey;
+SELECT COUNT(*) AS n_leap FROM orders
+WHERE EXTRACT(month FROM o_orderdate) = 2 AND EXTRACT(day FROM o_orderdate) = 29;
+SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS price_per_unit
+FROM lineitem WHERE l_quantity > 0 GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT r.r_name, COUNT(DISTINCT s.s_suppkey) AS n_supp,
+  COUNT(DISTINCT c.c_custkey) AS n_cust
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY r.r_name ORDER BY r.r_name;
+SELECT t.bucket, COUNT(*) AS n FROM (
+  SELECT CASE WHEN length(p_name) < 20 THEN 'short'
+              WHEN length(p_name) < 30 THEN 'mid' ELSE 'long' END AS bucket
+  FROM part
+) t GROUP BY t.bucket ORDER BY t.bucket;
+SELECT p.p_brand, x.top_price FROM (
+  SELECT p_brand AS b, MAX(p_retailprice) AS top_price FROM part GROUP BY p_brand
+) x JOIN part p ON p.p_brand = x.b AND p.p_retailprice = x.top_price
+ORDER BY p.p_brand, x.top_price;
+SELECT o_orderstatus,
+  MIN(o_orderdate) AS first_d, MAX(o_orderdate) AS last_d,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT w.o_custkey, w.rk FROM (
+  SELECT o_custkey, o_orderkey,
+    dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) w WHERE w.rk = 2 AND w.o_custkey < 60 ORDER BY w.o_custkey, w.rk;
+SELECT s.s_nationkey, COUNT(*) AS n FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name LIKE '%A%' GROUP BY s.s_nationkey
+HAVING COUNT(*) BETWEEN 2 AND 100 ORDER BY s.s_nationkey;
+SELECT x.et, x.hr, x.n FROM (
+  SELECT event_type AS et, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, EXTRACT(hour FROM ts)) AS rk
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+) x WHERE x.rk <= 2 ORDER BY x.et, x.n DESC, x.hr;
+SELECT c_nationkey,
+  CAST(SUM(CASE WHEN c_acctbal >= 0 THEN CAST(c_acctbal AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS pos_bal,
+  CAST(SUM(CASE WHEN c_acctbal < 0 THEN CAST(c_acctbal AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS neg_bal
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey;
+SELECT t.od, t.n FROM (
+  SELECT o_orderdate AS od, COUNT(*) AS n FROM orders GROUP BY o_orderdate
+) t WHERE t.n >= 3 ORDER BY t.od LIMIT 40;
+SELECT l_orderkey, COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY l_orderkey
+HAVING COUNT(*) = 7 ORDER BY l_orderkey LIMIT 30;
+SELECT n.n_name FROM nation n
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey
+                  AND s.s_acctbal < 0)
+ORDER BY n.n_name;
+SELECT p_type, COUNT(*) AS n FROM part
+WHERE p_type LIKE 'STANDARD%' OR p_type LIKE 'SMALL%'
+GROUP BY p_type ORDER BY p_type;
+SELECT c.c_custkey, o.n_orders FROM customer c
+JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal < 0 AND o.n_orders > 20 ORDER BY c.c_custkey;
+SELECT t.seg, t.band, t.n FROM (
+  SELECT c_mktsegment AS seg,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 4500 THEN 'low' ELSE 'high' END AS band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_mktsegment,
+    CASE WHEN c_acctbal < 0 THEN 'neg'
+         WHEN c_acctbal < 4500 THEN 'low' ELSE 'high' END
+) t ORDER BY t.seg, t.band;
+SELECT COALESCE(t.lang, 'ALL') AS lang_group, t.n FROM (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY ROLLUP (lang)
+) t ORDER BY lang_group;
+SELECT d.doc_id, d.n_chars,
+  CAST(SUM(d.n_chars) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+FROM documents d WHERE d.lang = 'de' ORDER BY d.doc_id LIMIT 50;
+SELECT a.n_name, COUNT(DISTINCT s.s_suppkey) AS n FROM nation a
+JOIN supplier s ON s.s_nationkey = a.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+WHERE l.l_shipdate >= DATE '2001-01-01'
+GROUP BY a.n_name ORDER BY a.n_name;
+SELECT t.q, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CAST(EXTRACT(quarter FROM ts) AS BIGINT) AS q FROM events
+) t GROUP BY t.q ORDER BY t.q;
+SELECT o.o_orderkey FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) > o.o_totalprice
+ORDER BY o.o_orderkey LIMIT 40;
+SELECT p.p_size, s.n_supp FROM (SELECT DISTINCT p_size FROM part) p
+LEFT JOIN (
+  SELECT ps.p_size, CAST(COUNT(*) AS BIGINT) AS n_supp
+  FROM part ps JOIN supplier su ON su.s_suppkey = ps.p_partkey % 100 + 1
+  GROUP BY ps.p_size
+) s ON s.p_size = p.p_size
+ORDER BY p.p_size LIMIT 30;
+SELECT x.user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'view'
+) x ORDER BY x.user_id LIMIT 50;

@@ -692,41 +692,47 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source containment census — the repo-overlap / fork-detection
     shape applied to the driver's `source` column: distinct word-5-gram
     sets per source, pairwise shared-gram counts and Jaccard. Scale
-    shape: the gram explode is map-side; the self-join keys on the gram
-    (a census-cappable key — dedup/repos.py adds the hot-key cap for the
-    true repo-scale variant); pair aggregation is a partial-agg groupBy
-    on a bounded pair domain."""
+    shape: the gram explode is map-side, and the gram table crosses ONE
+    shuffle (a self-join would shuffle it twice): per-gram sorted source
+    sets via collect_set — bounded because source cardinality is bounded
+    (for unbounded repo keys, dedup/repos.py is the variant with the
+    ubiquity cap) — then JVM array-HOF pair expansion and a partial-agg
+    groupBy over the bounded pair domain."""
     docs = load_table(spark, sf_dir, "documents")
     sg = (
         docs.select("source", F.explode(T.word_ngrams(F.col("text"), 5)).alias("gram"))
         .distinct()
     )
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = sg.alias("a")
-    b = sg.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") < F.col("b.source")),
+    per_gram = sg.groupBy("gram").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    pairs = (
+        per_gram.filter(F.size("ss") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select("p.source_a", "p.source_b")
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    za = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
     return (
-        shared.join(za, F.col("source_a") == F.col("za.source"))
-        .join(zb, F.col("source_b") == F.col("zb.source"))
+        shared.join(za, "source_a")
+        .join(zb, "source_b")
         .select(
             "source_a",
             "source_b",
             F.col("n_shared").cast("long").alias("n_shared"),
             (
                 F.col("n_shared").cast("double")
-                / (F.col("za.n") + F.col("zb.n") - F.col("n_shared")).cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
             ).alias("jaccard"),
         )
     )

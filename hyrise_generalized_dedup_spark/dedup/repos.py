@@ -101,3 +101,65 @@ def fork_candidates(
         (F.col("containment") >= min_containment)
         & (F.col("n_shared") >= min_shared)
     )
+
+
+def repo_dedup_manifest(
+    files: DataFrame,
+    repo_col: str = "repo",
+    key_col: str = "file_key",
+    max_repos_per_key: int = DEFAULT_MAX_REPOS_PER_KEY,
+    min_containment: float = 0.8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Repository-level dedup decision (The Stack deduplicates at repo
+    granularity before file granularity, arXiv:2211.15533 §III): build
+    the fork graph from ``fork_candidates``, connect it into repo
+    clusters, and elect one keeper per cluster — the repo with the most
+    distinct file keys (ties broken by repo name) — so a fork family
+    contributes exactly one repository downstream.
+
+    Returns (repo, repo_cluster_id, n_keys, keep) for EVERY repo in
+    ``files`` (non-forked repos are singleton keepers). Scale shape:
+    the fork graph is orders smaller than the repo table (only fork
+    pairs have edges), so connected_components takes its driver
+    union-find fast path below the edge budget and the distributed
+    min-label path above it; keeper election is one max-struct
+    aggregation per cluster, no window over the repo table."""
+    from .cluster import connected_components
+
+    sim = repo_similarity(
+        files, repo_col=repo_col, key_col=key_col,
+        max_repos_per_key=max_repos_per_key,
+    )
+    forks = fork_candidates(
+        sim, min_containment=min_containment, min_shared=min_shared
+    )
+    rk = files.select(
+        F.col(repo_col).alias("repo"), F.col(key_col).alias("file_key")
+    ).distinct()
+    sizes = rk.groupBy("repo").agg(F.count(F.lit(1)).alias("n_keys"))
+    edges = forks.select(
+        F.col("repo_a").alias("key_a"), F.col("repo_b").alias("key_b")
+    )
+    cc = connected_components(edges, nodes=sizes.select("repo"), key_col="repo")
+    labeled = sizes.join(cc, "repo").withColumnRenamed(
+        "cluster_id", "repo_cluster_id"
+    )
+    # keeper = max n_keys, tie-break lexicographically-smallest repo name:
+    # max_by over a struct(n_keys, negated-name) would need reversible
+    # strings, so elect via (max n_keys) then (min repo among maxima)
+    best_n = labeled.groupBy("repo_cluster_id").agg(
+        F.max("n_keys").alias("best_n")
+    )
+    keeper = (
+        labeled.join(best_n, "repo_cluster_id")
+        .filter(F.col("n_keys") == F.col("best_n"))
+        .groupBy("repo_cluster_id")
+        .agg(F.min("repo").alias("keeper_repo"))
+    )
+    return labeled.join(keeper, "repo_cluster_id").select(
+        "repo",
+        "repo_cluster_id",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        (F.col("repo") == F.col("keeper_repo")).cast("int").alias("keep"),
+    )

@@ -416,6 +416,15 @@ def main() -> None:
         help="near-dup text canonicalization: raw bytes (default), "
         "formatting-invariant, or rename-invariant type-2 (code corpora)",
     )
+    ap.add_argument(
+        "--repo-dedup",
+        action="store_true",
+        help="drop forked repositories before the file pipeline (The "
+        "Stack's order: repo-level dedup first) — keeps one repo per "
+        "fork family via dedup/repos.repo_dedup_manifest. Changes the "
+        "pipeline INPUT, which checkpoints do not key on: pair with "
+        "--fresh when toggling on an existing output dir",
+    )
     args = ap.parse_args()
     cfg = GDConfig(normalizer=args.normalizer)
 
@@ -429,7 +438,20 @@ def main() -> None:
         stale = gc_stale_checkpoints(spark, args.output, cfg)
         if stale:
             print(f"gc-stale: removed {len(stale)} checkpoint tree(s): {stale}")
-    source = _load_input(spark, args.input).cache()
+    source = _load_input(spark, args.input)
+    repo_summary = None
+    if args.repo_dedup:
+        from ..functions.code import normalized_sha
+        from .repos import repo_dedup_manifest
+
+        keyed = source.withColumn("file_key", normalized_sha(F.col("content")))
+        manifest = repo_dedup_manifest(keyed).cache()
+        n_repos = manifest.count()
+        keepers = manifest.filter(F.col("keep") == 1).select("repo")
+        n_kept = keepers.count()
+        source = source.join(keepers, "repo", "left_semi")
+        repo_summary = {"n_repos_total": n_repos, "n_repos_kept": n_kept}
+    source = source.cache()
     n_in = source.count()  # materialize input outside the timed window
     # warm the Python/Arrow worker pool so per-worker interpreter+pandas
     # startup isn't billed to the first UDF stage
@@ -456,6 +478,8 @@ def main() -> None:
         )
     summary["pipeline_wall_ms"] = int((time.time() - t0) * 1000)
     summary["files_per_sec"] = round(n_in / (time.time() - t0), 2)
+    if repo_summary is not None:
+        summary["repo_dedup"] = repo_summary
     if args.manifest:
         ckpt = Checkpointer(spark, args.output, cfg, resume=True)
         manifest = retention_manifest(ckpt.load("clusters"))

@@ -486,3 +486,34 @@ def test_default_normalizer_is_raw():
     assert GDConfig().normalizer == "raw"
     with pytest.raises(ValueError):
         GDConfig(normalizer="ast")
+
+
+def test_cli_repo_dedup_prefilter(tmp_path):
+    """--repo-dedup drops forked repos before the file pipeline and
+    reports the repo census in the summary (subprocess, CLI surface)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "repo_dedup_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", "synth:500",
+            "--output", out,
+            "--master", "local[2]",
+            "--no-suffix",
+            "--repo-dedup",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    rd = summary["repo_dedup"]
+    assert 0 < rd["n_repos_kept"] <= rd["n_repos_total"]
+    assert summary["n_files"] <= 500
+    assert summary["n_clusters"] > 0

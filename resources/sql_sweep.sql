@@ -2794,3 +2794,138 @@ SELECT x.user_id FROM (
   INTERSECT
   SELECT user_id FROM events WHERE event_type = 'view'
 ) x ORDER BY x.user_id LIMIT 50;
+-- round-5 continuation tranche #3: nested set-ops, HAVING-over-window-free
+-- rollups, multi-join chains with selective dims, CASE-in-join residuals,
+-- COALESCE/NULLIF arithmetic, string concat groupings, timestamp ladders.
+SELECT t.k, t.n FROM (
+  SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey
+  UNION ALL
+  SELECT c_custkey AS k, 0 AS n FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+) t WHERE t.k < 80 ORDER BY t.k, t.n;
+SELECT x.seg FROM (
+  SELECT DISTINCT c_mktsegment AS seg FROM customer
+  INTERSECT
+  SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal < 0
+) x ORDER BY x.seg;
+SELECT n.n_name, COALESCE(s.total, CAST(0 AS DOUBLE)) AS supp_bal
+FROM nation n LEFT JOIN (
+  SELECT s_nationkey, CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total
+  FROM supplier GROUP BY s_nationkey
+) s ON s.s_nationkey = n.n_nationkey
+ORDER BY n.n_name;
+SELECT c_nationkey, COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonbuilding,
+  COUNT(*) AS n_all
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey;
+SELECT CONCAT(o_orderstatus, '-', o_orderpriority) AS tag, COUNT(*) AS n
+FROM orders GROUP BY CONCAT(o_orderstatus, '-', o_orderpriority)
+ORDER BY tag;
+SELECT r.r_name || '/' || n.n_name AS rn, COUNT(s.s_suppkey) AS n_supp
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY r.r_name || '/' || n.n_name ORDER BY rn;
+SELECT l.l_returnflag, o.o_orderstatus,
+  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= DATE '1998-06-01' AND o.o_orderdate < DATE '1998-09-01'
+GROUP BY l.l_returnflag, o.o_orderstatus
+ORDER BY l.l_returnflag, o.o_orderstatus;
+SELECT p.p_brand, COUNT(DISTINCT l.l_orderkey) AS n_orders
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 5 GROUP BY p.p_brand
+ORDER BY n_orders DESC, p.p_brand LIMIT 15;
+SELECT t.pri, t.half, t.n FROM (
+  SELECT o_orderpriority AS pri,
+         CASE WHEN EXTRACT(month FROM o_orderdate) <= 6 THEN 'H1' ELSE 'H2' END AS half,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+  GROUP BY o_orderpriority,
+    CASE WHEN EXTRACT(month FROM o_orderdate) <= 6 THEN 'H1' ELSE 'H2' END
+) t ORDER BY t.pri, t.half;
+SELECT o_custkey FROM orders GROUP BY o_custkey
+HAVING MIN(o_orderdate) >= DATE '1998-01-01' ORDER BY o_custkey LIMIT 50;
+SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+HAVING MAX(o_totalprice) < CAST(50000 AS DOUBLE) AND COUNT(*) >= 2
+ORDER BY o_custkey LIMIT 40;
+SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  COUNT(DISTINCT user_id) AS wau
+FROM events GROUP BY date_trunc('week', ts) ORDER BY wk LIMIT 30;
+SELECT user_id,
+  CAST(MIN(EXTRACT(hour FROM ts)) AS BIGINT) AS first_hr,
+  CAST(MAX(EXTRACT(hour FROM ts)) AS BIGINT) AS last_hr
+FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id;
+SELECT e.user_id, e.n_types FROM (
+  SELECT user_id, COUNT(DISTINCT event_type) AS n_types FROM events GROUP BY user_id
+) e JOIN (SELECT COUNT(DISTINCT event_type) AS total FROM events) t
+ON e.n_types = t.total
+ORDER BY e.user_id LIMIT 40;
+SELECT d.lang, CAST(SUM(CASE WHEN d.n_chars > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+  CAST(SUM(CASE WHEN d.n_chars <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+FROM documents d GROUP BY d.lang ORDER BY d.lang;
+SELECT t.src, t.p90_len FROM (
+  SELECT source AS src, MAX(n_chars) AS p90_len,
+         row_number() OVER (ORDER BY MAX(n_chars) DESC, source) AS rk
+  FROM documents GROUP BY source
+) t WHERE t.rk <= 3 ORDER BY t.src;
+SELECT s.s_suppkey FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND s.s_acctbal > (
+  SELECT CAST(SUM(CAST(i.s_acctbal AS DECIMAL(38,6))) / COUNT(*) AS DOUBLE)
+  FROM supplier i
+) ORDER BY s.s_suppkey LIMIT 40;
+SELECT a.p_size, b.p_size AS peer_size, COUNT(*) AS n
+FROM part a JOIN part b
+ON a.p_brand = b.p_brand AND a.p_size = b.p_size - 1
+WHERE a.p_brand = 'Brand#11'
+GROUP BY a.p_size, b.p_size ORDER BY a.p_size;
+SELECT x.status_pair, x.n FROM (
+  SELECT CONCAT(l_returnflag, l_linestatus) AS status_pair, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY CONCAT(l_returnflag, l_linestatus)
+) x WHERE x.n > 100 ORDER BY x.status_pair;
+SELECT o.yr, o.top_pri FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         MAX(o_orderpriority) AS top_pri
+  FROM orders GROUP BY EXTRACT(year FROM o_orderdate)
+) o ORDER BY o.yr;
+SELECT l_suppkey, l_returnflag,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS net
+FROM lineitem WHERE l_suppkey < 10
+GROUP BY l_suppkey, l_returnflag ORDER BY l_suppkey, l_returnflag;
+SELECT c.c_custkey, c.c_acctbal FROM customer c
+WHERE c.c_acctbal BETWEEN CAST(-10 AS DOUBLE) AND CAST(10 AS DOUBLE)
+ORDER BY c.c_custkey;
+SELECT t.b, COUNT(*) AS n FROM (
+  SELECT CAST(floor(o_totalprice) AS BIGINT) % 10 AS b FROM orders
+) t GROUP BY t.b ORDER BY t.b;
+SELECT d.doc_id FROM documents d
+WHERE d.text LIKE '%the%' AND d.text LIKE '%and%' AND d.lang = 'en'
+ORDER BY d.doc_id LIMIT 60;
+SELECT u.od FROM (
+  SELECT DISTINCT o_orderdate AS od FROM orders WHERE o_orderstatus = 'P'
+  EXCEPT
+  SELECT DISTINCT o_orderdate FROM orders WHERE o_orderstatus = 'O'
+) u ORDER BY u.od LIMIT 30;
+SELECT n_regionkey, COUNT(*) AS n,
+  CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+FROM nation GROUP BY n_regionkey
+HAVING COUNT(*) = 5 ORDER BY n_regionkey;
+SELECT t.custband, t.n FROM (
+  SELECT CASE WHEN o_custkey % 100 < 10 THEN 'low-id'
+              WHEN o_custkey % 100 < 50 THEN 'mid-id' ELSE 'high-id' END AS custband,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY CASE WHEN o_custkey % 100 < 10 THEN 'low-id'
+                            WHEN o_custkey % 100 < 50 THEN 'mid-id' ELSE 'high-id' END
+) t ORDER BY t.custband;
+SELECT p_type, MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx
+FROM part GROUP BY p_type
+HAVING MAX(p_retailprice) - MIN(p_retailprice) > CAST(500 AS DOUBLE)
+ORDER BY p_type LIMIT 25;
+SELECT w.user_id, w.ts, w.nxt FROM (
+  SELECT user_id, ts, lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+) w WHERE w.user_id < 8 AND w.nxt IS NOT NULL ORDER BY w.user_id, w.ts LIMIT 60;
+SELECT v.vec_id FROM embeddings v
+WHERE v.label = (SELECT MIN(label) FROM embeddings)
+ORDER BY v.vec_id LIMIT 40;

@@ -617,7 +617,7 @@ def code_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH norm AS (
       SELECT doc_id,
              sha256(trim(regexp_replace(
-               regexp_replace(text, '(?m)(//|#|--).*$', '', 'g'),
+               regexp_replace(text, '(?m)(^|[^:])(//|#|--).*$', '\\1', 'g'),
                '[ \t\r\n]+', ' ', 'g'))) AS norm_sha
       FROM documents
     ), census AS (
@@ -748,7 +748,7 @@ _CLONE_NORM_SQL = (
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(text, '(?m)(//|#|--).*$', '', 'g'),
+                regexp_replace(text, '(?m)(^|[^:])(//|#|--).*$', '\1', 'g'),
                 '"[^"{NL}]*"|''[^''{NL}]*''', '""', 'g'),
               '\b[0-9]+(\.[0-9]+)?\b', '0', 'g'),
             '\b({KW})\b', chr(1) || '0\1', 'g'),
@@ -909,7 +909,7 @@ TEXT_ORACLES["code_clone_census"] = TEXT_ORACLES["code_clone_census"].replace(
     ), fmt AS (
       SELECT doc_id,
              MIN(doc_id) OVER (PARTITION BY sha256(trim(regexp_replace(
-               regexp_replace(text, '(?m)(//|#|--).*$', '', 'g'),
+               regexp_replace(text, '(?m)(^|[^:])(//|#|--).*$', '\\1', 'g'),
                '[ \t\r\n]+', ' ', 'g')))) AS fmt_canonical
       FROM documents
     ), cl AS (

@@ -115,9 +115,11 @@ def qds_above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFram
 @_register(
     "qds_basket_affinity",
     """
-    WITH pairs AS (
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-      FROM lineitem a JOIN lineitem b
+      FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     )
     SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -126,11 +128,18 @@ def qds_above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def qds_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q29 / market-basket shape: part pairs co-purchased in at
-    least two orders. The self-join keys on l_orderkey whose fan-out is
-    bounded by the lines-per-order cap (<= 7 in TPC-H-shaped data), so
-    pair output is linear in orders — the same bounded-key-join
-    argument as the LSH bucket path."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    least two DISTINCT orders. (l_orderkey, l_partkey) is deduped
+    before the self-join — an order carrying the same part on two
+    lineitems would otherwise double-count a pair and a single order
+    could clear the >=2 threshold alone. The self-join keys on
+    l_orderkey whose fan-out is bounded by the lines-per-order cap
+    (<= 7 in TPC-H-shaped data), so pair output is linear in orders —
+    the same bounded-key-join argument as the LSH bucket path."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
     return (

@@ -426,6 +426,14 @@ def main() -> None:
         "--fresh when toggling on an existing output dir",
     )
     args = ap.parse_args()
+    if args.repo_dedup and args.incremental:
+        # keeper election can flip as a fork family grows (a new larger
+        # fork becomes keeper), silently dropping a previously-kept
+        # repo's docs from the input — incremental's removal guard would
+        # then raise a misleading "docs absent from corpus" error.
+        ap.error("--repo-dedup cannot be combined with --incremental: "
+                 "keeper election may change across ingest batches; run "
+                 "the full pipeline (optionally with --fresh) instead")
     cfg = GDConfig(normalizer=args.normalizer)
 
     from ..session import get_spark
@@ -444,13 +452,22 @@ def main() -> None:
         from ..functions.code import normalized_sha
         from .repos import repo_dedup_manifest
 
-        keyed = source.withColumn("file_key", normalized_sha(F.col("content")))
+        # Materialize the 2-column (repo, file_key) frame ONCE: the
+        # manifest consumes it several times (census, sizes, pair join),
+        # and each lineage replay would otherwise re-scan full content
+        # and re-run the normalize+sha256 chain per consumer.
+        keyed = (
+            source.select("repo", normalized_sha(F.col("content")).alias("file_key"))
+            .persist()
+        )
+        keyed.count()
         manifest = repo_dedup_manifest(keyed).cache()
         n_repos = manifest.count()
         keepers = manifest.filter(F.col("keep") == 1).select("repo")
         n_kept = keepers.count()
         source = source.join(keepers, "repo", "left_semi")
         repo_summary = {"n_repos_total": n_repos, "n_repos_kept": n_kept}
+        keyed.unpersist()
     source = source.cache()
     n_in = source.count()  # materialize input outside the timed window
     # warm the Python/Arrow worker pool so per-worker interpreter+pandas

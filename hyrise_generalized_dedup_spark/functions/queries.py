@@ -596,10 +596,12 @@ def code_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-line and mean-line-length caps, alphanumeric-fraction floor,
     auto-generated / XML-data-file / license-header detection, and the
     composite default keep rule. All pure Column exprs — per-file map
-    work in the scan stage at any corpus size."""
+    work in the scan stage at any corpus size; the composite is derived
+    from the already-named signal columns in a second select so each
+    split/aggregate/regex tree is built once per row, not twice."""
     docs = load_table(spark, sf_dir, "documents")
     c = F.col("text")
-    return docs.select(
+    sig = docs.select(
         "doc_id",
         C.max_line_length(c).alias("max_line_len"),
         C.avg_line_length(c).alias("avg_line_len"),
@@ -607,7 +609,16 @@ def code_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.is_autogenerated(c).alias("is_autogen"),
         C.has_license_header(c).alias("has_license"),
         C.is_xml_head(c).alias("is_xml"),
-        C.stack_keep(c).alias("stack_keep"),
+    )
+    return sig.withColumn(
+        "stack_keep",
+        (
+            (F.col("max_line_len") <= C.MAX_LINE_LIMIT)
+            & (F.col("avg_line_len") <= C.AVG_LINE_LIMIT)
+            & (F.col("alnum_frac") >= C.MIN_ALNUM_FRAC)
+            & (F.col("is_autogen") == 0)
+            & (F.col("is_xml") == 0)
+        ).cast("int"),
     )
 
 
@@ -819,25 +830,35 @@ def code_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     credential assignments, plus the sha256 of the placeholder-redacted
     text so the redaction TRANSFORM (not just the counts) is
     value-checked. Pure Column regex exprs — scan-stage map work with
-    zero Python at any corpus size."""
+    zero Python at any corpus size; has_pii derives from the named
+    count columns so each detector regex runs once per row."""
     docs = load_table(spark, sf_dir, "documents")
     c = F.col("text")
-    n_total = (
-        C.email_count(c)
-        + C.ipv4_count(c)
-        + C.aws_key_count(c)
-        + C.private_key_count(c)
-        + C.secret_assign_count(c)
-    )
-    return docs.select(
+    counts = docs.select(
         "doc_id",
         C.email_count(c).alias("n_emails"),
         C.ipv4_count(c).alias("n_ips"),
         C.aws_key_count(c).alias("n_aws_keys"),
         C.private_key_count(c).alias("n_private_keys"),
         C.secret_assign_count(c).alias("n_secrets"),
-        (n_total > 0).cast("int").alias("has_pii"),
         F.sha2(C.redact_pii(c), 256).alias("redacted_sha"),
+    )
+    n_total = (
+        F.col("n_emails")
+        + F.col("n_ips")
+        + F.col("n_aws_keys")
+        + F.col("n_private_keys")
+        + F.col("n_secrets")
+    )
+    return counts.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_aws_keys",
+        "n_private_keys",
+        "n_secrets",
+        (n_total > 0).cast("int").alias("has_pii"),
+        "redacted_sha",
     )
 
 

@@ -11,10 +11,15 @@ vendored blob shared by every repo (the quadratic hazard the census cap
 removes).
 
 Records, at TWO parallelism levels (FORK_LEVELS env, default "8,32"):
-  * wall seconds for the full similarity table (min of FORK_REPS runs),
+  * wall seconds for the full similarity table (min of FORK_REPS runs)
+    — note the corpus is ~2N rows for N files (one vendored row per
+    single-file repo), so walls measure the 2N-row table,
   * the pair-row count (must be identical across levels),
-  * whether the planted fork is the top containment pair, and
-  * that the vendored blob created no pair rows (cap excluded it).
+  * whether the planted fork is found via containment, and
+  * a DIRECT ubiquity-cap check: repo_similarity over ONLY the
+    vendored rows (one shared key across all N repos) must return
+    zero pairs — if the cap broke, this is the subtable where the
+    single hot key would join every repo pairwise.
 
 Writes BENCH/evals/fork_eval_<N>.json and prints one JSON line.
 Run: python scripts/fork_eval.py [N_FILES]   (default 200_000)
@@ -88,6 +93,11 @@ def run_level(cores: int, n: int) -> dict:
     files, victim = build_corpus(spark, n)
     files = files.persist()
     n_rows = files.count()
+    # direct cap check on the hazardous subtable: every repo shares the
+    # vendored key, so without the ubiquity cap this alone would emit
+    # C(n_repos, 2) pairs
+    vend_only = files.filter(F.col("path") == "vendor/lib.js")
+    n_vendored_pairs = repo_similarity(vend_only, key_col="file_key").count()
     best, out = float("inf"), None
     for _ in range(REPS):
         t0 = time.time()
@@ -101,7 +111,7 @@ def run_level(cores: int, n: int) -> dict:
                 .limit(5)
                 .collect()
             )
-            vend_pairs = sim.filter(
+            fork_repo_pairs = sim.filter(
                 (F.col("repo_a") == "fork/target") | (F.col("repo_b") == "fork/target")
             ).count()
             out = {
@@ -114,7 +124,8 @@ def run_level(cores: int, n: int) -> dict:
                     and "fork/target" in (r["repo_a"], r["repo_b"])
                     for r in top
                 ),
-                "fork_pairs_touching_fork_repo": vend_pairs,
+                "pairs_touching_fork_repo": fork_repo_pairs,
+                "vendored_only_pairs": n_vendored_pairs,
             }
             best = wall
         sim.unpersist()
@@ -135,6 +146,7 @@ def main() -> None:
         "same_output_rows": all(r["n_pairs"] == lo["n_pairs"] for r in runs),
         "speedup": round(lo["wall_s"] / hi["wall_s"], 3) if hi["wall_s"] else None,
         "planted_fork_found_all_levels": all(r["fork_found"] for r in runs),
+        "ubiquity_cap_held": all(r["vendored_only_pairs"] == 0 for r in runs),
     }
     os.makedirs("/root/repo/BENCH/evals", exist_ok=True)
     path = f"/root/repo/BENCH/evals/fork_eval_{n}.json"

@@ -1077,3 +1077,44 @@ _BLOCK_NORM_SQL = _clone_norm_sql().replace("text,", "block,", 1)
 TEXT_ORACLES["code_block_clones"] = (
     TEXT_ORACLES["code_block_clones"].replace("{NORM}", _BLOCK_NORM_SQL)
 )
+
+
+@_register(
+    "events_json_profile",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_high
+    FROM x GROUP BY event_type
+    """,
+)
+def events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction — the data-lake staple the
+    relational tranches don't cover: pull a typed field out of the JSON
+    `props` string (Spark get_json_object -> JVM Jackson path eval; the
+    oracle restates it with DuckDB's json_extract_string) and aggregate
+    per event type. Scan-stage map work + one partial-agg groupBy;
+    the JSON never shuffles, only the extracted int."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_k_high"),
+        )
+    )

@@ -399,3 +399,15 @@ def test_curation_manifest_matches_duckdb(spark, sf_tiny):
     # and at least one drop reason fires somewhere
     assert any(r.keep for r in rows)
     assert any(r.drop_quality or r.drop_dup or r.drop_contaminated for r in rows)
+
+
+def test_events_json_profile_matches_duckdb(spark, sf_tiny):
+    from hyrise_generalized_dedup_spark.functions.queries import (
+        TEXT_ORACLES,
+        TEXT_QUERIES,
+    )
+    from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+    df = TEXT_QUERIES["events_json_profile"](spark, sf_tiny)
+    ok, msg = compare_to_duckdb(df, TEXT_ORACLES["events_json_profile"], sf_tiny)
+    assert ok, msg

@@ -2929,3 +2929,67 @@ SELECT w.user_id, w.ts, w.nxt FROM (
 SELECT v.vec_id FROM embeddings v
 WHERE v.label = (SELECT MIN(label) FROM embeddings)
 ORDER BY v.vec_id LIMIT 40;
+-- round-5 continuation tranche #4: numeric functions (abs/greatest/least/
+-- sign/mod), string search (instr/ltrim/rtrim/ascii), date inequality
+-- self-joins, EXISTS-with-aggregate correlations, UNION typed literals.
+SELECT n_nationkey, abs(n_nationkey - 12) AS dist FROM nation ORDER BY dist, n_nationkey;
+SELECT o_orderkey, greatest(o_totalprice, CAST(100000 AS DOUBLE)) AS floor_px,
+  least(o_totalprice, CAST(200000 AS DOUBLE)) AS cap_px
+FROM orders WHERE o_custkey = 7 ORDER BY o_orderkey;
+SELECT sign(c_acctbal) AS sgn, COUNT(*) AS n FROM customer GROUP BY sign(c_acctbal) ORDER BY sgn;
+SELECT p_partkey % 7 AS m, COUNT(*) AS n FROM part GROUP BY p_partkey % 7 ORDER BY m;
+SELECT s_suppkey, instr(s_name, '#') AS hash_pos FROM supplier
+WHERE s_suppkey <= 30 ORDER BY s_suppkey;
+SELECT ltrim(rtrim(n_name)) AS nm, length(n_name) AS raw_len FROM nation ORDER BY nm;
+SELECT ascii(substr(c_name, 1, 1)) AS first_cp, COUNT(*) AS n
+FROM customer GROUP BY ascii(substr(c_name, 1, 1)) ORDER BY first_cp;
+SELECT a.o_orderkey, b.o_orderkey AS later_key FROM orders a JOIN orders b
+ON a.o_custkey = b.o_custkey AND a.o_orderdate < b.o_orderdate
+WHERE a.o_custkey = 5 ORDER BY a.o_orderkey, later_key;
+SELECT o.o_custkey, COUNT(*) AS n FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey HAVING COUNT(*) >= 6
+) GROUP BY o.o_custkey ORDER BY n DESC, o.o_custkey LIMIT 30;
+SELECT t.tag, t.v FROM (
+  SELECT 'max_price' AS tag, CAST(MAX(o_totalprice) AS DOUBLE) AS v FROM orders
+  UNION ALL
+  SELECT 'min_price' AS tag, CAST(MIN(o_totalprice) AS DOUBLE) AS v FROM orders
+  UNION ALL
+  SELECT 'n_orders' AS tag, CAST(COUNT(*) AS DOUBLE) AS v FROM orders
+) t ORDER BY t.tag;
+SELECT c.c_nationkey, x.mx FROM customer c JOIN (
+  SELECT c_nationkey AS nk, MAX(c_acctbal) AS mx FROM customer GROUP BY c_nationkey
+) x ON x.nk = c.c_nationkey AND x.mx = c.c_acctbal
+ORDER BY c.c_nationkey, x.mx;
+SELECT l_orderkey, MAX(l_linenumber) AS n_lines FROM lineitem
+GROUP BY l_orderkey HAVING MAX(l_linenumber) <> COUNT(*)
+ORDER BY l_orderkey LIMIT 10;
+SELECT d.lang, MIN(d.doc_id) AS first_doc, MAX(d.doc_id) AS last_doc
+FROM documents d GROUP BY d.lang ORDER BY d.lang;
+SELECT e.event_type, CAST(MIN(e.value) AS DOUBLE) AS mn
+FROM events e WHERE e.value > CAST(0 AS DOUBLE)
+GROUP BY e.event_type ORDER BY e.event_type;
+SELECT u.b, COUNT(*) AS n FROM (
+  SELECT CASE WHEN value < CAST(10 AS DOUBLE) THEN 0
+              WHEN value < CAST(100 AS DOUBLE) THEN 1 ELSE 2 END AS b
+  FROM events
+) u GROUP BY u.b ORDER BY u.b;
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders
+WHERE o_orderdate BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST, n;
+SELECT x.rng, COUNT(*) AS n FROM (
+  SELECT CAST(floor(s_acctbal / 1000) AS BIGINT) AS rng FROM supplier
+) x GROUP BY x.rng ORDER BY x.rng;
+SELECT p_brand, p_type, p_size FROM part
+WHERE p_brand = 'Brand#23' AND p_size IN (1, 14, 23, 45)
+ORDER BY p_type, p_size LIMIT 30;
+SELECT c_mktsegment, MIN(length(c_name)) AS mn_len, MAX(length(c_name)) AS mx_len
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT t.yr, t.pri, t.n, rank() OVER (PARTITION BY t.yr ORDER BY t.n DESC, t.pri) AS rk
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY EXTRACT(year FROM o_orderdate), o_orderpriority
+) t ORDER BY t.yr, rk LIMIT 60;

@@ -1118,3 +1118,171 @@ def events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_k_high"),
         )
     )
+
+
+@_register(
+    "code_license_census",
+    """
+    WITH heads AS (
+      SELECT doc_id,
+             lower(array_to_string((string_split(text, chr(10)))[1:20],
+                                   chr(10))) AS head
+      FROM documents
+    ), lic AS (
+      SELECT doc_id,
+             CASE
+               WHEN coalesce(regexp_extract(head,
+                      'spdx-license-identifier:[ \\t]*([a-z0-9.+-]+)', 1),
+                      '') <> ''
+                 THEN regexp_extract(head,
+                      'spdx-license-identifier:[ \\t]*([a-z0-9.+-]+)', 1)
+               WHEN regexp_matches(head, 'gnu affero general public license')
+                 THEN 'agpl-3.0'
+               WHEN regexp_matches(head,
+                      'gnu (lesser|library) general public license')
+                 THEN 'lgpl-2.1'
+               WHEN regexp_matches(head, 'gnu general public license')
+                 THEN 'gpl-3.0'
+               WHEN regexp_matches(head, 'mozilla public license')
+                 THEN 'mpl-2.0'
+               WHEN regexp_matches(head, 'apache license') THEN 'apache-2.0'
+               WHEN regexp_matches(head, 'mit license') THEN 'mit'
+               WHEN regexp_matches(head,
+                      'redistribution and use in source and binary forms')
+                 THEN 'bsd-3-clause'
+               WHEN regexp_matches(head, 'isc license') THEN 'isc'
+               WHEN regexp_matches(head, 'free and unencumbered software')
+                 THEN 'unlicense'
+               ELSE 'none'
+             END AS license
+      FROM heads
+    )
+    SELECT doc_id, license,
+           CAST(CASE WHEN regexp_matches(license,
+                  '^(agpl|gpl|lgpl|mpl|cc-by-sa|epl|cecill)')
+                THEN 1 ELSE 0 END AS INTEGER) AS is_copyleft,
+           CAST(CASE WHEN regexp_matches(license,
+                  '^(mit|apache|bsd|isc|unlicense|cc0|zlib)')
+                THEN 1 ELSE 0 END AS INTEGER) AS license_keep
+    FROM lic
+    """,
+)
+def code_license_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License classification per file (functions/code.py license_id):
+    SPDX tag wins, else first matching header phrase (AGPL/LGPL probed
+    before GPL — their phrases contain the GPL phrase), else 'none';
+    plus the copyleft flag and The Stack's permissive-only keep policy.
+    Driver testdata carries no license headers, so this slot hash-checks
+    the 'none'/drop path end-to-end; the classification semantics are
+    oracled on a synthetic licensed corpus in tests/test_code.py.
+    Pure scan-stage map work — no shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    lic = C.license_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lic.alias("license"),
+    ).select(
+        "doc_id",
+        "license",
+        C.is_copyleft(F.col("license")).alias("is_copyleft"),
+        C.license_keep(F.col("license")).alias("license_keep"),
+    )
+
+
+@_register(
+    "code_import_census",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(
+               regexp_extract_all(text,
+                 '(?m)^[ \\t]*import[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+               || regexp_extract_all(text,
+                 '(?m)^[ \\t]*from[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)[ \\t]+import', 1)
+               || regexp_extract_all(text,
+                 'require\\([''"]([A-Za-z0-9_@./-]+)[''"]\\)', 1)
+               || regexp_extract_all(text,
+                 '(?m)^[ \\t]*#[ \\t]*include[ \\t]*[<"]([A-Za-z0-9_./]+)[>"]', 1)
+             ) AS targets
+      FROM documents
+    ), roots AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(targets,
+               x -> string_split_regex(x, '[./]')[1]))) AS module
+      FROM t
+    )
+    SELECT module, CAST(COUNT(*) AS BIGINT) AS n_files
+    FROM roots GROUP BY module
+    """,
+)
+def code_import_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dependency census: per top-level imported module, how many
+    files reference it (functions/code.py import_roots — python/java
+    `import`, python `from … import`, node `require`, C `#include`,
+    deduped per file). Scan-stage regex extraction, one explode of SHORT
+    module names (content never shuffles), one partial-agg groupBy — at
+    10^12 files the shuffle carries one ~10-byte row per (file, module).
+    Driver text yields rows only where a line happens to open with an
+    import keyword — determinism is what the slot checks; extraction
+    semantics are pytest-oracled on a synthetic multi-language corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    roots = docs.select(
+        F.explode(C.import_roots(F.col("text"))).alias("module")
+    )
+    return roots.groupBy("module").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+
+
+@_register(
+    "code_snapshot_latest",
+    """
+    WITH files AS (
+      SELECT doc_id,
+             'r' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+             'f' || CAST(doc_id % 13 AS VARCHAR) || '.txt' AS path
+      FROM documents
+    )
+    SELECT doc_id, repo, path,
+           CAST(row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY doc_id DESC) AS BIGINT)
+             AS version_rank,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY repo, path
+                                             ORDER BY doc_id DESC) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_head,
+           CAST(COUNT(*) OVER (PARTITION BY repo, path) AS BIGINT)
+             AS n_versions
+    FROM files
+    """,
+)
+def code_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-history snapshot dedup — the first pass over any
+    (repo, path, commit, content) code table: rank each file's versions
+    by commit recency, keep rank 1 as the HEAD snapshot (training
+    corpora dedup to the latest version before any content-level pass).
+    The driver table has no commit column, so (repo, path) keys are
+    synthesized deterministically from doc_id (mod 7 x mod 13: docs
+    collide iff equal mod 91, giving ~N/91 multi-version keys at any
+    sf) with doc_id as the commit sequence. One hash-shuffle on the
+    (repo, path) key — the minimum any per-key versioning op pays; no
+    content moves, so the shape holds at 10^12 files."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select(
+        "doc_id",
+        F.concat(F.lit("r"), (F.col("doc_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"), (F.col("doc_id") % 13).cast("string"), F.lit(".txt")
+        ).alias("path"),
+    )
+    w = Window.partitionBy("repo", "path").orderBy(F.col("doc_id").desc())
+    wc = Window.partitionBy("repo", "path")
+    return files.select(
+        "doc_id",
+        "repo",
+        "path",
+        F.row_number().over(w).cast("long").alias("version_rank"),
+        (F.row_number().over(w) == 1).cast("int").alias("is_head"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_versions"),
+    )

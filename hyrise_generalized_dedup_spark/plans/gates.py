@@ -334,6 +334,13 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "n_emails", "n_ips", "n_aws_keys", "n_private_keys",
             "n_secrets", "has_pii", "redacted_sha",
         ]),
+        # round-5 license classification + The-Stack permissive keep policy
+        # (functions/code.py license_id) — driver data is license-free, so
+        # this checks the 'none'/drop path; classification semantics are
+        # oracled on a synthetic licensed corpus in tests/test_code.py
+        ("code_license_census", [
+            "doc_id", "license", "is_copyleft", "license_keep",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),
@@ -360,6 +367,12 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         # form) — semantics oracled on the synth corpus in tests/test_code.py
         ("code_clone_census", [
             "doc_id", "clone_sha", "n_copies", "canonical_doc_id", "is_dup",
+        ]),
+        # round-5 commit-snapshot dedup: latest version per synthesized
+        # (repo, path) key via row_number window — every doc gets a row,
+        # so the doc_id join is lossless
+        ("code_snapshot_latest", [
+            "doc_id", "repo", "path", "version_rank", "is_head", "n_versions",
         ]),
     ],
 }

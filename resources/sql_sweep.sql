@@ -2993,3 +2993,235 @@ FROM (
          o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n
   FROM orders GROUP BY EXTRACT(year FROM o_orderdate), o_orderpriority
 ) t ORDER BY t.yr, rk LIMIT 60;
+
+-- round-5 tranche (continuation g): correlated EXISTS x set ops,
+-- correlated scalar subqueries, window variants (dense_rank/lead-lag
+-- defaults/first-last-nth value/frames/percent_rank), nested derived
+-- tables, ROLLUP/CUBE/GROUPING SETS with GROUPING() flags, string
+-- compositions, NULL-ordering sorts, set ops over aggregates,
+-- quarter/day/date_trunc date shapes, join diversity, numeric edges,
+-- IN/NOT-IN subqueries, documents/events corpus shapes
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+EXCEPT
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F')
+ORDER BY c_custkey LIMIT 40;
+SELECT n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+INTERSECT
+SELECT n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey
+              AND c.c_acctbal > CAST(9000 AS DOUBLE))
+ORDER BY n_name;
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_discount > CAST(0.05 AS DOUBLE))
+  AND o.o_orderstatus = 'O'
+ORDER BY o_orderkey LIMIT 50;
+SELECT c.c_custkey,
+       (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_spend
+FROM customer c WHERE c.c_acctbal < CAST(0 AS DOUBLE)
+ORDER BY c.c_custkey LIMIT 60;
+SELECT l_orderkey, l_linenumber,
+       dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS dr
+FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber;
+SELECT o_custkey, o_orderkey,
+       lead(o_orderkey, 1, CAST(-1 AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key,
+       lag(o_orderkey, 2, CAST(-1 AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev2_key
+FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey;
+SELECT t.o_custkey, t.o_orderkey, t.fv, t.lv FROM (
+  SELECT o_custkey, o_orderkey,
+         first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+         last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+  FROM orders WHERE o_custkey < 80
+) t ORDER BY t.o_custkey, t.o_orderkey;
+SELECT t.o_custkey, t.o_orderkey, t.nv FROM (
+  SELECT o_custkey, o_orderkey,
+         nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv
+  FROM orders WHERE o_custkey < 80
+) t ORDER BY t.o_custkey, t.o_orderkey;
+SELECT x.grp, x.k, x.cume FROM (
+  SELECT o_orderstatus AS grp, o_orderkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+           PARTITION BY o_orderstatus ORDER BY o_orderkey
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume
+  FROM orders WHERE o_orderkey < 400
+) x ORDER BY x.grp, x.k;
+SELECT y.pri, y.k, y.pr FROM (
+  SELECT o_orderpriority AS pri, o_orderkey AS k,
+         percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS pr
+  FROM orders WHERE o_orderkey < 300
+) y ORDER BY y.pri, y.k;
+SELECT z.seg, CAST(z.n AS BIGINT) AS n, CAST(z.tot AS DOUBLE) AS tot FROM (
+  SELECT seg, COUNT(*) AS n, SUM(per_cust) AS tot FROM (
+    SELECT c.c_mktsegment AS seg, c.c_custkey,
+           SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS per_cust
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, c.c_custkey
+  ) inner_t GROUP BY seg
+) z ORDER BY z.seg;
+SELECT w.brand, w.mx - w.mn AS spread FROM (
+  SELECT p_brand AS brand, MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx
+  FROM part GROUP BY p_brand
+) w WHERE w.mx - w.mn > CAST(500 AS DOUBLE) ORDER BY w.brand;
+SELECT v.rf, v.ls, v.q25ish FROM (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(MIN(CASE WHEN l_quantity > CAST(25 AS DOUBLE) THEN l_quantity END) AS DOUBLE) AS q25ish
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+) v ORDER BY v.rf, v.ls;
+SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY st, pri, g_st, g_pri;
+SELECT coalesce(n_name, 'ALL') AS nname, coalesce(r_name, 'ALL') AS rname,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((n_name), (r_name), ())
+ORDER BY nname, rname;
+SELECT c_custkey, upper(substr(c_name, 1, 8)) AS pfx,
+       lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
+       reverse(lower(c_mktsegment)) AS rseg
+FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey;
+SELECT s_suppkey, concat(s_name, ':', CAST(s_nationkey AS STRING)) AS tag,
+       repeat('-', CAST(s_suppkey % 4 AS INTEGER)) AS dashes
+FROM supplier WHERE s_suppkey <= 30 ORDER BY s_suppkey;
+SELECT n_name, rpad(n_name, 20, '.') AS padded, substr(n_name, 2) AS tail_s
+FROM nation ORDER BY n_name;
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'O') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey;
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = CAST(0 AS DOUBLE) THEN 'none'
+            WHEN l_discount < CAST(0.05 AS DOUBLE) THEN 'low'
+            WHEN l_discount < CAST(0.08 AS DOUBLE) THEN 'mid'
+            ELSE 'high' END AS disc_band
+FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber;
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN e.value > CAST(500 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       CAST(SUM(CASE WHEN e.value <= CAST(500 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+FROM events e GROUP BY e.event_type ORDER BY e.event_type;
+SELECT t.k, t.v FROM (
+  SELECT o_orderkey AS k, nullif(o_orderpriority, '3-MEDIUM') AS v
+  FROM orders WHERE o_orderkey < 150
+) t ORDER BY t.v ASC NULLS FIRST, t.k LIMIT 60;
+SELECT t.k, t.v FROM (
+  SELECT o_orderkey AS k, nullif(o_orderpriority, '3-MEDIUM') AS v
+  FROM orders WHERE o_orderkey < 150
+) t ORDER BY t.v DESC NULLS LAST, t.k LIMIT 60;
+SELECT o_orderpriority AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+ORDER BY k, n;
+SELECT c_nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+ORDER BY c_nationkey LIMIT 80;
+SELECT CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+FROM orders GROUP BY EXTRACT(quarter FROM o_orderdate) ORDER BY q;
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mo,
+       CAST(MIN(l_quantity) AS DOUBLE) AS mn_qty
+FROM lineitem WHERE l_orderkey < 2000
+GROUP BY EXTRACT(year FROM l_shipdate), EXTRACT(month FROM l_shipdate)
+ORDER BY yr, mo;
+SELECT CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY EXTRACT(day FROM o_orderdate) ORDER BY dom;
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(COUNT(*) AS BIGINT) AS n
+FROM supplier s JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN customer c ON c.c_nationkey <> s.s_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE s.s_suppkey < 5 AND c.c_custkey < 40
+GROUP BY n1.n_name, n2.n_name ORDER BY supp_nation, cust_nation;
+SELECT r.r_name, CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_supp
+FROM region r LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY r.r_name ORDER BY r.r_name;
+SELECT o.o_orderkey, l.l_linenumber
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  AND l.l_quantity > CAST(49 AS DOUBLE)
+WHERE o.o_orderkey < 3000
+ORDER BY o.o_orderkey, l.l_linenumber LIMIT 80;
+SELECT c.c_custkey FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey IS NULL AND c.c_custkey < 300 ORDER BY c.c_custkey;
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(1 - l_discount AS DECIMAL(38,6)) AS disc_price_dec
+FROM lineitem WHERE l_orderkey < 60 ORDER BY l_orderkey, l_linenumber;
+SELECT p_partkey, p_retailprice,
+       CAST(round(p_retailprice, 1) AS DOUBLE) AS r1,
+       CAST(floor(p_retailprice) AS DOUBLE) AS fl,
+       CAST(ceil(p_retailprice) AS DOUBLE) AS ce
+FROM part WHERE p_partkey <= 40 ORDER BY p_partkey;
+SELECT o_orderkey, o_orderkey % 7 AS m7, abs(o_orderkey - 500) AS dist
+FROM orders WHERE o_orderkey < 220 ORDER BY o_orderkey;
+SELECT greatest(l_quantity, CAST(25 AS DOUBLE)) AS g25,
+       least(l_discount, CAST(0.05 AS DOUBLE)) AS l5,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem WHERE l_orderkey < 500
+GROUP BY greatest(l_quantity, CAST(25 AS DOUBLE)), least(l_discount, CAST(0.05 AS DOUBLE))
+ORDER BY g25, l5;
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey NOT IN (SELECT DISTINCT s_nationkey FROM supplier)
+ORDER BY n_nationkey;
+SELECT o_orderkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_orderstatus = 'P'
+ORDER BY o_orderkey LIMIT 60;
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(d.n_chars) AS BIGINT) AS mn_chars,
+       CAST(MAX(d.n_chars) AS BIGINT) AS mx_chars
+FROM documents d GROUP BY d.source ORDER BY d.source;
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d.n_chars > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+FROM documents d GROUP BY d.lang ORDER BY d.lang;
+SELECT u.hour_part, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CAST(EXTRACT(hour FROM e.ts) AS BIGINT) AS hour_part FROM events e
+) u GROUP BY u.hour_part ORDER BY u.hour_part;
+SELECT e.user_id, CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types
+FROM events e GROUP BY e.user_id HAVING COUNT(DISTINCT e.event_type) >= 4
+ORDER BY e.user_id LIMIT 60;
+SELECT p.p_partkey, p.p_brand,
+       (SELECT CAST(MIN(l.l_extendedprice) AS DOUBLE) FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey) AS min_price
+FROM part p WHERE p.p_size = 14 ORDER BY p.p_partkey LIMIT 40;
+SELECT s.s_suppkey, s.s_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey) AS n_items
+FROM supplier s ORDER BY s.s_suppkey LIMIT 40;
+SELECT l_returnflag FROM lineitem WHERE l_quantity > CAST(45 AS DOUBLE)
+INTERSECT
+SELECT l_returnflag FROM lineitem WHERE l_discount > CAST(0.09 AS DOUBLE)
+ORDER BY l_returnflag;
+SELECT p_partkey, replace(p_type, ' ', '_') AS t_u,
+       instr(p_type, 'BRASS') AS brass_at,
+       CAST(length(trim(p_name)) AS BIGINT) AS c_len
+FROM part WHERE p_partkey <= 50 ORDER BY p_partkey;
+SELECT coalesce(l_returnflag, '?') AS rf, coalesce(l_linestatus, '?') AS ls2,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+FROM lineitem WHERE l_orderkey < 1000
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY rf, ls2, g_rf, g_ls;
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY date_trunc('month', o_orderdate) ORDER BY m;
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_extendedprice < CAST(1200 AS DOUBLE))
+ORDER BY p_partkey LIMIT 50;

@@ -950,6 +950,21 @@ TEXT_ORACLES["code_clone_census"] = TEXT_ORACLES["code_clone_census"].replace(
               || chr(9) || ']*[:=][ ' || chr(9) || ']*["''][^"'']{8,}["'']'))
           > 0 THEN 1 ELSE 0 END AS has_pii
       FROM documents
+    ), lic AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(
+               lower(array_to_string((string_split(text, chr(10)))[1:20], chr(10))),
+               'spdx-license-identifier:[ \\t]*(agpl|gpl|lgpl|mpl|cc-by-sa|epl|cecill)')
+             THEN 1
+             WHEN regexp_matches(
+               lower(array_to_string((string_split(text, chr(10)))[1:20], chr(10))),
+               'spdx-license-identifier:[ \\t]*[a-z0-9.+-]')
+             THEN 0
+             WHEN regexp_matches(
+               lower(array_to_string((string_split(text, chr(10)))[1:20], chr(10))),
+               'gnu affero general public license|gnu (lesser|library) general public license|gnu general public license|mozilla public license')
+             THEN 1 ELSE 0 END AS copyleft
+      FROM documents
     )
     SELECT q.doc_id,
       CAST(CASE WHEN f.fmt_canonical <> q.doc_id THEN 1 ELSE 0 END AS INTEGER)
@@ -959,11 +974,14 @@ TEXT_ORACLES["code_clone_census"] = TEXT_ORACLES["code_clone_census"].replace(
       CAST(CASE WHEN q.maxl > 1000 OR q.avgl > 100 OR q.alnum < 0.25
                  OR q.autogen = 1 OR q.xml = 1 THEN 1 ELSE 0 END AS INTEGER)
         AS drop_quality,
+      CAST(li.copyleft AS INTEGER) AS drop_license,
       CAST(CASE WHEN p.has_pii = 1 AND c.clone_canonical = q.doc_id
+                 AND li.copyleft = 0
                  AND NOT (q.maxl > 1000 OR q.avgl > 100 OR q.alnum < 0.25
                           OR q.autogen = 1 OR q.xml = 1)
             THEN 1 ELSE 0 END AS INTEGER) AS needs_redaction,
       CAST(CASE WHEN f.fmt_canonical = q.doc_id AND c.clone_canonical = q.doc_id
+                 AND li.copyleft = 0
                  AND NOT (q.maxl > 1000 OR q.avgl > 100 OR q.alnum < 0.25
                           OR q.autogen = 1 OR q.xml = 1)
             THEN 1 ELSE 0 END AS INTEGER) AS keep
@@ -971,6 +989,7 @@ TEXT_ORACLES["code_clone_census"] = TEXT_ORACLES["code_clone_census"].replace(
     JOIN fmt f ON f.doc_id = q.doc_id
     JOIN cl c ON c.doc_id = q.doc_id
     JOIN pii p ON p.doc_id = q.doc_id
+    JOIN lic li ON li.doc_id = q.doc_id
     """,
 )
 def code_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,11 +997,15 @@ def code_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     release recipe shape): drop non-canonical formatting duplicates and
     type-2 clones (min-doc_id election per canonical form), drop Stack
     quality failures, flag survivors that need PII redaction before
-    release, keep the rest. Composes four independently oracled code
-    signals with per-reason flags. Scale shape: both censuses are
-    groupBy+join-back on 64-hex keys in the Spark plan (the window in
-    the oracle is DuckDB shorthand); everything else is scan-stage map
-    work — content never shuffles."""
+    release, keep the rest. A copyleft license (AGPL/GPL/LGPL/MPL, by
+    SPDX tag or header phrase) is its own drop reason — the policy
+    public code corpora apply before any content pass; the stricter
+    permissive-only policy is available as code_license_census's
+    license_keep. Composes five independently oracled code signals with
+    per-reason flags. Scale shape: both censuses are groupBy+join-back
+    on 64-hex keys in the Spark plan (the window in the oracle is
+    DuckDB shorthand); everything else is scan-stage map work —
+    content never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     c = F.col("text")
     sigs = docs.select(
@@ -998,6 +1021,7 @@ def code_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + C.secret_assign_count(c)
             > 0
         ).cast("int").alias("has_pii"),
+        C.is_copyleft(C.license_id(c)).alias("copyleft"),
     )
     fmt_canon = sigs.groupBy("fmt_sha").agg(F.min("doc_id").alias("fmt_canonical"))
     cl_canon = sigs.groupBy("cl_sha").agg(F.min("doc_id").alias("clone_canonical"))
@@ -1005,15 +1029,19 @@ def code_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_fmt_canon = F.col("fmt_canonical") == F.col("doc_id")
     is_cl_canon = F.col("clone_canonical") == F.col("doc_id")
     quality_ok = F.col("quality_ok") == 1
+    lic_ok = F.col("copyleft") == 0
     return j.select(
         "doc_id",
         (~is_fmt_canon).cast("int").alias("drop_format_dup"),
         (~is_cl_canon).cast("int").alias("drop_clone_dup"),
         (~quality_ok).cast("int").alias("drop_quality"),
-        ((F.col("has_pii") == 1) & is_cl_canon & quality_ok)
+        F.col("copyleft").alias("drop_license"),
+        ((F.col("has_pii") == 1) & is_cl_canon & quality_ok & lic_ok)
         .cast("int")
         .alias("needs_redaction"),
-        (is_fmt_canon & is_cl_canon & quality_ok).cast("int").alias("keep"),
+        (is_fmt_canon & is_cl_canon & quality_ok & lic_ok)
+        .cast("int")
+        .alias("keep"),
     )
 
 

@@ -78,6 +78,32 @@ AUDITS = {
     "qds_return_rate_outliers": (
         ["BroadcastHashJoin"], ["CartesianProduct"],
     ),
+    # round-5 continuation: license/import/snapshot + tranche-6 shapes
+    "code_license_census": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
+        ["MapInPandas", "BatchEvalPython", "Exchange"],
+    ),
+    "code_import_census": (
+        ["Generate explode", "HashAggregate"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
+    "code_snapshot_latest": (
+        # window op over synthesized keys; only doc_id is read from parquet
+        ["Window", "ReadSchema: struct<doc_id:bigint>"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
+    "qds_streak_islands": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "qds_conditional_distinct": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    "qds_grouping_sets_report": (
+        ["Union", "HashAggregate"],
+        ["CartesianProduct", "MapInPandas"],
+    ),
 }
 
 

@@ -425,6 +425,20 @@ def main() -> None:
         "pipeline INPUT, which checkpoints do not key on: pair with "
         "--fresh when toggling on an existing output dir",
     )
+    ap.add_argument(
+        "--license-policy",
+        choices=("any", "no-copyleft", "permissive"),
+        default="any",
+        help="license prefilter before the file pipeline (public code "
+        "pipelines filter by license before any content pass): "
+        "'no-copyleft' drops files whose head carries a copyleft SPDX "
+        "tag or phrase (functions/code.is_copyleft), 'permissive' "
+        "keeps only explicitly permissive families (license_keep). "
+        "Map-only scan-stage filter, safe with --incremental "
+        "(per-file decision, commutes with append-only growth). "
+        "Changes the pipeline INPUT, which checkpoints do not key on: "
+        "pair with --fresh when toggling on an existing output dir",
+    )
     args = ap.parse_args()
     if args.repo_dedup and args.incremental:
         # keeper election can flip as a fork family grows (a new larger
@@ -447,6 +461,22 @@ def main() -> None:
         if stale:
             print(f"gc-stale: removed {len(stale)} checkpoint tree(s): {stale}")
     source = _load_input(spark, args.input)
+    license_summary = None
+    if args.license_policy != "any":
+        from ..functions import code as codef
+
+        # parquet row-count only (no content read) — the pre-filter census
+        n_before = source.count()
+        lic = codef.license_id(F.col("content"))
+        if args.license_policy == "no-copyleft":
+            keep_pred = codef.is_copyleft(lic) == 0
+        else:  # permissive
+            keep_pred = codef.license_keep(lic) == 1
+        source = source.filter(keep_pred)
+        license_summary = {
+            "policy": args.license_policy,
+            "n_files_before": n_before,
+        }
     repo_summary = None
     if args.repo_dedup:
         from ..functions.code import normalized_sha
@@ -497,6 +527,9 @@ def main() -> None:
     summary["files_per_sec"] = round(n_in / (time.time() - t0), 2)
     if repo_summary is not None:
         summary["repo_dedup"] = repo_summary
+    if license_summary is not None:
+        license_summary["n_files_kept"] = n_in
+        summary["license_filter"] = license_summary
     if args.manifest:
         ckpt = Checkpointer(spark, args.output, cfg, resume=True)
         manifest = retention_manifest(ckpt.load("clusters"))

@@ -517,3 +517,59 @@ def test_cli_repo_dedup_prefilter(tmp_path):
     assert 0 < rd["n_repos_kept"] <= rd["n_repos_total"]
     assert summary["n_files"] <= 500
     assert summary["n_clusters"] > 0
+
+
+def test_cli_license_policy_prefilter(tmp_path):
+    """--license-policy no-copyleft drops GPL-headed files before the
+    file pipeline and reports the filter census (subprocess, CLI)."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    rows = []
+    for i in range(36):
+        if i % 6 == 0:  # copyleft: must be dropped
+            content = (
+                "// SPDX-License-Identifier: GPL-3.0-only\n"
+                f"int f{i}() {{ return {i} * 7; }}\n"
+            )
+        elif i % 6 == 1:  # permissive: kept under no-copyleft
+            content = (
+                "# SPDX-License-Identifier: MIT\n"
+                f"def g{i}(x):\n    return x + {i}\n"
+            )
+        else:  # no license: kept under no-copyleft
+            content = f"def h{i}(x):\n    return x - {i}\n"
+        rows.append((f"repo{i % 9}", f"src/f{i}.py", f"c{i}", "py", content))
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    inp = str(tmp_path / "licensed_input")
+    os.makedirs(inp, exist_ok=True)
+    pdf.to_parquet(os.path.join(inp, "part-0.parquet"))
+
+    out = str(tmp_path / "license_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", inp,
+            "--output", out,
+            "--master", "local[2]",
+            "--no-suffix",
+            "--license-policy", "no-copyleft",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    lf = summary["license_filter"]
+    assert lf["policy"] == "no-copyleft"
+    assert lf["n_files_before"] == 36
+    assert lf["n_files_kept"] == 30  # the 6 GPL files are gone
+    assert summary["n_files"] == 30

@@ -1314,3 +1314,69 @@ def code_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) == 1).cast("int").alias("is_head"),
         F.count(F.lit(1)).over(wc).cast("long").alias("n_versions"),
     )
+
+
+@_register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS reached_view,
+           CAST(CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS reached_click,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS reached_purchase
+    FROM users u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each step's
+    first event must occur strictly AFTER the previous step's first
+    event — the sequential-pattern shape product analytics runs, which
+    plain per-type counting cannot express. Three level-wise min-joins,
+    every shuffle keyed on user_id (one co-partitioned exchange chain;
+    prior steps shrink each level's probe side, so the shape tightens
+    as the funnel narrows at any corpus size)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame | None, t_out: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == step_type)
+        if prev is not None:
+            t_prev = [c for c in prev.columns if c != "user_id"][0]
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(t_prev))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    s1 = first_after("view", None, "t1")
+    s2 = first_after("click", s1, "t2")
+    s3 = first_after("purchase", s2, "t3")
+    users = events.select("user_id").distinct()
+    out = (
+        users.join(s1.withColumn("r1", F.lit(1)).select("user_id", "r1"), "user_id", "left")
+        .join(s2.withColumn("r2", F.lit(1)).select("user_id", "r2"), "user_id", "left")
+        .join(s3.withColumn("r3", F.lit(1)).select("user_id", "r3"), "user_id", "left")
+    )
+    return out.select(
+        "user_id",
+        F.coalesce(F.col("r1"), F.lit(0)).cast("int").alias("reached_view"),
+        F.coalesce(F.col("r2"), F.lit(0)).cast("int").alias("reached_click"),
+        F.coalesce(F.col("r3"), F.lit(0)).cast("int").alias("reached_purchase"),
+    )

@@ -411,3 +411,66 @@ def test_events_json_profile_matches_duckdb(spark, sf_tiny):
     df = TEXT_QUERIES["events_json_profile"](spark, sf_tiny)
     ok, msg = compare_to_duckdb(df, TEXT_ORACLES["events_json_profile"], sf_tiny)
     assert ok, msg
+
+
+def test_events_funnel_ordering_semantics(spark, tmp_path):
+    """Planted sequences: a step only counts when its first event falls
+    strictly after the previous step's first event."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from hyrise_generalized_dedup_spark.functions.queries import (
+        TEXT_ORACLES,
+        TEXT_QUERIES,
+    )
+    from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: view < click < purchase -> full funnel
+        (1, t(1), 1, "view", 1.0, "{}"),
+        (2, t(2), 1, "click", 1.0, "{}"),
+        (3, t(3), 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE first view -> click step not reached
+        (4, t(2), 2, "view", 1.0, "{}"),
+        (5, t(1), 2, "click", 1.0, "{}"),
+        (6, t(3), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase BEFORE click -> purchase step not reached
+        (7, t(1), 3, "view", 1.0, "{}"),
+        (8, t(3), 3, "click", 1.0, "{}"),
+        (9, t(2), 3, "purchase", 1.0, "{}"),
+        # user 4: never views -> nothing reached
+        (10, t(1), 4, "click", 1.0, "{}"),
+        (11, t(2), 4, "purchase", 1.0, "{}"),
+        # user 5: late click after an early failed one still converts
+        (12, t(2), 5, "view", 1.0, "{}"),
+        (13, t(1), 5, "click", 1.0, "{}"),
+        (14, t(4), 5, "click", 1.0, "{}"),
+        (15, t(5), 5, "purchase", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    # Spark cannot read pandas' default TIMESTAMP(NANOS) parquet type
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got = {
+        r["user_id"]: (r["reached_view"], r["reached_click"], r["reached_purchase"])
+        for r in TEXT_QUERIES["events_funnel"](spark, sf_dir).collect()
+    }
+    assert got == {
+        1: (1, 1, 1),
+        2: (1, 0, 0),
+        3: (1, 1, 0),
+        4: (0, 0, 0),
+        5: (1, 1, 1),
+    }
+    ok, msg = compare_to_duckdb(df := TEXT_QUERIES["events_funnel"](spark, sf_dir),
+                                TEXT_ORACLES["events_funnel"], sf_dir)
+    assert ok, msg

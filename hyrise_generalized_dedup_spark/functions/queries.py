@@ -1355,28 +1355,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain per-type counting cannot express. Three level-wise min-joins,
     every shuffle keyed on user_id (one co-partitioned exchange chain;
     prior steps shrink each level's probe side, so the shape tightens
-    as the funnel narrows at any corpus size)."""
-    events = load_table(spark, sf_dir, "events")
+    as the funnel narrows at any corpus size). A stateful streaming
+    twin lives in streaming/funnel.py."""
+    from ..streaming.funnel import funnel_batch
 
-    def first_after(step_type: str, prev: DataFrame | None, t_out: str) -> DataFrame:
-        e = events.filter(F.col("event_type") == step_type)
-        if prev is not None:
-            t_prev = [c for c in prev.columns if c != "user_id"][0]
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(t_prev))
-        return e.groupBy("user_id").agg(F.min("ts").alias(t_out))
-
-    s1 = first_after("view", None, "t1")
-    s2 = first_after("click", s1, "t2")
-    s3 = first_after("purchase", s2, "t3")
-    users = events.select("user_id").distinct()
-    out = (
-        users.join(s1.withColumn("r1", F.lit(1)).select("user_id", "r1"), "user_id", "left")
-        .join(s2.withColumn("r2", F.lit(1)).select("user_id", "r2"), "user_id", "left")
-        .join(s3.withColumn("r3", F.lit(1)).select("user_id", "r3"), "user_id", "left")
-    )
-    return out.select(
-        "user_id",
-        F.coalesce(F.col("r1"), F.lit(0)).cast("int").alias("reached_view"),
-        F.coalesce(F.col("r2"), F.lit(0)).cast("int").alias("reached_click"),
-        F.coalesce(F.col("r3"), F.lit(0)).cast("int").alias("reached_purchase"),
-    )
+    return funnel_batch(load_table(spark, sf_dir, "events"))

@@ -3225,3 +3225,134 @@ GROUP BY date_trunc('month', o_orderdate) ORDER BY m;
 SELECT p_partkey, p_brand FROM part
 WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_extendedprice < CAST(1200 AS DOUBLE))
 ORDER BY p_partkey LIMIT 50;
+
+-- round-5 tranche (continuation h): anti-join/existence composition,
+-- HAVING over composed aggregates, CASE-in-aggregate splits, multi-way
+-- UNION dedup, windows partitioned by derived expressions, expression
+-- joins, distinct-count over join chains, string predicate composition,
+-- documents text functions, nested scalar subqueries, events shapes
+SELECT s.s_suppkey, s.s_name FROM supplier s
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                  AND l.l_returnflag = 'R')
+ORDER BY s.s_suppkey LIMIT 40;
+SELECT c.c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > CAST(200000 AS DOUBLE))
+ORDER BY c.c_custkey LIMIT 70;
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+              AND l.l_quantity >= CAST(48 AS DOUBLE))
+GROUP BY p.p_brand ORDER BY p.p_brand;
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+FROM orders GROUP BY o_custkey
+HAVING COUNT(*) >= 25 AND SUM(CAST(o_totalprice AS DECIMAL(38,6))) > CAST(2000000 AS DECIMAL(38,6))
+ORDER BY o_custkey;
+SELECT l_suppkey, CAST(MIN(l_quantity) AS DOUBLE) AS mn, CAST(MAX(l_quantity) AS DOUBLE) AS mx
+FROM lineitem GROUP BY l_suppkey
+HAVING MAX(l_quantity) - MIN(l_quantity) >= CAST(48 AS DOUBLE)
+ORDER BY l_suppkey LIMIT 80;
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) / 50
+ORDER BY c_nationkey;
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_discount > CAST(0.05 AS DOUBLE)
+                     THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS disc_rev,
+       CAST(SUM(CASE WHEN l_discount <= CAST(0.05 AS DOUBLE)
+                     THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS reg_rev
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT o_orderstatus,
+       CAST(COUNT(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS BIGINT) AS n_p1,
+       CAST(COUNT(CASE WHEN o_orderpriority LIKE '2%' THEN 1 END) AS BIGINT) AS n_p2
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+UNION
+SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 1
+UNION
+SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3
+ORDER BY k;
+SELECT DISTINCT t.b FROM (
+  SELECT CAST(o_orderkey % 11 AS BIGINT) AS b FROM orders WHERE o_orderkey < 500
+  UNION ALL
+  SELECT CAST(o_orderkey % 13 AS BIGINT) AS b FROM orders WHERE o_orderkey < 500
+) t ORDER BY t.b;
+SELECT x.bucket, x.k, x.rn FROM (
+  SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket, o_orderkey AS k,
+         row_number() OVER (PARTITION BY o_orderkey % 5 ORDER BY o_orderkey) AS rn
+  FROM orders WHERE o_orderkey < 300
+) x ORDER BY x.bucket, x.k;
+SELECT y.yr, y.k, y.mx_run FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, o_orderkey AS k,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+           PARTITION BY EXTRACT(year FROM o_orderdate)
+           ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS mx_run
+  FROM orders WHERE o_orderkey < 400
+) y ORDER BY y.yr, y.k;
+SELECT z.seg, z.k, z.cnt_win FROM (
+  SELECT c_mktsegment AS seg, c_custkey AS k,
+         CAST(COUNT(*) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_custkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS cnt_win
+  FROM customer WHERE c_custkey < 120
+) z ORDER BY z.seg, z.k;
+SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+FROM orders a JOIN orders b
+  ON a.o_orderkey + 1 = b.o_orderkey AND a.o_orderstatus <> b.o_orderstatus
+WHERE a.o_orderkey < 400 ORDER BY k1, k2;
+SELECT n.n_name, s.s_suppkey
+FROM nation n JOIN supplier s
+  ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > CAST(n.n_nationkey * 100 AS DOUBLE)
+ORDER BY n.n_name, s.s_suppkey LIMIT 60;
+SELECT r.r_name,
+       CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_custs
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY r.r_name ORDER BY r.r_name;
+SELECT l.l_returnflag,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_supps,
+       CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+FROM lineitem l WHERE l.l_orderkey < 4000
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag;
+SELECT p_partkey, p_name FROM part
+WHERE p_name LIKE '%green%' AND p_name NOT LIKE '%dark%'
+ORDER BY p_partkey LIMIT 50;
+SELECT c_custkey, c_name FROM customer
+WHERE substr(c_name, 1, 9) = 'Customer#' AND c_custkey % 97 = 0
+ORDER BY c_custkey;
+SELECT s_suppkey FROM supplier
+WHERE lower(s_name) <> s_name AND upper(s_name) <> s_name
+ORDER BY s_suppkey LIMIT 40;
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+FROM documents WHERE doc_id < 30 ORDER BY doc_id;
+SELECT d.source, CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+FROM documents d GROUP BY d.source ORDER BY d.source;
+SELECT doc_id, upper(substr(text, 1, 12)) AS head_up
+FROM documents WHERE doc_id < 25 ORDER BY doc_id;
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT CAST(MAX(t.mx) AS DOUBLE) FROM (
+  SELECT AVG(CAST(o_totalprice AS DOUBLE)) AS mx FROM orders GROUP BY o_orderstatus
+) t)
+ORDER BY o_orderkey LIMIT 60;
+SELECT c_custkey FROM customer
+WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DOUBLE)) AS DOUBLE) FROM customer)
+  AND c_nationkey = (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 2)
+ORDER BY c_custkey LIMIT 50;
+SELECT e.event_type,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_v,
+       CAST(MAX(e.value) AS DOUBLE) AS mx_v
+FROM events e WHERE e.user_id % 3 = 0
+GROUP BY e.event_type ORDER BY e.event_type;
+SELECT u.user_id, u.n FROM (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+) u WHERE u.n > 70 ORDER BY u.user_id;
+SELECT CAST(EXTRACT(year FROM e.ts) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM e.ts) AS BIGINT) AS mo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e GROUP BY EXTRACT(year FROM e.ts), EXTRACT(month FROM e.ts)
+ORDER BY yr, mo;

@@ -293,3 +293,114 @@ def test_streaming_lsh_state_machine_eviction():
     assert not st.exists
     st.hasTimedOut = False
     assert run([8, 7]) == [(7, 8)]            # re-anchors after eviction
+
+
+def test_streaming_funnel_matches_batch_with_late_view(spark, tmp_path):
+    """Running funnel state converges to the batch funnel even when a
+    LATE-arriving early 'view' retroactively qualifies a click seen in a
+    previous micro-batch (the case min-per-step state gets wrong)."""
+    import datetime as dt
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from hyrise_generalized_dedup_spark.streaming.funnel import (
+        funnel_batch,
+        funnel_stream,
+    )
+
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)  # noqa: E731
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("event_type", StringType(), False),
+            StructField("ts", TimestampType(), False),
+        ]
+    )
+    # batch 1: user 1's click+purchase and a too-late view; user 2 full
+    batch1 = [
+        (1, "click", t(5)),
+        (1, "purchase", t(7)),
+        (1, "view", t(10)),
+        (2, "view", t(1)),
+        (2, "click", t(2)),
+        (2, "purchase", t(3)),
+    ]
+    # batch 2: user 1's EARLY view arrives late -> click(5)/purchase(7)
+    # retroactively qualify; user 3 never converts past view
+    batch2 = [
+        (1, "view", t(1)),
+        (3, "view", t(4)),
+        (3, "purchase", t(2)),
+    ]
+    src = tmp_path / "funnel_events"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table(name).collect()
+    assert not any(r["state_overflow"] for r in updates)
+    # reached flags are monotone per user (t1 only decreases, qualifying
+    # sets only grow), so the final state is the per-user max
+    final = {}
+    for r in updates:
+        cur = final.get(r["user_id"], (0, 0, 0))
+        final[r["user_id"]] = tuple(
+            max(a, b)
+            for a, b in zip(
+                cur,
+                (r["reached_view"], r["reached_click"], r["reached_purchase"]),
+            )
+        )
+    all_events = spark.read.parquet(str(src))
+    batch = {
+        r["user_id"]: (r["reached_view"], r["reached_click"], r["reached_purchase"])
+        for r in funnel_batch(all_events).collect()
+    }
+    assert final == batch == {1: (1, 1, 1), 2: (1, 1, 1), 3: (1, 0, 0)}
+    # the retroactive flip is visible: user 1 was unconverted after batch
+    # 1 and converted after batch 2 — state genuinely crossed batches
+    u1 = {(r["reached_click"], r["reached_purchase"])
+          for r in updates if r["user_id"] == 1}
+    assert (0, 0) in u1 and (1, 1) in u1
+
+
+def test_funnel_state_chain_and_cap():
+    """_chain orders strictly; _merge_capped sheds only the largest and
+    reports it."""
+    from hyrise_generalized_dedup_spark.streaming.funnel import (
+        MAX_TS_PER_STEP,
+        _chain,
+        _merge_capped,
+    )
+
+    assert _chain(None, [1, 2], [3]) == (0, 0, 0)
+    assert _chain(5, [5], [9]) == (1, 0, 0)      # strict >: click at t1 fails
+    assert _chain(5, [6], [6]) == (1, 1, 0)      # purchase must be > t2
+    assert _chain(5, [6], [7]) == (1, 1, 1)
+    merged, shed = _merge_capped(list(range(MAX_TS_PER_STEP)), [999])
+    assert shed and merged == list(range(MAX_TS_PER_STEP))
+    merged, shed = _merge_capped([3, 1], [2, 1])
+    assert not shed and merged == [1, 2, 3]

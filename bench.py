@@ -46,6 +46,9 @@ HEADLINE = [
     "ann_topk_lsh",
     "q4_order_priority",
     "q21_waiting_suppliers",
+    # round-5 continuation additions
+    "code_license_census",
+    "events_funnel",
 ]
 
 

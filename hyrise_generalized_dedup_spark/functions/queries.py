@@ -1360,3 +1360,80 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.funnel import funnel_batch
 
     return funnel_batch(load_table(spark, sf_dir, "events"))
+
+
+# Per-source mixture rates for the stratified-sampling gate: the kind of
+# corpus-weighting table a training-data pipeline carries (web-crawl text
+# downsampled, curated sources kept whole). Rates quantize to /256 via
+# two sha256 hex digits so BOTH engines compute the identical bucket.
+MIXTURE_RATES: dict[str, float] = {
+    "src0": 1.0,     # curated: keep whole
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,    # bulk crawl: heavy downsample
+}
+_DEFAULT_RATE = 0.125
+
+
+def _mixture_threshold(rate: float) -> int:
+    return int(round(rate * 256))
+
+
+@_register(
+    "corpus_sample_stratified",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             (strpos('0123456789abcdef',
+                     substr(sha256(CAST(doc_id AS VARCHAR)), 63, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(sha256(CAST(doc_id AS VARCHAR)), 64, 1)) - 1)
+               AS bucket
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, source, bucket,
+             CASE {' '.join(f"WHEN source = '{s}' THEN {_mixture_threshold(r)}"
+                            for s, r in MIXTURE_RATES.items())}
+                  ELSE {_mixture_threshold(_DEFAULT_RATE)} END AS thr
+      FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+    FROM gated GROUP BY source
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixture weighting:
+    each doc hashes to one of 256 buckets via two sha256 hex digits of
+    its id (content-independent, seedless, REPRODUCIBLE across engines,
+    runs, and partitionings — rand()-based sampling is none of those),
+    and a per-source rate table gates bucket < rate*256. The census
+    reports per-source keep fractions; the keep predicate itself is the
+    reusable primitive (scan-stage map work, no shuffle — the census
+    groupBy here is just the observable summary). Rates quantize to
+    1/256 — documented, not silent."""
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    sha = F.sha2(F.col("doc_id").cast("string"), 256)
+    bucket = (
+        (F.instr(F.lit(hexd), F.substring(sha, 63, 1)) - 1) * 16
+        + (F.instr(F.lit(hexd), F.substring(sha, 64, 1)) - 1)
+    )
+    thr = F.lit(_mixture_threshold(_DEFAULT_RATE))
+    for s, r in reversed(MIXTURE_RATES.items()):
+        thr = F.when(F.col("source") == s, F.lit(_mixture_threshold(r))).otherwise(thr)
+    gated = docs.select(
+        "source", bucket.alias("bucket"), thr.alias("thr")
+    )
+    kept = F.when(F.col("bucket") < F.col("thr"), 1).otherwise(0)
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        (F.sum(kept).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "kept_frac"
+        ),
+    )

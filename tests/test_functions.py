@@ -474,3 +474,47 @@ def test_events_funnel_ordering_semantics(spark, tmp_path):
     ok, msg = compare_to_duckdb(df := TEXT_QUERIES["events_funnel"](spark, sf_dir),
                                 TEXT_ORACLES["events_funnel"], sf_dir)
     assert ok, msg
+
+
+def test_stratified_sampling_deterministic_and_converges(spark, sf_tiny):
+    """The hash-bucket sample is partitioning-invariant (identical census
+    under different repartitionings) and converges to the target rate on
+    a large id range (binomial bound, not exact)."""
+    import hashlib
+
+    from hyrise_generalized_dedup_spark.functions.queries import (
+        MIXTURE_RATES,
+        TEXT_QUERIES,
+        _mixture_threshold,
+    )
+
+    q = TEXT_QUERIES["corpus_sample_stratified"]
+    a = sorted(tuple(r) for r in q(spark, sf_tiny).collect())
+    # a python mirror over the same parquet proves the bucket math
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "source"])
+    exp: dict[str, list[int]] = {}
+    for doc_id, source in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+        h = hashlib.sha256(str(doc_id).encode()).hexdigest()
+        bucket = int(h[62], 16) * 16 + int(h[63], 16)
+        thr = _mixture_threshold(MIXTURE_RATES.get(source, 0.125))
+        exp.setdefault(source, []).append(int(bucket < thr))
+    mirror = sorted(
+        (s, len(v), sum(v), sum(v) / len(v)) for s, v in exp.items()
+    )
+    assert [(r[0], r[1], r[2]) for r in a] == [(m[0], m[1], m[2]) for m in mirror]
+    # convergence: 100k synthetic ids at rate 0.5 stay within 1%
+    df = spark.range(100_000).select(
+        F.lit("src2").alias("source"), F.col("id").alias("doc_id")
+    )
+    import pyspark.sql.functions as SF
+
+    sha = SF.sha2(SF.col("doc_id").cast("string"), 256)
+    hexd = "0123456789abcdef"
+    bucket = (
+        (SF.instr(SF.lit(hexd), SF.substring(sha, 63, 1)) - 1) * 16
+        + (SF.instr(SF.lit(hexd), SF.substring(sha, 64, 1)) - 1)
+    )
+    kept = df.filter(bucket < _mixture_threshold(0.5)).count()
+    assert abs(kept / 100_000 - 0.5) < 0.01

@@ -1437,3 +1437,72 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_frac"
         ),
     )
+
+
+SEQ_LEN = 2048  # target training-sequence token budget
+
+
+@_register(
+    "corpus_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / CAST({SEQ_LEN} AS DOUBLE)) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing: docs stream in doc_id
+    order within each source, a running token total assigns each doc to
+    sequence floor(prior_cum / SEQ_LEN) — the boundary-crossing doc
+    belongs to the sequence it STARTS in (documents straddle sequence
+    boundaries in real packing; the census reports per-sequence token
+    loads so overshoot is visible, not hidden). Partitioning by source
+    keeps the cumulative window parallel (one window per source, not one
+    global single-partition sort — the two-level shape real packing jobs
+    use); census output is one row per packed sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(SEQ_LEN).cast("double")
+        )
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

@@ -518,3 +518,51 @@ def test_stratified_sampling_deterministic_and_converges(spark, sf_tiny):
     )
     kept = df.filter(bucket < _mixture_threshold(0.5)).count()
     assert abs(kept / 100_000 - 0.5) < 0.01
+
+
+def test_pack_sequences_boundaries(spark, tmp_path):
+    """Python-mirror check on a corpus that genuinely crosses sequence
+    boundaries: packing is contiguous in doc_id order per source, the
+    straddling doc belongs to the sequence it starts in, and every
+    non-final sequence ends at or past the budget."""
+    import os
+
+    import pandas as pd
+
+    from hyrise_generalized_dedup_spark.functions.queries import (
+        SEQ_LEN,
+        TEXT_QUERIES,
+    )
+
+    rows = []
+    for i in range(120):
+        n_tok = 100 + (i * 37) % 400  # 100..499 tokens, deterministic
+        rows.append((i, " ".join(f"w{j}" for j in range(n_tok)),
+                     "py", f"s{i % 2}", n_tok))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = {
+        (r["source"], r["seq_id"]): (r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+        for r in TEXT_QUERIES["corpus_pack_sequences"](spark, sf_dir).collect()
+    }
+    # python mirror
+    exp = {}
+    for src in ("s0", "s1"):
+        cum = 0
+        for i, _, _, s, n in rows:
+            if s != src:
+                continue
+            seq = cum // SEQ_LEN
+            nd, nt, fd, ld = exp.get((src, seq), (0, 0, i, i))
+            exp[(src, seq)] = (nd + 1, nt + n, min(fd, i), max(ld, i))
+            cum += n
+    assert got == exp
+    assert len({seq for (_, seq) in got}) >= 4, "fixture must span sequences"
+    # contiguity: per source, doc ranges of consecutive seq_ids do not overlap
+    for src in ("s0", "s1"):
+        seqs = sorted((seq, v) for (s, seq), v in got.items() if s == src)
+        for (s1_, v1), (s2_, v2) in zip(seqs, seqs[1:]):
+            assert v1[3] < v2[2], (src, s1_, s2_)

@@ -3356,3 +3356,84 @@ SELECT CAST(EXTRACT(year FROM e.ts) AS BIGINT) AS yr,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events e GROUP BY EXTRACT(year FROM e.ts), EXTRACT(month FROM e.ts)
 ORDER BY yr, mo;
+
+-- round-5 tranche (continuation i): INTERVAL arithmetic, LATERAL
+-- correlated derived tables, try_cast, positional GROUP/ORDER BY,
+-- coalesce/nullif chains, nested CASE, string BETWEEN, EXCEPT over
+-- expressions, windows over joins, double-nested EXISTS, precedence,
+-- documents/events join shapes
+SELECT o_orderkey FROM orders
+WHERE o_orderdate + INTERVAL 3 MONTH < TIMESTAMP '1995-06-01 00:00:00'
+ORDER BY o_orderkey LIMIT 40;
+SELECT CAST(EXTRACT(year FROM o_orderdate + INTERVAL 1 YEAR) AS BIGINT) AS y2,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY EXTRACT(year FROM o_orderdate + INTERVAL 1 YEAR) ORDER BY y2;
+SELECT c.c_custkey, t.mx FROM customer c,
+LATERAL (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) AS mx FROM orders o
+         WHERE o.o_custkey = c.c_custkey) t
+WHERE c.c_custkey <= 60 ORDER BY c.c_custkey;
+SELECT o_orderkey, try_cast(o_orderpriority AS INTEGER) AS pri_int
+FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey;
+SELECT try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY try_cast(substr(o_orderpriority, 1, 1) AS INTEGER)
+ORDER BY pri_digit;
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS q
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), nullif(o_orderpriority, '1-URGENT'), 'both-default') AS pick
+FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey;
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity > CAST(25 AS DOUBLE)
+            THEN CASE WHEN l_discount > CAST(0.05 AS DOUBLE) THEN 'big-disc'
+                      ELSE 'big-reg' END
+            ELSE CASE WHEN l_tax > CAST(0.04 AS DOUBLE) THEN 'small-tax'
+                      ELSE 'small-reg' END END AS quad
+FROM lineitem WHERE l_orderkey < 120 ORDER BY l_orderkey, l_linenumber;
+SELECT n_name FROM nation WHERE n_name BETWEEN 'E' AND 'M' ORDER BY n_name;
+SELECT p_partkey, p_brand FROM part
+WHERE p_brand >= 'Brand#30' AND p_brand < 'Brand#40'
+ORDER BY p_partkey LIMIT 60;
+SELECT CAST(o_orderkey % 100 AS BIGINT) AS b FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT CAST(o_orderkey % 100 AS BIGINT) AS b FROM orders WHERE o_orderstatus = 'F'
+ORDER BY b;
+SELECT t.r_name, t.n_name, t.rk FROM (
+  SELECT r.r_name, n.n_name,
+         row_number() OVER (PARTITION BY r.r_name ORDER BY n.n_name) AS rk
+  FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+) t WHERE t.rk <= 3 ORDER BY t.r_name, t.rk;
+SELECT v.seg, CAST(MAX(v.rk) AS BIGINT) AS n_ranked FROM (
+  SELECT c_mktsegment AS seg,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rk
+  FROM customer
+) v GROUP BY v.seg ORDER BY v.seg;
+SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, o_orderstatus
+FROM orders ORDER BY yr, o_orderstatus;
+SELECT n.n_name FROM nation n
+WHERE EXISTS (
+  SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_quantity = CAST(50 AS DOUBLE)))
+ORDER BY n.n_name;
+SELECT o_orderkey, -o_totalprice AS neg_price,
+       CAST(o_orderkey * 2 + 3 % 2 AS BIGINT) AS prec_check
+FROM orders WHERE o_orderkey < 80 ORDER BY o_orderkey;
+SELECT a.lang, CAST(a.n AS BIGINT) AS n_docs, CAST(b.n AS BIGINT) AS n_long
+FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) a
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM documents WHERE n_chars > 300 GROUP BY lang) b
+ON a.lang = b.lang ORDER BY a.lang;
+SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d WHERE d.doc_id % 2 = 0
+GROUP BY d.lang, d.source
+HAVING COUNT(*) >= 2
+ORDER BY d.lang, d.source;
+SELECT DISTINCT e.user_id FROM events e
+WHERE e.user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+ORDER BY e.user_id;
+SELECT e1.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id AND e1.event_type = 'view' AND e2.event_type = 'purchase'
+  AND e2.ts > e1.ts
+GROUP BY e1.user_id ORDER BY e1.user_id LIMIT 50;

@@ -479,6 +479,12 @@ def main() -> None:
         }
     repo_summary = None
     if args.repo_dedup:
+        if license_summary is not None:
+            # the license census must be counted BEFORE the repo-dedup
+            # semi-join, or fork-family drops get attributed to the
+            # license policy (without --repo-dedup, n_in below is the
+            # same number for free)
+            license_summary["n_files_kept"] = source.count()
         from ..functions.code import normalized_sha
         from .repos import repo_dedup_manifest
 
@@ -528,7 +534,7 @@ def main() -> None:
     if repo_summary is not None:
         summary["repo_dedup"] = repo_summary
     if license_summary is not None:
-        license_summary["n_files_kept"] = n_in
+        license_summary.setdefault("n_files_kept", n_in)
         summary["license_filter"] = license_summary
     if args.manifest:
         ckpt = Checkpointer(spark, args.output, cfg, resume=True)

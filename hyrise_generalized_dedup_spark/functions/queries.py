@@ -951,15 +951,17 @@ TEXT_ORACLES["code_clone_census"] = TEXT_ORACLES["code_clone_census"].replace(
           > 0 THEN 1 ELSE 0 END AS has_pii
       FROM documents
     ), lic AS (
+      -- mirror license_id exactly: the FIRST SPDX tag wins (a later
+      -- second tag must not override it), phrases only when no tag
       SELECT doc_id,
-        CASE WHEN regexp_matches(
+        CASE WHEN coalesce(regexp_extract(
                lower(array_to_string((string_split(text, chr(10)))[1:20], chr(10))),
-               'spdx-license-identifier:[ \\t]*(agpl|gpl|lgpl|mpl|cc-by-sa|epl|cecill)')
-             THEN 1
-             WHEN regexp_matches(
-               lower(array_to_string((string_split(text, chr(10)))[1:20], chr(10))),
-               'spdx-license-identifier:[ \\t]*[a-z0-9.+-]')
-             THEN 0
+               'spdx-license-identifier:[ \\t]*([a-z0-9.+-]+)', 1), '') <> ''
+             THEN CASE WHEN regexp_matches(regexp_extract(
+                    lower(array_to_string((string_split(text, chr(10)))[1:20], chr(10))),
+                    'spdx-license-identifier:[ \\t]*([a-z0-9.+-]+)', 1),
+                    '^(agpl|gpl|lgpl|mpl|cc-by-sa|epl|cecill)')
+                  THEN 1 ELSE 0 END
              WHEN regexp_matches(
                lower(array_to_string((string_split(text, chr(10)))[1:20], chr(10))),
                'gnu affero general public license|gnu (lesser|library) general public license|gnu general public license|mozilla public license')
@@ -1224,13 +1226,13 @@ def code_license_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(
                regexp_extract_all(text,
-                 '(?m)^[ \\t]*import[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+                 '(?:^|\\n)[ \\t]*import[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)', 1)
                || regexp_extract_all(text,
-                 '(?m)^[ \\t]*from[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)[ \\t]+import', 1)
+                 '(?:^|\\n)[ \\t]*from[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)[ \\t]+import', 1)
                || regexp_extract_all(text,
                  'require\\([''"]([A-Za-z0-9_@./-]+)[''"]\\)', 1)
                || regexp_extract_all(text,
-                 '(?m)^[ \\t]*#[ \\t]*include[ \\t]*[<"]([A-Za-z0-9_./]+)[>"]', 1)
+                 '(?:^|\\n)[ \\t]*#[ \\t]*include[ \\t]*[<"]([A-Za-z0-9_./]+)[>"]', 1)
              ) AS targets
       FROM documents
     ), roots AS (

@@ -94,6 +94,13 @@ def _make_update_funnel(steps: tuple[str, str, str], evict_idle_ms: int | None):
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # idle eviction: drop the state and emit nothing — without
+            # this, a timed-out key would be re-update()d and its timer
+            # re-armed forever (state never bounded, spurious duplicate
+            # rows per interval)
+            state.remove()
+            return
         if state.exists:
             t1, s2_csv, s3_csv, overflow = state.get
             step2 = [int(x) for x in s2_csv.split("|") if x]

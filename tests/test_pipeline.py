@@ -573,3 +573,67 @@ def test_cli_license_policy_prefilter(tmp_path):
     assert lf["n_files_before"] == 36
     assert lf["n_files_kept"] == 30  # the 6 GPL files are gone
     assert summary["n_files"] == 30
+
+
+def test_cli_license_policy_with_repo_dedup_census(tmp_path):
+    """Combined --license-policy + --repo-dedup: the license census is
+    counted BEFORE the repo semi-join, so fork-family drops are never
+    attributed to the license policy."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    rows = []
+    # 3 GPL files (license drop) + 12 plain files across distinct repos
+    for i in range(15):
+        if i < 3:
+            content = (
+                "// SPDX-License-Identifier: GPL-3.0-only\n"
+                f"int f{i}() {{ return {i}; }}\n"
+            )
+        else:
+            content = f"def h{i}(x):\n    return x - {i}\n"
+        rows.append((f"repo{i}", f"src/f{i}.py", f"c{i}", "py", content))
+    # a fork family: forkA and forkB share 4 identical files -> one keeper
+    for j in range(4):
+        shared = f"def shared{j}(y):\n    return y * {j + 2}\n"
+        rows.append(("forkA", f"src/g{j}.py", f"a{j}", "py", shared))
+        rows.append(("forkB", f"lib/g{j}.py", f"b{j}", "py", shared))
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    inp = str(tmp_path / "fork_licensed_input")
+    os.makedirs(inp, exist_ok=True)
+    pdf.to_parquet(os.path.join(inp, "part-0.parquet"))
+
+    out = str(tmp_path / "combo_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", inp,
+            "--output", out,
+            "--master", "local[2]",
+            "--no-suffix",
+            "--license-policy", "no-copyleft",
+            "--repo-dedup",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    lf = summary["license_filter"]
+    # 23 in, 3 GPL dropped by LICENSE; the 4 fork-duplicate files are a
+    # REPO drop and must not show up in the license census
+    assert lf["n_files_before"] == 23
+    assert lf["n_files_kept"] == 20
+    rd = summary["repo_dedup"]
+    # the 3 GPL repos are gone before repo-dedup sees the corpus:
+    # 12 plain repos + forkA + forkB = 14, one fork dropped
+    assert rd["n_repos_total"] == 14 and rd["n_repos_kept"] == 13
+    assert summary["n_files"] == 16

@@ -404,3 +404,49 @@ def test_funnel_state_chain_and_cap():
     assert shed and merged == list(range(MAX_TS_PER_STEP))
     merged, shed = _merge_capped([3, 1], [2, 1])
     assert not shed and merged == [1, 2, 3]
+
+
+def test_funnel_state_eviction_on_timeout():
+    """A timed-out key must REMOVE its state and emit nothing — not
+    re-arm the timer forever (unbounded state + duplicate rows)."""
+    import pandas as pd
+
+    from hyrise_generalized_dedup_spark.streaming.funnel import (
+        _make_update_funnel,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.removed = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = _make_update_funnel(("view", "click", "purchase"), evict_idle_ms=60_000)
+    st = FakeState()
+    pdf = pd.DataFrame({"event_type": ["view"], "ts": pd.to_datetime(["2025-01-01"])})
+    out = list(fn((7,), [pdf], st))
+    assert len(out) == 1 and st.exists and st.timeout_ms == 60_000
+    # timeout fires: state dropped, nothing emitted, timer NOT re-armed
+    st.hasTimedOut = True
+    st.timeout_ms = None
+    out = list(fn((7,), [], st))
+    assert out == [] and st.removed and not st.exists
+    assert st.timeout_ms is None

@@ -381,12 +381,21 @@ def _load_input(spark: SparkSession, spec: str) -> DataFrame:
         if n >= 20_000:  # distributed generation: driver python is the
             return generate_distributed(spark, n)  # bottleneck beyond this
         return to_spark(spark, generate(n_rows=n))
+    if spec.startswith("iceberg:"):
+        from ..sources.icetable import resolve_input
+
+        return resolve_input(spark, spec)
     return spark.read.parquet(spec)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="generalized-dedup pipeline")
-    ap.add_argument("--input", required=True, help="parquet path or synth:N")
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="parquet path, synth:N, or iceberg:<table-root>[@snapshot] "
+        "(snapshot-versioned table, see sources/icetable.py)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--master", default=None)
     ap.add_argument("--resume", action="store_true")

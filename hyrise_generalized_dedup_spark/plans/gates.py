@@ -297,6 +297,14 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(n_buckets AS BIGINT) AS n1",
             "CAST(max_bucket AS BIGINT) AS n2",
         ]),
+        # round-5 snapshot-table source: time-travel / current / incremental
+        # reads over a two-snapshot table built from `documents` — the
+        # manifest layer that feeds incremental dedup (sources/icetable.py)
+        ("iceberg_snapshots", "iceberg_time_travel", [
+            "CAST(read_kind AS BIGINT) AS k",
+            "CAST(n_rows AS BIGINT) AS n1",
+            "CAST(sum_ids AS BIGINT) AS n2",
+        ]),
     ],
 }
 

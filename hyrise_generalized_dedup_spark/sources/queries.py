@@ -79,5 +79,56 @@ SELECT a, b, c, d, e FROM (VALUES
 ORDER BY b
 """
 
-SOURCE_QUERIES = {"import_binary_roundtrip": q_import_binary_roundtrip}
-SOURCE_ORACLES = {"import_binary_roundtrip": _ORACLE}
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table semantics end-to-end inside one query.
+
+    Builds a two-snapshot table from `documents` (snapshot 1 = doc_id %
+    3 != 0, snapshot 2 appends the rest), then reads it three ways —
+    time travel to snapshot 1 (code 1), current (code 2), incremental
+    scan of exactly the appended files (code 3) — and summarizes each
+    read as (n_rows, sum of doc_id). The DuckDB oracle states the same
+    three summaries straight off the parquet table, so a hash-exact
+    match proves commit/manifest/hint plumbing routes precisely the
+    right files to each read mode (sources/icetable.py).
+    """
+    from .icetable import append, create_table, incremental_scan, read_table
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    root = os.path.join(tempfile.mkdtemp(prefix="gd_ice_"), "docs_table")
+    s1 = create_table(spark, root, docs.filter(F.col("doc_id") % 3 != 0))
+    append(spark, root, docs.filter(F.col("doc_id") % 3 == 0))
+
+    def summarize(df: DataFrame, code: int) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"), F.sum("doc_id").alias("sum_ids")
+        ).select(F.lit(code).cast("long").alias("read_kind"), "n_rows", "sum_ids")
+
+    return (
+        summarize(read_table(spark, root, snapshot_id=s1), 1)
+        .unionByName(summarize(read_table(spark, root), 2))
+        .unionByName(summarize(incremental_scan(spark, root, from_snapshot_id=s1), 3))
+        .orderBy("read_kind")
+    )
+
+
+# read codes: 1 = as-of snapshot 1, 2 = current, 3 = incremental (1, 2]
+_ICE_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS read_kind, COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM documents
+UNION ALL
+SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 0
+ORDER BY read_kind
+"""
+
+SOURCE_QUERIES = {
+    "import_binary_roundtrip": q_import_binary_roundtrip,
+    "iceberg_time_travel": q_iceberg_time_travel,
+}
+SOURCE_ORACLES = {
+    "import_binary_roundtrip": _ORACLE,
+    "iceberg_time_travel": _ICE_ORACLE,
+}

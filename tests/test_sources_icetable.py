@@ -1,0 +1,202 @@
+"""Snapshot-table (Iceberg-semantics) source: commits, time travel,
+incremental scans, and the pipeline CLI seam (sources/icetable.py)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from hyrise_generalized_dedup_spark.sources import icetable
+from hyrise_generalized_dedup_spark.sources.icetable import (
+    SnapshotError,
+    append,
+    create_table,
+    current_snapshot_id,
+    incremental_scan,
+    overwrite,
+    read_table,
+    resolve_input,
+    snapshots,
+)
+from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+
+def _docs(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("content-"), F.col("id")).alias("text"),
+    )
+
+
+@pytest.fixture()
+def root(tmp_path) -> str:
+    return str(tmp_path / "tbl")
+
+
+def _ids(df) -> list[int]:
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_create_append_read_current(spark, root):
+    s1 = create_table(spark, root, _docs(spark, 0, 10))
+    assert s1 == 1
+    s2 = append(spark, root, _docs(spark, 10, 15))
+    assert s2 == 2
+    assert current_snapshot_id(spark, root) == 2
+    assert _ids(read_table(spark, root)) == list(range(15))
+
+
+def test_time_travel_reads_old_state(spark, root):
+    create_table(spark, root, _docs(spark, 0, 10))
+    append(spark, root, _docs(spark, 10, 15))
+    assert _ids(read_table(spark, root, snapshot_id=1)) == list(range(10))
+    # rows carry the full schema at every snapshot
+    row = read_table(spark, root, snapshot_id=1).filter(F.col("doc_id") == 3)
+    assert row.collect()[0].text == "content-3"
+
+
+def test_overwrite_replaces_but_history_remains(spark, root):
+    create_table(spark, root, _docs(spark, 0, 10))
+    overwrite(spark, root, _docs(spark, 100, 103))
+    assert _ids(read_table(spark, root)) == [100, 101, 102]
+    assert _ids(read_table(spark, root, snapshot_id=1)) == list(range(10))
+    ops = [s["operation"] for s in snapshots(spark, root)]
+    assert ops == ["append", "overwrite"]
+
+
+def test_incremental_scan_exact_appended_rows(spark, root):
+    create_table(spark, root, _docs(spark, 0, 10))
+    append(spark, root, _docs(spark, 10, 15))
+    append(spark, root, _docs(spark, 15, 18))
+    assert _ids(incremental_scan(spark, root, 1)) == list(range(10, 18))
+    assert _ids(incremental_scan(spark, root, 1, to_snapshot_id=2)) == list(
+        range(10, 15)
+    )
+    assert _ids(incremental_scan(spark, root, 2)) == list(range(15, 18))
+
+
+def test_incremental_scan_empty_range_keeps_schema(spark, root):
+    create_table(spark, root, _docs(spark, 0, 5))
+    out = incremental_scan(spark, root, 1, to_snapshot_id=1)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_incremental_scan_refuses_overwrite_in_range(spark, root):
+    create_table(spark, root, _docs(spark, 0, 5))
+    overwrite(spark, root, _docs(spark, 100, 103))
+    append(spark, root, _docs(spark, 200, 202))
+    with pytest.raises(SnapshotError, match="non-append"):
+        incremental_scan(spark, root, 1)
+    # a pure-append subrange after the overwrite is still fine
+    assert _ids(incremental_scan(spark, root, 2)) == [200, 201]
+
+
+def test_unknown_snapshot_and_missing_table_raise(spark, root):
+    with pytest.raises(SnapshotError, match="no snapshot table"):
+        read_table(spark, root)
+    create_table(spark, root, _docs(spark, 0, 5))
+    with pytest.raises(SnapshotError, match="unknown snapshot"):
+        read_table(spark, root, snapshot_id=7)
+    with pytest.raises(SnapshotError, match="not in log"):
+        incremental_scan(spark, root, 5)
+    with pytest.raises(SnapshotError, match="already exists"):
+        create_table(spark, root, _docs(spark, 0, 5))
+
+
+def test_commit_is_deterministic_and_crash_safe_ordering(spark, root):
+    """Half-committed snapshots are invisible: the hint flips last, so a
+    table with extra unreferenced data/metadata still reads the prior
+    state (we simulate a dead commit by writing orphan files)."""
+    create_table(spark, root, _docs(spark, 0, 5))
+    from hyrise_generalized_dedup_spark import fsutil
+
+    # orphan data + manifest from a "crashed" commit, hint NOT flipped
+    _docs(spark, 50, 55).write.parquet(fsutil.urljoin(root, "data/s2"))
+    fsutil.write_text(spark, fsutil.urljoin(root, "metadata/snap-2.json"), "{}")
+    assert current_snapshot_id(spark, root) == 1
+    assert _ids(read_table(spark, root)) == list(range(5))
+
+
+def test_resolve_input_cli_forms(spark, root):
+    create_table(spark, root, _docs(spark, 0, 6))
+    append(spark, root, _docs(spark, 6, 9))
+    assert resolve_input(spark, f"iceberg:{root}").count() == 9
+    assert resolve_input(spark, f"iceberg:{root}@1").count() == 6
+
+
+def test_read_plan_stays_parquet_native(spark, root):
+    """The manifest layer must not cost Catalyst anything: a filtered
+    projection over a snapshot read still shows parquet pushdown."""
+    create_table(spark, root, _docs(spark, 0, 100))
+    plan = (
+        read_table(spark, root)
+        .filter(F.col("doc_id") > 90)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,90)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_metadata_layer_uses_fs_api_only():
+    """Same discipline as the checkpoint layer: table roots may be object
+    stores, so no raw POSIX calls in icetable.py."""
+    src = Path(icetable.__file__).read_text()
+    assert not re.search(r"\bos\.path\.|\bopen\(|\bos\.makedirs|\bshutil\.", src)
+
+
+def test_cli_pipeline_reads_iceberg_input(spark, tmp_path):
+    """--input iceberg:<root>@N feeds the dedup pipeline a time-traveled
+    snapshot (subprocess, CLI surface)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+    root = str(tmp_path / "corpus_tbl")
+    corpus = to_spark(spark, generate(n_rows=300))
+    create_table(spark, root, corpus.limit(200))
+    append(spark, root, corpus)  # snapshot 2 re-appends everything
+    out = str(tmp_path / "ice_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", f"iceberg:{root}@1",
+            "--output", out,
+            "--master", "local[2]",
+            "--no-suffix",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_files"] == 200  # snapshot 1, not the 500-row current
+    assert summary["n_clusters"] > 0
+
+
+def test_iceberg_gate_matches_duckdb_oracle(spark, sf_tiny):
+    from hyrise_generalized_dedup_spark.sources.queries import (
+        SOURCE_ORACLES,
+        SOURCE_QUERIES,
+    )
+
+    ok, msg = compare_to_duckdb(
+        SOURCE_QUERIES["iceberg_time_travel"](spark, sf_tiny),
+        SOURCE_ORACLES["iceberg_time_travel"],
+        sf_tiny,
+    )
+    assert ok, msg

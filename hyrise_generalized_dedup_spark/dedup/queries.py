@@ -425,3 +425,17 @@ def gd_roundtrip_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_roundtrip_ok"
         ),
     )
+
+
+@_register("cdc_chunk_census", None)  # gear-hash boundaries are not
+# SQL-expressible in DuckDB -> rows-only driver check; the kernel is
+# bit-oracled against a byte-at-a-time reference + hypothesis round-trip
+# properties in tests/test_cdc.py
+def cdc_chunk_census_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup census over `documents`: what a
+    content-addressed segment store saves under shift-resilient CDC
+    boundaries (dedup/cdc.py) instead of fixed-size chunks."""
+    from .cdc import cdc_chunk_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_census(docs, text_col="text")

@@ -1508,3 +1508,20 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+@_register("text_decontaminate_bloom", None)  # approximate by design (Bloom
+# upper bound on hits) -> rows-only driver check; the no-false-negative and
+# FP-rate contracts are pytest-gated against the exact path in
+# tests/test_bloom.py
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-broadcast twin of `text_decontaminate`: same per-doc overlap
+    census with the eval-gram set compressed to a bit array (16 bits/gram)
+    instead of broadcast strings — the shape for benchmark suites too big
+    to broadcast verbatim (functions/bloom.py)."""
+    from .bloom import decontaminate_table_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_table_bloom(
+        docs.withColumn("is_eval", F.col("doc_id") % 20 == 0)
+    )

@@ -49,6 +49,8 @@ HEADLINE = [
     # round-5 continuation additions
     "code_license_census",
     "events_funnel",
+    "cdc_chunk_census",
+    "text_decontaminate_bloom",
 ]
 
 

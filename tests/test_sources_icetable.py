@@ -200,3 +200,48 @@ def test_iceberg_gate_matches_duckdb_oracle(spark, sf_tiny):
         sf_tiny,
     )
     assert ok, msg
+
+
+def test_iceberg_snapshots_feed_incremental_dedup(spark, tmp_path):
+    """The intended production loop: full pipeline over snapshot 1, an
+    append commit, then incremental_update over the CURRENT table read —
+    final clusters bit-equal a from-scratch run over the same read."""
+    import shutil
+
+    import pyspark.sql.functions as F2
+
+    from hyrise_generalized_dedup_spark.config import GDConfig
+    from hyrise_generalized_dedup_spark.dedup.incremental import incremental_update
+    from hyrise_generalized_dedup_spark.dedup.pipeline import (
+        Checkpointer,
+        run_pipeline,
+    )
+    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+    full = to_spark(spark, generate(n_rows=300, seed=21)).cache()
+    old = full.filter(F2.abs(F2.hash("commit")) % 4 < 3)
+    new = full.filter(F2.abs(F2.hash("commit")) % 4 >= 3)
+
+    tbl = str(tmp_path / "corpus_tbl")
+    create_table(spark, tbl, old)
+    run_pipeline(spark, read_table(spark, tbl), str(tmp_path / "inc"), resume=False)
+    append(spark, tbl, new)
+    summary = incremental_update(
+        spark, read_table(spark, tbl), str(tmp_path / "inc")
+    )
+    assert summary["n_new_files"] == new.count() > 0
+
+    run_pipeline(
+        spark, read_table(spark, tbl), str(tmp_path / "scratch"), resume=False
+    )
+
+    def rows(out_dir: str, stage: str):
+        df = Checkpointer(spark, out_dir, GDConfig()).load(stage)
+        return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+    for stage in ("edges", "clusters", "suffix"):
+        assert rows(str(tmp_path / "inc"), stage) == rows(
+            str(tmp_path / "scratch"), stage
+        ), f"stage {stage} diverged (iceberg-fed incremental vs scratch)"
+    shutil.rmtree(str(tmp_path / "inc"), ignore_errors=True)
+    shutil.rmtree(str(tmp_path / "scratch"), ignore_errors=True)

@@ -1525,3 +1525,103 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_table_bloom(
         docs.withColumn("is_eval", F.col("doc_id") % 20 == 0)
     )
+
+
+# Shared SQL CTE for the line-dedup gates: a deterministic multi-line code
+# body per document (driver `documents.text` is single-line word soup, so
+# corpus-shared lines must be planted — two header lines shared across the
+# license/source groups plus a per-(doc_id%3) generated-marker footer; the
+# unique text line proves non-boilerplate survives).
+_LINE_BODY_CTE = """
+    WITH body AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               '// SPDX-License-Identifier: ' ||
+                 CASE WHEN doc_id % 2 = 0 THEN 'MIT' ELSE 'Apache-2.0' END,
+               '// (c) The ' || source || ' authors',
+               text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '// @generated -- do not edit' END) AS body
+      FROM documents
+    ), l0 AS (
+      SELECT doc_id, string_split(body, chr(10)) AS ls FROM body
+    ), lx AS (
+      SELECT doc_id, UNNEST(ls) AS line, generate_subscripts(ls, 1) AS pos
+      FROM l0
+    ), l AS (
+      SELECT doc_id, line, pos, trim(line) AS key FROM lx
+    ), common AS (
+      SELECT key FROM l WHERE length(key) > 0
+      GROUP BY key HAVING count(DISTINCT doc_id) >= 5
+    )
+"""
+
+
+def _line_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_LINE_BODY_CTE`'s `body` CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("// SPDX-License-Identifier: "),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("MIT")).otherwise(
+                    F.lit("Apache-2.0")
+                ),
+            ),
+            F.concat(F.lit("// (c) The "), F.col("source"), F.lit(" authors")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("// @generated -- do not edit")
+            ),
+        ).alias("body"),
+    )
+
+
+@_register(
+    "code_line_census",
+    _LINE_BODY_CTE
+    + """
+    SELECT l.key AS key,
+           CAST(count(DISTINCT l.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM l JOIN common c ON l.key = c.key
+    GROUP BY l.key
+    """,
+)
+def code_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate-line census (functions/lines.py): trimmed lines
+    appearing in >= 5 distinct documents, with doc/occurrence counts.
+    Output is census-bounded (<= total_lines/5 rows), so the result stays
+    collectable at any corpus size."""
+    from .lines import line_census
+
+    return line_census(_line_body(spark, sf_dir), min_docs=5, text_col="body")
+
+
+@_register(
+    "code_line_dedup",
+    _LINE_BODY_CTE
+    + """
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE c.key IS NULL) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE c.key IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           sha256(coalesce(string_agg(
+             CASE WHEN c.key IS NULL THEN l.line END,
+             chr(10) ORDER BY l.pos), '')) AS clean_sha
+    FROM l LEFT JOIN common c ON l.key = c.key
+    GROUP BY l.doc_id
+    """,
+)
+def code_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate strip
+    (functions/lines.py strip_common_lines): drop every line whose trimmed
+    form appears in >= 5 distinct documents, reconstruct the rest in
+    original order, and value-check the transform via sha256 of the
+    cleaned content."""
+    from .lines import strip_common_lines
+
+    return strip_common_lines(_line_body(spark, sf_dir), min_docs=5, text_col="body")

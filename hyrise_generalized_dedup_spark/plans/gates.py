@@ -382,6 +382,12 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         ("code_snapshot_latest", [
             "doc_id", "repo", "path", "version_rank", "is_head", "n_versions",
         ]),
+        # round-5 CCNet/RefinedWeb-style line-level boilerplate strip over
+        # a planted multi-line body (functions/lines.py) — clean_sha
+        # value-checks the full census+strip+reconstruct transform
+        ("code_line_dedup", [
+            "doc_id", "n_lines", "n_kept", "n_dropped", "clean_sha",
+        ]),
     ],
 }
 

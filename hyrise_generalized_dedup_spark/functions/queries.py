@@ -1625,3 +1625,58 @@ def code_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .lines import strip_common_lines
 
     return strip_common_lines(_line_body(spark, sf_dir), min_docs=5, text_col="body")
+
+
+@_register(
+    "text_vocab_census",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM t GROUP BY token
+    """,
+)
+def text_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary census (functions/vocab.py) — the word-frequency
+    table a tokenizer trainer starts from. Map-side token explode + one
+    partial-agg groupBy; output is vocabulary-bounded at any corpus
+    size."""
+    from .vocab import vocab_census
+
+    return vocab_census(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "bpe_pair_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+      FROM documents
+    ), v AS (
+      SELECT token, count(*) AS n_occ FROM t GROUP BY token
+    ), p AS (
+      SELECT n_occ,
+             UNNEST(list_transform(range(1, length(token)),
+                    i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
+      FROM v WHERE length(token) >= 2
+    )
+    SELECT pair,
+           CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_token_forms
+    FROM p GROUP BY pair
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-iteration-#1 candidate table (functions/vocab.py):
+    adjacent character-pair frequencies weighted by word occurrences,
+    computed over the distinct-token census so the pair explode touches
+    vocabulary-sized data only."""
+    from .vocab import bpe_pair_stats
+
+    return bpe_pair_stats(load_table(spark, sf_dir, "documents"))

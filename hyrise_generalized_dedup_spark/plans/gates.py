@@ -305,6 +305,14 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(n_rows AS BIGINT) AS n1",
             "CAST(sum_ids AS BIGINT) AS n2",
         ]),
+        # round-5 row-level snapshot diff across an overwrite commit
+        # (added/removed/modified/unchanged census; sources/icetable.py
+        # snapshot_diff) — the overwrite-safe twin of incremental_scan
+        ("iceberg_diff", "iceberg_snapshot_diff", [
+            "CAST(change_kind AS BIGINT) AS k",
+            "CAST(n_rows AS BIGINT) AS n1",
+            "CAST(sum_ids AS BIGINT) AS n2",
+        ]),
     ],
 }
 

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import fsutil
@@ -244,6 +245,55 @@ def incremental_scan(
     if not paths:
         return read_table(spark, root, to_snap).limit(0)
     return spark.read.parquet(*paths)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Row-level diff between two snapshots: one row per key present in
+    either side, tagged ``change`` in {added, removed, modified,
+    unchanged}. This is the overwrite-safe complement to
+    ``incremental_scan`` (which refuses non-append ranges): any commit
+    sequence diffs correctly because both sides are plain snapshot reads.
+
+    Shape at scale: two manifest-routed parquet scans + one full outer
+    join on the key — Catalyst prunes each scan to key columns plus the
+    change-hash input, and the join is the unavoidable single shuffle of
+    any row-level diff. Modification detection hashes all non-key
+    columns into one sha256 per side, so wide rows never carry past the
+    scan stage."""
+    old = read_table(spark, root, from_snapshot_id)
+    new = read_table(spark, root, to_snapshot_id)
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        value_cols = sorted(c for c in df.columns if c not in key_cols)
+        digest = F.sha2(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in value_cols
+                ],
+            ),
+            256,
+        )
+        return df.select(*key_cols, digest.alias(f"{tag}_sha"))
+
+    joined = hashed(old, "old").join(
+        hashed(new, "new"), on=list(key_cols), how="full_outer"
+    )
+    return joined.select(
+        *key_cols,
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("removed"))
+        .when(F.col("old_sha") != F.col("new_sha"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
 
 
 # ---------------------------------------------------------------------------

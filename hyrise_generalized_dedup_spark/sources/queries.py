@@ -132,3 +132,66 @@ SOURCE_ORACLES = {
     "import_binary_roundtrip": _ORACLE,
     "iceberg_time_travel": _ICE_ORACLE,
 }
+
+
+def q_iceberg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff across an OVERWRITE commit.
+
+    Snapshot 1 holds doc_id % 3 != 0; snapshot 2 overwrites with
+    doc_id % 5 != 0, upper-casing text where doc_id % 7 == 0 — so every
+    change kind (added / removed / modified / unchanged) is planted with
+    a closed-form membership rule the DuckDB oracle restates directly.
+    Summarizes the diff as (change_kind, n_rows, sum_ids); codes
+    1=added 2=removed 3=modified 4=unchanged."""
+    from .icetable import create_table, overwrite, snapshot_diff
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    root = os.path.join(tempfile.mkdtemp(prefix="gd_icediff_"), "docs_table")
+    s1 = create_table(spark, root, docs.filter(F.col("doc_id") % 3 != 0))
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    overwrite(spark, root, new)
+    diff = snapshot_diff(spark, root, from_snapshot_id=s1)
+    code = (
+        F.when(F.col("change") == "added", 1)
+        .when(F.col("change") == "removed", 2)
+        .when(F.col("change") == "modified", 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    return (
+        diff.groupBy(code.alias("change_kind"))
+        .agg(F.count("*").alias("n_rows"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("change_kind")
+    )
+
+
+# membership rules: added = in new only (%3=0, %5<>0); removed = in old
+# only (%3<>0, %5=0); modified = both sides with %7=0 text flip AND a
+# non-empty text to flip (upper('') = ''); unchanged = the rest of both
+_ICE_DIFF_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS change_kind, COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+UNION ALL
+SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM documents
+WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 = 0
+  AND upper(text) <> text
+UNION ALL
+SELECT CAST(4 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM documents
+WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+  AND NOT (doc_id % 7 = 0 AND upper(text) <> text)
+ORDER BY change_kind
+"""
+
+SOURCE_QUERIES["iceberg_snapshot_diff"] = q_iceberg_snapshot_diff
+SOURCE_ORACLES["iceberg_snapshot_diff"] = _ICE_DIFF_ORACLE

@@ -61,7 +61,12 @@ def test_golden_merged_gate_shape(spark, sf_tiny):
     assert "g_dedup_censuses" in qs and "g_dedup_censuses" in os_
     rows = qs["g_dedup_censuses"](spark, sf_tiny).collect()
     ops = {r.gate_op for r in rows}
-    assert ops == {"neardup_clusters", "simhash_blocks", "iceberg_snapshots"}
+    assert ops == {
+        "neardup_clusters",
+        "simhash_blocks",
+        "iceberg_snapshots",
+        "iceberg_diff",
+    }
     assert {c for c in rows[0].asDict()} == {"gate_op", "k", "n1", "n2"}
 
 

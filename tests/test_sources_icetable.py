@@ -245,3 +245,73 @@ def test_iceberg_snapshots_feed_incremental_dedup(spark, tmp_path):
         ), f"stage {stage} diverged (iceberg-fed incremental vs scratch)"
     shutil.rmtree(str(tmp_path / "inc"), ignore_errors=True)
     shutil.rmtree(str(tmp_path / "scratch"), ignore_errors=True)
+
+
+def test_snapshot_diff_classifies_every_change_kind(spark, tmp_path):
+    """Explicit add/remove/modify/unchanged fixture across an overwrite,
+    keyed on a composite (repo, path) key."""
+    from hyrise_generalized_dedup_spark.sources.icetable import (
+        create_table,
+        overwrite,
+        snapshot_diff,
+    )
+
+    schema = "repo string, path string, content string"
+    old = spark.createDataFrame(
+        [
+            ("r1", "a.py", "alpha"),
+            ("r1", "b.py", "beta"),
+            ("r2", "a.py", "gamma"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("r1", "a.py", "alpha"),       # unchanged
+            ("r1", "b.py", "beta-v2"),     # modified
+            ("r3", "z.py", "zeta"),        # added (r2/a.py removed)
+        ],
+        schema,
+    )
+    root = str(tmp_path / "tbl")
+    s1 = create_table(spark, root, old)
+    overwrite(spark, root, new)
+    got = {
+        (r["repo"], r["path"]): r["change"]
+        for r in snapshot_diff(
+            spark, root, from_snapshot_id=s1, key_cols=("repo", "path")
+        ).collect()
+    }
+    assert got == {
+        ("r1", "a.py"): "unchanged",
+        ("r1", "b.py"): "modified",
+        ("r2", "a.py"): "removed",
+        ("r3", "z.py"): "added",
+    }
+
+
+def test_snapshot_diff_of_append_matches_incremental_scan(spark, tmp_path):
+    """On an append-only range, diff 'added' keys == incremental_scan rows."""
+    import pyspark.sql.functions as F2
+
+    from hyrise_generalized_dedup_spark.sources.icetable import (
+        append,
+        create_table,
+        incremental_scan,
+        snapshot_diff,
+    )
+
+    docs = spark.range(40).select(
+        F2.col("id").alias("doc_id"), F2.concat(F2.lit("t"), "id").alias("text")
+    )
+    root = str(tmp_path / "tbl")
+    s1 = create_table(spark, root, docs.filter("doc_id < 25"))
+    append(spark, root, docs.filter("doc_id >= 25"))
+    diff = snapshot_diff(spark, root, from_snapshot_id=s1)
+    added = {r["doc_id"] for r in diff.filter("change = 'added'").collect()}
+    inc = {
+        r["doc_id"]
+        for r in incremental_scan(spark, root, from_snapshot_id=s1).collect()
+    }
+    assert added == inc == set(range(25, 40))
+    assert diff.filter("change != 'added'").filter("change != 'unchanged'").count() == 0

@@ -3437,3 +3437,46 @@ FROM events e1 JOIN events e2
   ON e1.user_id = e2.user_id AND e1.event_type = 'view' AND e2.event_type = 'purchase'
   AND e2.ts > e1.ts
 GROUP BY e1.user_id ORDER BY e1.user_id LIMIT 50;
+
+-- ================== r5 tranche: joins/bit-aggs/regexp/edit-fns ==========
+-- (validated: DuckDB regexp_replace is first-match-only vs Spark global —
+--  only single-match patterns below; no NATURAL/USING joins, TPC-H column
+--  prefixes leave no shared names; DuckDB lacks overlay())
+SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE n_nationkey < 5 ORDER BY n_name;
+SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey <= 10 ORDER BY c_custkey;
+SELECT o_orderstatus, COUNT(*) AS n FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT BIT_AND(n_nationkey) AS b FROM nation;
+SELECT BIT_OR(n_nationkey) AS b FROM nation;
+SELECT BIT_XOR(n_nationkey) AS b FROM nation;
+SELECT n_regionkey, BIT_OR(n_nationkey) AS b, BIT_AND(n_nationkey) AS a FROM nation GROUP BY n_regionkey ORDER BY n_regionkey;
+SELECT o_orderstatus, BIT_XOR(o_orderkey) AS x FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT p_partkey, regexp_extract(p_name, '([a-z]+)', 1) AS first_word FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT COUNT(*) AS n FROM part WHERE regexp_extract(p_type, '(STANDARD|ECONOMY)', 1) <> '';
+SELECT l_returnflag, COUNT(*) AS n FROM lineitem WHERE regexp_replace(l_linestatus, 'O', 'X') = 'X' GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT source, regexp_replace(source, '[0-9]+', '#') AS fam, COUNT(*) AS n FROM documents GROUP BY source ORDER BY source;
+SELECT c_custkey, levenshtein(c_mktsegment, 'BUILDING') AS d FROM customer WHERE c_custkey <= 15 ORDER BY c_custkey;
+SELECT levenshtein('kitten', 'sitting') AS d;
+SELECT n_name, translate(n_name, 'AEIOU', 'aeiou') AS tl FROM nation ORDER BY n_nationkey;
+SELECT o_orderpriority, translate(o_orderpriority, '-', '_') AS t, COUNT(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT try_cast('12x' AS INTEGER) AS a, try_cast('' AS INTEGER) AS b, try_cast(' 7' AS INTEGER) AS c;
+SELECT COUNT(*) AS n FROM documents WHERE try_cast(substr(source, 4, 2) AS INTEGER) IS NOT NULL;
+SELECT try_cast(lang AS INTEGER) AS li, COUNT(*) AS n FROM documents GROUP BY li ORDER BY n;
+SELECT event_type, COUNT(*) AS n FROM events WHERE try_cast(event_type AS DOUBLE) IS NULL GROUP BY event_type ORDER BY event_type;
+SELECT n_regionkey, COUNT(*) FILTER (WHERE n_nationkey > 10) AS hi, COUNT(*) AS n FROM nation GROUP BY GROUPING SETS ((n_regionkey), ()) ORDER BY n_regionkey NULLS FIRST;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) FILTER (WHERE o_totalprice > 100000) AS big, COUNT(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST;
+SELECT l_returnflag, SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS disc_qty FROM lineitem GROUP BY ROLLUP (l_returnflag) ORDER BY l_returnflag NULLS FIRST;
+SELECT n_name FROM nation n WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000) INTERSECT SELECT n_name FROM nation WHERE n_regionkey IN (0, 1) ORDER BY n_name;
+SELECT s_suppkey FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49) EXCEPT SELECT s_suppkey FROM supplier WHERE s_acctbal < 0 ORDER BY s_suppkey;
+SELECT n_name, t.max_bal FROM nation n, LATERAL (SELECT MAX(c_acctbal) AS max_bal FROM customer c WHERE c.c_nationkey = n.n_nationkey) t WHERE n_nationkey < 8 ORDER BY n_name;
+SELECT o.o_orderkey, t.n_items FROM orders o, LATERAL (SELECT COUNT(*) AS n_items FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t WHERE o.o_orderkey <= 20 ORDER BY o.o_orderkey;
+SELECT c_custkey, NTILE(7) OVER (ORDER BY c_custkey) AS tile FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey;
+SELECT o_orderkey, LAG(o_totalprice, 2, CAST(0 AS DOUBLE)) OVER (ORDER BY o_orderkey) AS lag2 FROM orders WHERE o_orderkey <= 25 ORDER BY o_orderkey;
+SELECT o_orderkey, LEAD(o_orderstatus, 1, 'NONE') OVER (ORDER BY o_orderkey) AS nxt FROM orders WHERE o_orderkey <= 25 ORDER BY o_orderkey;
+SELECT l_orderkey, l_linenumber, COUNT(*) OVER (PARTITION BY l_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW ) AS rc FROM lineitem WHERE l_orderkey <= 12 ORDER BY l_orderkey, l_linenumber;
+SELECT v.k, COUNT(o.o_orderkey) AS n FROM (VALUES (1), (2), (3)) AS v(k) LEFT JOIN orders o ON o.o_custkey = v.k GROUP BY v.k ORDER BY v.k;
+SELECT t.seg FROM (VALUES ('BUILDING'), ('NOSEG')) AS t(seg) WHERE t.seg NOT IN (SELECT DISTINCT c_mktsegment FROM customer);
+SELECT GREATEST(NULL, 5, 3) AS g, LEAST(NULL, 5, 3) AS l;
+SELECT NULLIF(o_orderstatus, 'F') AS s, COUNT(*) AS n FROM orders GROUP BY NULLIF(o_orderstatus, 'F') ORDER BY s NULLS FIRST;
+SELECT MOD(n_nationkey, 4) AS m, COUNT(*) AS n FROM nation GROUP BY MOD(n_nationkey, 4) ORDER BY m;
+SELECT p_partkey, SIGN(p_size - 25) AS sg FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT FLOOR(SQRT(CAST(144 AS DOUBLE))) AS r, CEIL(SQRT(CAST(2 AS DOUBLE)) * 0) AS z;

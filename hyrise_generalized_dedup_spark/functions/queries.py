@@ -1680,3 +1680,31 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vocab import bpe_pair_stats
 
     return bpe_pair_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "corpus_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             sha256('shuf:' || CAST(doc_id AS VARCHAR)) AS shuf_key,
+             CAST((strpos('0123456789abcdef',
+                          substr(sha256('shuf:' || CAST(doc_id AS VARCHAR)),
+                                 1, 1)) - 1) % 16 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CAST(row_number() OVER (PARTITION BY bucket
+                                   ORDER BY shuf_key, doc_id) AS BIGINT)
+             AS rank_in_bucket
+    FROM h
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (functions/shuffle.py): seeded
+    sha256 permutation split into 16 hash buckets with per-bucket ranks —
+    reproducible training order with no global sort; one bucket-keyed
+    exchange + per-bucket window."""
+    from .shuffle import shuffle_order
+
+    return shuffle_order(load_table(spark, sf_dir, "documents"))

@@ -51,6 +51,7 @@ HEADLINE = [
     "events_funnel",
     "cdc_chunk_census",
     "text_decontaminate_bloom",
+    "code_line_dedup",
 ]
 
 

@@ -40,9 +40,18 @@ tests/test_incremental.py compares every stage output):
   and recomputed only for dirty ones (clusters touched by new docs,
   merges, or splits). O(dirty-cluster content).
 
-Removed docs invalidate per-pair/per-cluster reuse wholesale, so a
-shrunken corpus raises instead of silently computing over ghosts — run
-the full pipeline for compaction.
+Removed docs (an overwrite/retraction batch — GDPR deletes, licence
+takedowns, force-pushed history) are handled by REWRITING the two
+per-doc checkpoints filtered to alive ids: O(corpus) parquet I/O but
+ZERO content recompute (the gd transform and MinHash kernels — ~75% of
+full-pipeline wall — never run for surviving docs). Every reuse path
+stays exact under removal by construction: candidate pairs are rebuilt
+from alive signatures only, so the (key_a, key_b, is_star) reuse join
+can never resurrect a ghost pair; suffix clean-cluster detection
+compares old/new membership SIZES, so a cluster that lost a member is
+automatically dirty and recomputed from alive content. The pytest
+equivalence oracle covers removal, pure-deletion, and mixed batches
+against from-scratch runs (tests/test_incremental.py).
 
 The checkpoint swap writes every recomputed stage to ``{stage}__inc``
 first, then drops its ``_DONE`` marker, renames, and re-marks; appended
@@ -125,9 +134,11 @@ def incremental_update(
 
     ``corpus`` is the FULL current corpus (same schema the pipeline
     takes); new docs are discovered against the prior signatures
-    checkpoint. Returns the updated summary dict. Raises if the prior
-    tree is incomplete (missing ``_DONE``), config-mismatched (different
-    hash -> no tree), or if docs were REMOVED since the prior run."""
+    checkpoint; removed docs are discovered the same way and absorbed by
+    filtering the per-doc checkpoints (module docstring). Returns the
+    updated summary dict. Raises if the prior tree is incomplete
+    (missing ``_DONE``) or config-mismatched (different hash -> no
+    tree)."""
     cfg = cfg or GDConfig()
     ckpt = Checkpointer(spark, out_dir, cfg, resume=True)
     metrics = MetricsCollector(spark, out_dir, cfg.config_hash())
@@ -162,20 +173,28 @@ def incremental_update(
 
     old_sigs = ckpt.load("signatures")
     old_ids = old_sigs.select("doc_id")
-    n_removed = old_ids.join(docs.select("doc_id"), "doc_id", "left_anti").count()
-    if n_removed:
-        raise ValueError(
-            f"{n_removed} doc(s) from the prior run are absent from the "
-            "corpus — per-pair/per-cluster reuse is invalid under removal; "
-            "run the full pipeline to compact"
-        )
+    removed_ids = old_ids.join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    ).persist()
+    n_removed = removed_ids.count()
     new_docs = docs.join(old_ids, "doc_id", "left_anti").persist()
     n_new = new_docs.count()
-    log.info("incremental_update: %d new docs over %d total", n_new, n_docs)
-    if n_new == 0:
+    log.info(
+        "incremental_update: %d new / %d removed docs over %d total",
+        n_new,
+        n_removed,
+        n_docs,
+    )
+    if n_new == 0 and n_removed == 0:
         docs_base.unpersist()
         new_docs.unpersist()
-        return {"n_files": n_docs, "n_new_files": 0, "unchanged": True}
+        removed_ids.unpersist()
+        return {
+            "n_files": n_docs,
+            "n_new_files": 0,
+            "n_removed_files": 0,
+            "unchanged": True,
+        }
 
     # Invalidate EVERY stage marker before the first mutation: a crash
     # anywhere mid-update must leave no stage marked done, because every
@@ -186,22 +205,38 @@ def incremental_update(
     for stage in required:
         fsutil.delete(spark, fsutil.urljoin(ckpt.path(stage), "_DONE"))
 
-    # --- gd + signatures: new docs only, APPENDED to the prior output ---
+    # --- gd + signatures: new docs' rows APPENDED to the prior output;
+    # under removal the prior rows are instead filtered to alive ids and
+    # the stage is rewritten via the swap path (I/O, never content
+    # recompute — per-doc rows of surviving docs are immutable) ---
+    def _per_doc_stage(stage: str, new_rows: DataFrame | None) -> DataFrame:
+        if not n_removed:
+            return _append_stage(ckpt, stage, new_rows)
+        alive = ckpt.load(stage).join(removed_ids, "doc_id", "left_anti")
+        if new_rows is not None:
+            alive = alive.unionByName(new_rows)
+        return _write_tmp(ckpt, stage, alive)
+
+    _per_doc_suffix = "__inc" if n_removed else ""
     metrics.start("gd")
-    segments = _append_stage(
-        ckpt,
+    segments = _per_doc_stage(
         "gd",
         gd_segments(
             new_docs, cfg, content_col="content", key_cols=("doc_id",), keep_base=False
-        ),
+        )
+        if n_new
+        else None,
     )
-    metrics.finish("gd", ckpt.path("gd"))
+    metrics.finish("gd", ckpt.path("gd") + _per_doc_suffix)
 
     metrics.start("signatures")
-    sigs = _append_stage(
-        ckpt, "signatures", signatures(new_docs, cfg, text_col="sig_text", key_col="doc_id")
+    sigs = _per_doc_stage(
+        "signatures",
+        signatures(new_docs, cfg, text_col="sig_text", key_col="doc_id")
+        if n_new
+        else None,
     )
-    metrics.finish("signatures", ckpt.path("signatures"))
+    metrics.finish("signatures", ckpt.path("signatures") + _per_doc_suffix)
 
     # --- reps: recomputed over the union (same plan as the pipeline) ---
     metrics.start("reps")
@@ -282,8 +317,14 @@ def incremental_update(
 
     # --- suffix: reuse clean clusters, recompute dirty ones ---
     n_dirty = None
-    appended_stages = ["gd", "signatures"]
-    swap_stages = ["reps", "candidates", "edges", "clusters"]
+    per_doc = ["gd", "signatures"]
+    appended_stages = per_doc if not n_removed else []
+    swap_stages = (per_doc if n_removed else []) + [
+        "reps",
+        "candidates",
+        "edges",
+        "clusters",
+    ]
     if with_suffix_stage:
         metrics.start("suffix")
         old_clusters = ckpt.load("clusters").select(
@@ -368,6 +409,7 @@ def incremental_update(
     metrics.add(
         n_files=n_docs,
         n_new_files=n_new,
+        n_removed_files=n_removed,
         n_candidate_pairs=int(pstats["n"]),
         n_star_candidates=int(pstats["n_star"] or 0),
         n_reused_lsh_edges=n_reused,
@@ -386,4 +428,5 @@ def incremental_update(
     metrics.write_summary()
     docs_base.unpersist()
     new_docs.unpersist()
+    removed_ids.unpersist()
     return metrics.summary

@@ -426,6 +426,20 @@ def main() -> None:
         "formatting-invariant, or rename-invariant type-2 (code corpora)",
     )
     ap.add_argument(
+        "--auto-bands",
+        action="store_true",
+        help="solve the LSH band split from --jaccard-threshold via the "
+        "S-curve FP/FN optimizer (dedup/tuning.py) instead of the "
+        "hand-picked default; the tuned split keys its own checkpoint "
+        "tree (bands are in the config hash)",
+    )
+    ap.add_argument(
+        "--jaccard-threshold",
+        type=float,
+        default=None,
+        help="near-dup Jaccard threshold (default: GDConfig default)",
+    )
+    ap.add_argument(
         "--repo-dedup",
         action="store_true",
         help="drop forked repositories before the file pipeline (The "
@@ -449,15 +463,27 @@ def main() -> None:
         "pair with --fresh when toggling on an existing output dir",
     )
     args = ap.parse_args()
-    if args.repo_dedup and args.incremental:
-        # keeper election can flip as a fork family grows (a new larger
-        # fork becomes keeper), silently dropping a previously-kept
-        # repo's docs from the input — incremental's removal guard would
-        # then raise a misleading "docs absent from corpus" error.
-        ap.error("--repo-dedup cannot be combined with --incremental: "
-                 "keeper election may change across ingest batches; run "
-                 "the full pipeline (optionally with --fresh) instead")
-    cfg = GDConfig(normalizer=args.normalizer)
+    # --repo-dedup composes with --incremental since removal support
+    # landed: a keeper flip (a new larger fork wins the election) shows
+    # up as removals of the old keeper's docs plus additions of the new
+    # keeper's, and incremental_update absorbs both bit-equal to a
+    # from-scratch run (dedup/incremental.py module docstring).
+    threshold_kw = (
+        {"jaccard_threshold": args.jaccard_threshold}
+        if args.jaccard_threshold is not None
+        else {}
+    )
+    if args.auto_bands:
+        from .tuning import tuned_config
+
+        cfg = tuned_config(
+            threshold=args.jaccard_threshold
+            if args.jaccard_threshold is not None
+            else GDConfig().jaccard_threshold,
+            normalizer=args.normalizer,
+        )
+    else:
+        cfg = GDConfig(normalizer=args.normalizer, **threshold_kw)
 
     from ..session import get_spark
 

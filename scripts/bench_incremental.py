@@ -110,6 +110,43 @@ def main() -> None:
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report))
+
+    # --- removal batch: drop ~5% of the corpus, absorb vs scratch ---
+    # (inc_dir now holds the full corpus's tree — a valid prior). The
+    # interesting number is inc_wall staying well under scratch_wall even
+    # though the per-doc stages are REWRITTEN (O(corpus) I/O): the saved
+    # content compute (gd+minhash kernels) dominates the parquet rewrite.
+    shrunk = full.filter(F.abs(F.hash("commit")) % 20 != 0).cache()
+    n_shrunk = shrunk.count()
+    t0 = time.time()
+    rsummary = incremental_update(spark, shrunk, inc_dir)
+    r_inc_wall = time.time() - t0
+    t0 = time.time()
+    run_pipeline(spark, shrunk, f"{base}/scratch_rm", resume=False)
+    r_scr_wall = time.time() - t0
+    ckpt_rm = Checkpointer(spark, f"{base}/scratch_rm", GDConfig())
+    r_mismatch = (
+        ckpt_inc.load("clusters")
+        .exceptAll(ckpt_rm.load("clusters"))
+        .unionAll(ckpt_rm.load("clusters").exceptAll(ckpt_inc.load("clusters")))
+        .count()
+    )
+    r_report = {
+        "n_files": n_shrunk,
+        "n_removed_files": n_full - n_shrunk,
+        "cpus": CPUS,
+        "incremental_wall_s": round(r_inc_wall, 1),
+        "scratch_wall_s": round(r_scr_wall, 1),
+        "speedup_vs_scratch": round(r_scr_wall / r_inc_wall, 2),
+        "clusters_mismatch_rows": r_mismatch,
+        "n_reused_lsh_edges": rsummary.get("n_reused_lsh_edges"),
+        "n_dirty_clusters": rsummary.get("n_dirty_clusters"),
+        "n_clusters": rsummary.get("n_clusters"),
+    }
+    r_out = out.replace("incremental_r5_", "incremental_removal_r5_")
+    with open(r_out, "w") as fh:
+        json.dump(r_report, fh, indent=2)
+    print(json.dumps(r_report))
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
 

@@ -80,11 +80,50 @@ def test_incremental_noop_and_guards(spark, tmp_path):
     s = incremental_update(spark, old, out)
     assert s["n_new_files"] == 0 and s.get("unchanged")
     assert _stage_rows(spark, out, "clusters") == before
-    # removal refused (reuse would compute over ghosts)
-    shrunk = old.limit(old.count() - 5)
-    with pytest.raises(ValueError, match="absent"):
-        incremental_update(spark, shrunk, out)
     # incomplete prior refused
     with pytest.raises(ValueError, match="incomplete"):
         incremental_update(spark, full, str(tmp_path / "never_ran"))
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_incremental_with_removals_equals_scratch(spark, tmp_path):
+    """A mixed overwrite batch (removals AND additions) must still be
+    bit-equal to scratch: per-doc checkpoints are filtered+appended, every
+    downstream reuse path excludes ghosts by construction."""
+    full = to_spark(spark, generate(n_rows=500, seed=13)).cache()
+    old = full.filter(F.abs(F.hash("commit")) % 4 < 3).cache()
+    # drop a quarter of the old docs, add the held-out quarter
+    new = full.filter(F.abs(F.hash("commit")) % 4 != 1).cache()
+    inc_dir, scratch_dir = str(tmp_path / "inc"), str(tmp_path / "scratch")
+    run_pipeline(spark, old, inc_dir, resume=False)
+    summary = incremental_update(spark, new, inc_dir)
+    assert summary["n_removed_files"] > 0
+    assert summary["n_new_files"] > 0
+    run_pipeline(spark, new, scratch_dir, resume=False)
+    for stage in STAGES:
+        assert _stage_rows(spark, inc_dir, stage) == _stage_rows(
+            spark, scratch_dir, stage
+        ), f"stage {stage} diverged under removal"
+    # reuse still happened despite the removals
+    assert summary["n_reused_lsh_edges"] > 0
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.rmtree(scratch_dir, ignore_errors=True)
+
+
+def test_incremental_pure_deletion_equals_scratch(spark, tmp_path):
+    """A deletion-only batch: no new content is computed (n_new == 0),
+    per-doc stages are filtered in place, clusters/suffix re-derive."""
+    full = to_spark(spark, generate(n_rows=300, seed=17)).cache()
+    shrunk = full.filter(F.abs(F.hash("commit")) % 5 != 0).cache()
+    inc_dir, scratch_dir = str(tmp_path / "inc"), str(tmp_path / "scratch")
+    run_pipeline(spark, full, inc_dir, resume=False)
+    summary = incremental_update(spark, shrunk, inc_dir)
+    assert summary["n_new_files"] == 0
+    assert summary["n_removed_files"] == full.count() - shrunk.count() > 0
+    run_pipeline(spark, shrunk, scratch_dir, resume=False)
+    for stage in STAGES:
+        assert _stage_rows(spark, inc_dir, stage) == _stage_rows(
+            spark, scratch_dir, stage
+        ), f"stage {stage} diverged under pure deletion"
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.rmtree(scratch_dir, ignore_errors=True)

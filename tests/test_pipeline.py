@@ -637,3 +637,37 @@ def test_cli_license_policy_with_repo_dedup_census(tmp_path):
     # 12 plain repos + forkA + forkB = 14, one fork dropped
     assert rd["n_repos_total"] == 14 and rd["n_repos_kept"] == 13
     assert summary["n_files"] == 16
+
+
+def test_cli_auto_bands(tmp_path):
+    """--auto-bands solves the band split from the threshold and keys
+    its own checkpoint tree (subprocess, CLI surface)."""
+    import subprocess
+    import sys
+
+    from hyrise_generalized_dedup_spark.dedup.tuning import tuned_config
+
+    out = str(tmp_path / "auto_bands_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", "synth:120",
+            "--output", out,
+            "--master", "local[2]",
+            "--no-suffix",
+            "--auto-bands",
+            "--jaccard-threshold", "0.8",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_clusters"] > 0
+    cfg = tuned_config(0.8)
+    assert cfg.bands == 8 and cfg.rows_per_band == 16
+    assert os.path.isdir(os.path.join(out, "checkpoint", cfg.config_hash()))

@@ -1708,3 +1708,64 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .shuffle import shuffle_order
 
     return shuffle_order(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "code_file_roles",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             CASE CAST(doc_id % 7 AS INTEGER)
+               WHEN 0 THEN 'vendor/lib/util.js'
+               WHEN 1 THEN 'tests/test_app.py'
+               WHEN 2 THEN 'src/main.py'
+               WHEN 3 THEN 'docs/README.md'
+               WHEN 4 THEN 'config/app.yaml'
+               WHEN 5 THEN 'gen/api_pb2.py'
+               ELSE 'src/util_test.go' END AS file_path
+      FROM documents
+    )
+    SELECT doc_id, file_path,
+           CASE
+             WHEN regexp_matches(file_path,
+               '(^|/)(vendor|vendored|third_party|thirdparty|node_modules|deps|external)/')
+               THEN 'vendored'
+             WHEN regexp_matches(file_path,
+                    '(_pb2\\.py|\\.pb\\.go|\\.g\\.cs|\\.min\\.(js|css))$')
+               OR regexp_matches(
+                    array_to_string(string_split(text, chr(10))[1:5], chr(10)),
+                    '(?i)auto[- ]?generated|automatically generated|do not edit|generated by')
+               THEN 'generated'
+             WHEN regexp_matches(file_path,
+               '(^|/)(tests?|spec|__tests__)/|(^|/)test_[^/]*$|_test\\.[A-Za-z0-9]+$|Test\\.java$|\\.spec\\.[jt]sx?$')
+               THEN 'test'
+             WHEN regexp_matches(file_path, '\\.(md|rst|txt|adoc)$') THEN 'docs'
+             WHEN regexp_matches(file_path,
+               '\\.(json|ya?ml|toml|ini|cfg|lock|properties)$') THEN 'config'
+             ELSE 'source'
+           END AS file_role
+    FROM p
+    """,
+)
+def code_file_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-role routing (functions/code.file_role): vendored / generated
+    / test / docs / config / source from path + generated-content header —
+    The Stack's metadata tagging pass, here over synthesized per-doc paths
+    covering every family (driver `documents` carries no path column);
+    priority-conflict semantics are pytest-oracled on explicit fixtures."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("vendor/lib/util.js"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("tests/test_app.py"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("src/main.py"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("docs/README.md"))
+        .when(F.col("doc_id") % 7 == 4, F.lit("config/app.yaml"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("gen/api_pb2.py"))
+        .otherwise(F.lit("src/util_test.go"))
+    )
+    with_path = docs.select("doc_id", "text", path.alias("file_path"))
+    return with_path.select(
+        "doc_id",
+        "file_path",
+        C.file_role(F.col("file_path"), F.col("text")).alias("file_role"),
+    )

@@ -357,6 +357,10 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         ("code_license_census", [
             "doc_id", "license", "is_copyleft", "license_keep",
         ]),
+        # round-5 file-role routing (The Stack's path metadata pass) —
+        # vendored/generated/test/docs/config/source over synthesized
+        # per-doc paths; priority semantics pytest-oracled (test_code.py)
+        ("code_file_roles", ["doc_id", "file_path", "file_role"]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

@@ -3480,3 +3480,27 @@ SELECT NULLIF(o_orderstatus, 'F') AS s, COUNT(*) AS n FROM orders GROUP BY NULLI
 SELECT MOD(n_nationkey, 4) AS m, COUNT(*) AS n FROM nation GROUP BY MOD(n_nationkey, 4) ORDER BY m;
 SELECT p_partkey, SIGN(p_size - 25) AS sg FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
 SELECT FLOOR(SQRT(CAST(144 AS DOUBLE))) AS r, CEIL(SQRT(CAST(2 AS DOUBLE)) * 0) AS z;
+
+-- ============ r5 tranche 2: RANGE frames / GROUP BY ALL / edges =========
+SELECT o_orderkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (ORDER BY o_orderkey RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS win_sum FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey;
+SELECT l_orderkey, COUNT(*) OVER (ORDER BY l_orderkey RANGE BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fwd FROM lineitem WHERE l_orderkey <= 15 ORDER BY l_orderkey, l_linenumber;
+SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY ALL ORDER BY n_regionkey;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority;
+SELECT n_name, CASE WHEN EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey) THEN 'has_supp' ELSE 'none' END AS flag FROM nation n ORDER BY n_name;
+SELECT c_custkey, CASE WHEN c_acctbal > (SELECT AVG(CAST(c_acctbal AS DOUBLE)) FROM customer) THEN 'above' ELSE 'below' END AS band FROM customer WHERE c_custkey <= 25 ORDER BY c_custkey;
+SELECT MOD(-7, 3) AS a, MOD(7, -3) AS b, MOD(-7, -3) AS c;
+SELECT SIGN(-5) AS a, SIGN(0) AS b, SIGN(12) AS c;
+WITH r AS (SELECT r_regionkey FROM region WHERE r_regionkey < 3), n AS (SELECT n_nationkey, n_regionkey FROM nation) SELECT COUNT(*) AS c FROM n JOIN r ON n.n_regionkey = r.r_regionkey;
+WITH lvl1 AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey), lvl2 AS (SELECT n, COUNT(*) AS n_cust FROM lvl1 GROUP BY n) SELECT n, n_cust FROM lvl2 ORDER BY n;
+SELECT COUNT(*) AS n FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0 UNION SELECT n_nationkey FROM nation WHERE n_regionkey = 1);
+SELECT COUNT(*) AS n FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2 INTERSECT SELECT n_nationkey FROM nation);
+SELECT p_brand, MIN(p_size) AS mn, MAX(p_size) AS mx FROM part GROUP BY p_brand HAVING MIN(p_size) < (SELECT CAST(AVG(CAST(p_size AS DOUBLE)) AS DOUBLE) FROM part) ORDER BY p_brand;
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') GROUP BY ALL ORDER BY l_returnflag, l_linestatus;
+SELECT e1.user_id, COUNT(*) AS n_pairs FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e1.event_type = 'view' AND e2.event_type = 'purchase' AND e1.ts < e2.ts GROUP BY e1.user_id HAVING COUNT(*) >= 5 ORDER BY e1.user_id;
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n FROM customer GROUP BY c_mktsegment HAVING COUNT(DISTINCT c_nationkey) > 5 ORDER BY c_mktsegment;
+SELECT event_type, MIN(EXTRACT(HOUR FROM ts)) AS h0, MAX(EXTRACT(HOUR FROM ts)) AS h1 FROM events GROUP BY event_type ORDER BY event_type;
+SELECT EXTRACT(DAY FROM ts) AS d, COUNT(*) FILTER (WHERE event_type = 'error') AS errs, COUNT(*) AS n FROM events GROUP BY EXTRACT(DAY FROM ts) HAVING COUNT(*) > 20 ORDER BY d;
+SELECT t.b AS bucket, COUNT(*) AS n FROM (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / CAST(50000 AS DOUBLE)) AS BIGINT) AS b FROM orders) t GROUP BY t.b ORDER BY t.b;
+SELECT s_suppkey FROM supplier WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM supplier);
+SELECT n_nationkey, (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_cust, (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS n_supp FROM nation n WHERE n_nationkey < 10 ORDER BY n_nationkey;
+SELECT l_returnflag, SUM(l_quantity * (1 - l_discount)) AS eff_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;

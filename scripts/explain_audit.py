@@ -104,6 +104,35 @@ AUDITS = {
         ["Union", "HashAggregate"],
         ["CartesianProduct", "MapInPandas"],
     ),
+    # round-5 final additions: line dedup / vocab / shuffle / roles /
+    # tranche-8 shapes — all pure-JVM, no Python, no cartesian anywhere
+    "code_line_dedup": (
+        # line explode + census join + per-doc regroup; content crosses
+        # exactly the two expected shuffles, no Python
+        ["Generate posexplode", "HashAggregate"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
+    "text_vocab_census": (
+        ["Generate explode", "HashAggregate"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
+    "corpus_shuffle": (
+        # one bucket-keyed exchange + per-bucket window; doc_id-only scan
+        ["Window", "ReadSchema: struct<doc_id:bigint>"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
+    "code_file_roles": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
+        ["MapInPandas", "BatchEvalPython", "Exchange"],
+    ),
+    "qds_brand_basket_lift": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "MapInPandas"],
+    ),
+    "qds_retention_matrix": (
+        ["HashAggregate"],
+        ["CartesianProduct", "MapInPandas", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

@@ -431,3 +431,66 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.select("media_id", "modality", "payload", "n_bytes").mapInPandas(
         run, _FEATURE_SCHEMA
     )
+
+
+# --- image resize (thumbnail) over the real decode path -----------------
+
+_THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("thumb_w", IntegerType(), False),
+        StructField("thumb_h", IntegerType(), False),
+        StructField("thumb_sum", LongType(), False),
+        StructField("thumb_head", IntegerType(), False),
+    ]
+)
+
+
+def resize_nearest(px, out_w: int, out_h: int):
+    """Nearest-neighbor downsample via integer index mapping
+    out[y, x] = px[floor(y*h/out_h), floor(x*w/out_w)] — exact integer
+    math, so the oracle can restate every output pixel closed-form."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[np.ix_(ys, xs)]
+
+
+def thumbnail_features(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """Decode PNG payloads and resize to a fixed thumbnail — the
+    feature-extraction shape of an image-training pipeline (decode ->
+    resize -> stats), with the resize REAL (numpy index math over the
+    decoded pixels), not stubbed. Arrow-batched mapInPandas; per-image
+    output is the thumbnail checksum + corner pixel, which the DuckDB
+    oracle recomputes from the fixture's closed-form pixel function."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, px = decode_png(bytes(payload))
+                th = resize_nearest(px, out_w, out_h)
+                rows.append(
+                    (
+                        int(mid),
+                        out_w,
+                        out_h,
+                        int(th.sum(dtype=np.int64)),
+                        int(th.flat[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "thumb_w", "thumb_h", "thumb_sum", "thumb_head"],
+            )
+
+    return (
+        media.filter(F.col("mime") == "image/png")
+        .select("media_id", "payload")
+        .mapInPandas(run, _THUMB_SCHEMA)
+    )

@@ -11,6 +11,7 @@ from . import text as T
 from .fingerprint import fingerprint_table
 from .multimodal import (
     decode_media_features,
+    thumbnail_features,
     extract_features,
     media_table_from_documents,
     media_table_with_codecs,
@@ -1769,3 +1770,41 @@ def code_file_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_path",
         C.file_role(F.col("file_path"), F.col("text")).alias("file_role"),
     )
+
+
+@_register(
+    "mm_thumbnails",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INTEGER) AS w,
+             CAST(3 + doc_id % 7 AS INTEGER) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), t AS (
+      SELECT m.doc_id,
+             (m.doc_id
+              + 7 * CAST(floor(CAST(y.g * m.h AS DOUBLE)
+                               / CAST(3 AS DOUBLE)) AS BIGINT)
+              + CAST(floor(CAST(x.g * m.w AS DOUBLE)
+                           / CAST(4 AS DOUBLE)) AS BIGINT)) % 256 AS v,
+             y.g AS gy, x.g AS gx
+      FROM m, generate_series(0, 2) y(g), generate_series(0, 3) x(g)
+    )
+    SELECT doc_id AS media_id,
+           CAST(4 AS INTEGER) AS thumb_w,
+           CAST(3 AS INTEGER) AS thumb_h,
+           CAST(SUM(v) AS BIGINT) AS thumb_sum,
+           CAST(MAX(CASE WHEN gy = 0 AND gx = 0 THEN v END) AS INTEGER)
+             AS thumb_head
+    FROM t GROUP BY doc_id
+    """,
+)
+def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over the real decode path: synth PNGs decode
+    (zlib inflate + unfilter), resize nearest-neighbor to 4x3, and the
+    oracle recomputes every thumbnail pixel from the fixture's
+    closed-form pixel(x, y) = (doc_id + 7y + x) % 256 with the same
+    floor index mapping — a decode or index-math bug shifts the checksum
+    and fails the hash (functions/multimodal.thumbnail_features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return thumbnail_features(media_table_with_codecs(docs))

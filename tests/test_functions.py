@@ -566,3 +566,32 @@ def test_pack_sequences_boundaries(spark, tmp_path):
         seqs = sorted((seq, v) for (s, seq), v in got.items() if s == src)
         for (s1_, v1), (s2_, v2) in zip(seqs, seqs[1:]):
             assert v1[3] < v2[2], (src, s1_, s2_)
+
+
+def test_resize_nearest_exact_and_shrinks():
+    """Index-mapped resize: exact pixels from the source, any geometry."""
+    import numpy as np
+
+    from hyrise_generalized_dedup_spark.functions.multimodal import resize_nearest
+
+    px = np.arange(9 * 16, dtype=np.uint8).reshape(9, 16)
+    th = resize_nearest(px, 4, 3)
+    assert th.shape == (3, 4)
+    for y in range(3):
+        for x in range(4):
+            assert th[y, x] == px[(y * 9) // 3, (x * 16) // 4]
+    # upscale (out > in) repeats source pixels, never interpolates
+    up = resize_nearest(px[:2, :2], 4, 4)
+    assert set(up.ravel().tolist()) <= set(px[:2, :2].ravel().tolist())
+
+
+def test_mm_thumbnails_matches_duckdb(spark, sf_tiny):
+    from hyrise_generalized_dedup_spark.functions.queries import (
+        TEXT_ORACLES,
+        TEXT_QUERIES,
+    )
+    from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
+
+    df = TEXT_QUERIES["mm_thumbnails"](spark, sf_tiny)
+    ok, msg = compare_to_duckdb(df, TEXT_ORACLES["mm_thumbnails"], sf_tiny)
+    assert ok, msg

@@ -195,3 +195,43 @@ ORDER BY change_kind
 
 SOURCE_QUERIES["iceberg_snapshot_diff"] = q_iceberg_snapshot_diff
 SOURCE_ORACLES["iceberg_snapshot_diff"] = _ICE_DIFF_ORACLE
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round trip (sources/jsonl.py): write `documents`
+    as JSON-lines, read it back with the explicit schema, and summarize
+    per language — the DuckDB oracle states the same summary straight off
+    the parquet table, so a hash-exact match proves the encode/decode
+    loses nothing (row count, ids, char counts, lang strings)."""
+    from .jsonl import load_jsonl, write_jsonl
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(tempfile.mkdtemp(prefix="gd_jsonl_"), "docs.jsonl")
+    write_jsonl(docs, path)
+    back = load_jsonl(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+_JSONL_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+SOURCE_QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+SOURCE_ORACLES["jsonl_roundtrip"] = _JSONL_ORACLE

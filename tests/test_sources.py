@@ -367,3 +367,42 @@ def test_binary_export_with_encoding(spark, tmp_path):
     export_binary(df, p, chunk_size=16, encodings="dictionary")
     back = load_binary(spark, p)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_corrupt_record_modes(spark, tmp_path):
+    """PERMISSIVE keeps malformed lines visible in _corrupt_record;
+    DROPMALFORMED drops them; clean rows parse identically in both."""
+    from hyrise_generalized_dedup_spark.sources.jsonl import (
+        CORRUPT_COL,
+        load_jsonl,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "{not json at all\n"
+        '{"doc_id": 3, "text": "gamma"}\n'
+    )
+    schema = "doc_id bigint, text string"
+    perm = load_jsonl(spark, str(p), schema).collect()
+    assert len(perm) == 3
+    bad = [r for r in perm if r[CORRUPT_COL] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+    assert bad[0][CORRUPT_COL].startswith("{not json")
+    dropped = load_jsonl(spark, str(p), schema, mode="DROPMALFORMED").collect()
+    assert sorted(r["doc_id"] for r in dropped) == [1, 3]
+
+
+def test_jsonl_roundtrip_preserves_unicode_and_nulls(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.jsonl import (
+        load_jsonl,
+        write_jsonl,
+    )
+
+    rows = [(1, 'snøw "quoted" \\ backslash'), (2, None), (3, "中文\n tab\t")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = str(tmp_path / "u.jsonl")
+    write_jsonl(df, out, n_files=1)
+    back = load_jsonl(spark, out, "doc_id bigint, text string")
+    got = sorted((r["doc_id"], r["text"]) for r in back.collect())
+    assert got == sorted(rows)

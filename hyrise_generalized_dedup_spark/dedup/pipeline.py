@@ -385,6 +385,18 @@ def _load_input(spark: SparkSession, spec: str) -> DataFrame:
         from ..sources.icetable import resolve_input
 
         return resolve_input(spark, spec)
+    if spec.startswith("jsonl:"):
+        from ..sources.jsonl import CORRUPT_COL, load_jsonl
+
+        # the north-rule corpus schema, explicit (no inference pass);
+        # malformed lines are dropped loudly downstream: a NULL content
+        # row would poison sha256 round-trip checks
+        raw = load_jsonl(
+            spark,
+            spec.split(":", 1)[1],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        return raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return spark.read.parquet(spec)
 
 
@@ -393,7 +405,7 @@ def main() -> None:
     ap.add_argument(
         "--input",
         required=True,
-        help="parquet path, synth:N, or iceberg:<table-root>[@snapshot] "
+        help="parquet path, synth:N, jsonl:<path>, or iceberg:<table-root>[@snapshot] "
         "(snapshot-versioned table, see sources/icetable.py)",
     )
     ap.add_argument("--output", required=True)

@@ -671,3 +671,40 @@ def test_cli_auto_bands(tmp_path):
     cfg = tuned_config(0.8)
     assert cfg.bands == 8 and cfg.rows_per_band == 16
     assert os.path.isdir(os.path.join(out, "checkpoint", cfg.config_hash()))
+
+
+def test_cli_jsonl_input(spark, tmp_path):
+    """--input jsonl:<path> runs the pipeline over a JSON-lines corpus;
+    malformed lines are excluded before hashing (subprocess, CLI)."""
+    import subprocess
+    import sys
+
+    from hyrise_generalized_dedup_spark.sources.jsonl import write_jsonl
+    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+    corpus = to_spark(spark, generate(n_rows=80, seed=3))
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(corpus, path)
+    # plant one malformed line alongside the valid part files
+    with open(os.path.join(path, "zz_bad.json"), "w") as fh:
+        fh.write("{definitely not json\n")
+    out = str(tmp_path / "jsonl_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", f"jsonl:{path}",
+            "--output", out,
+            "--master", "local[2]",
+            "--no-suffix",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_files"] == 80  # the malformed line never enters
+    assert summary["n_clusters"] > 0

@@ -315,3 +315,61 @@ def test_snapshot_diff_of_append_matches_incremental_scan(spark, tmp_path):
     }
     assert added == inc == set(range(25, 40))
     assert diff.filter("change != 'added'").filter("change != 'unchanged'").count() == 0
+
+
+def test_streaming_ingest_feeds_snapshot_table_and_incremental(spark, tmp_path):
+    """The full production ingest loop: a file STREAM commits each
+    microbatch into the snapshot table via foreachBatch (atomic append
+    commits), then incremental dedup absorbs the current table read —
+    final stages bit-equal a from-scratch run over the same read."""
+    import pyspark.sql.functions as F2
+
+    from hyrise_generalized_dedup_spark.config import GDConfig
+    from hyrise_generalized_dedup_spark.dedup.incremental import incremental_update
+    from hyrise_generalized_dedup_spark.dedup.pipeline import (
+        Checkpointer,
+        run_pipeline,
+    )
+    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+    full = to_spark(spark, generate(n_rows=240, seed=31)).cache()
+    old = full.filter(F2.abs(F2.hash("commit")) % 3 != 0)
+    new = full.filter(F2.abs(F2.hash("commit")) % 3 == 0)
+
+    tbl = str(tmp_path / "tbl")
+    create_table(spark, tbl, old)
+    run_pipeline(spark, read_table(spark, tbl), str(tmp_path / "inc"), resume=False)
+
+    # stream the new batch in: parquet file source -> foreachBatch append
+    src = str(tmp_path / "ingest_src")
+    new.repartition(3).write.parquet(src)  # several files -> microbatches
+    n_commits = []
+
+    def commit_batch(batch_df, _batch_id):
+        if batch_df.count():
+            n_commits.append(append(spark, tbl, batch_df))
+
+    (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert len(n_commits) >= 2, "expected multiple microbatch commits"
+
+    summary = incremental_update(spark, read_table(spark, tbl), str(tmp_path / "inc"))
+    assert summary["n_new_files"] == new.count() > 0
+    run_pipeline(spark, read_table(spark, tbl), str(tmp_path / "scratch"), resume=False)
+
+    def rows(out_dir, stage):
+        df = Checkpointer(spark, out_dir, GDConfig()).load(stage)
+        return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+    for stage in ("edges", "clusters", "suffix"):
+        assert rows(str(tmp_path / "inc"), stage) == rows(
+            str(tmp_path / "scratch"), stage
+        ), f"stage {stage} diverged (streamed-ingest incremental vs scratch)"

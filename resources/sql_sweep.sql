@@ -3504,3 +3504,24 @@ SELECT t.b AS bucket, COUNT(*) AS n FROM (SELECT CAST(floor(CAST(o_totalprice AS
 SELECT s_suppkey FROM supplier WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM supplier);
 SELECT n_nationkey, (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_cust, (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS n_supp FROM nation n WHERE n_nationkey < 10 ORDER BY n_nationkey;
 SELECT l_returnflag, SUM(l_quantity * (1 - l_discount)) AS eff_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+
+-- ====== r5 tranche 3: trim/split_part/date_part/filters (validated:
+--  DuckDB lacks btrim; VAR_POP double accumulation differs cross-engine;
+--  CAST(x AS VARCHAR) is DuckDB-only — use STRING in shared dialect) ====
+SELECT LTRIM(' pad ') AS a, RTRIM(' pad ') AS b, TRIM(' pad ') AS c;
+SELECT split_part('a|b|c', '|', 2) AS p2, split_part('a|b|c', '|', 4) AS p4;
+SELECT p_partkey, split_part(p_type, ' ', 1) AS klass FROM part WHERE p_partkey <= 20 ORDER BY p_partkey;
+SELECT date_part('year', o_orderdate) AS y, COUNT(*) AS n FROM orders GROUP BY date_part('year', o_orderdate) ORDER BY y;
+SELECT date_part('month', ts) AS m, COUNT(*) AS n FROM events GROUP BY date_part('month', ts) ORDER BY m;
+SELECT VAR_POP(CAST(n_nationkey AS DOUBLE)) AS vp FROM nation;
+SELECT l_returnflag, MIN(l_shipdate) AS d0, MAX(l_shipdate) AS d1 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT o_orderkey, SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) OVER (PARTITION BY l_orderkey) AS n_disc FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey WHERE o_orderkey <= 10 ORDER BY o_orderkey, n_disc;
+SELECT c_mktsegment, COUNT(*) FILTER (WHERE c_acctbal < 0) AS negs, MIN(c_acctbal) AS worst FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT upper(n_name) AS u, lower(n_name) AS l FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey;
+SELECT length(p_name) AS ln, COUNT(*) AS n FROM part GROUP BY length(p_name) ORDER BY ln;
+SELECT substr(p_name, 1, 3) AS pre, COUNT(*) AS n FROM part GROUP BY substr(p_name, 1, 3) HAVING COUNT(*) >= 3 ORDER BY pre;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity IN (1, 5, 10, 25, 50);
+SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events WHERE EXTRACT(DAY FROM ts) BETWEEN 10 AND 20 GROUP BY event_type ORDER BY event_type;
+SELECT r_name, (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS n_nations FROM region r ORDER BY r_name;
+SELECT o_orderstatus, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM orders WHERE o_orderdate >= CAST('1998-01-01' AS TIMESTAMP) GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT COUNT(*) AS n FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 5000 WHERE c.c_custkey IS NULL;

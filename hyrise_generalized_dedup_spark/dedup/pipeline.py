@@ -396,7 +396,13 @@ def _load_input(spark: SparkSession, spec: str) -> DataFrame:
             spec.split(":", 1)[1],
             "repo string, path string, commit string, lang string, content string",
         )
-        return raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        # the extra content-NOT-NULL term keeps a data column in the scan's
+        # required schema: a corrupt-only filter lets downstream column
+        # pruning reduce the JSON read to just _corrupt_record, which Spark
+        # rejects (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        return raw.filter(
+            F.col(CORRUPT_COL).isNull() & F.col("content").isNotNull()
+        ).drop(CORRUPT_COL)
     return spark.read.parquet(spec)
 
 
@@ -480,22 +486,17 @@ def main() -> None:
     # up as removals of the old keeper's docs plus additions of the new
     # keeper's, and incremental_update absorbs both bit-equal to a
     # from-scratch run (dedup/incremental.py module docstring).
-    threshold_kw = (
-        {"jaccard_threshold": args.jaccard_threshold}
+    threshold = (
+        args.jaccard_threshold
         if args.jaccard_threshold is not None
-        else {}
+        else GDConfig().jaccard_threshold
     )
     if args.auto_bands:
         from .tuning import tuned_config
 
-        cfg = tuned_config(
-            threshold=args.jaccard_threshold
-            if args.jaccard_threshold is not None
-            else GDConfig().jaccard_threshold,
-            normalizer=args.normalizer,
-        )
+        cfg = tuned_config(threshold=threshold, normalizer=args.normalizer)
     else:
-        cfg = GDConfig(normalizer=args.normalizer, **threshold_kw)
+        cfg = GDConfig(normalizer=args.normalizer, jaccard_threshold=threshold)
 
     from ..session import get_spark
 

@@ -33,7 +33,8 @@ def shuffle_order(
     within, for the seeded global permutation. n_buckets must divide 16
     or be 16 here (one hex digit); callers needing more fan-out take
     more digits."""
-    assert 16 % n_buckets == 0, "n_buckets must divide 16 (one hex digit)"
+    if n_buckets < 1 or 16 % n_buckets:
+        raise ValueError("n_buckets must divide 16 (one hex digit)")
     key = F.sha2(
         F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")), 256
     )

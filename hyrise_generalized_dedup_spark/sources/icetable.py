@@ -271,11 +271,18 @@ def snapshot_diff(
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
         value_cols = sorted(c for c in df.columns if c not in key_cols)
+        # injective row encoding: each column hashes independently to a
+        # fixed-width hex token (NULL -> the non-hex marker 'null'), so
+        # no value can smuggle a separator or imitate another column's
+        # boundary — a concat_ws over raw values would collide on
+        # separator-bearing content
         digest = F.sha2(
             F.concat_ws(
-                "\x1f",
+                "|",
                 *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    F.coalesce(
+                        F.sha2(F.col(c).cast("string"), 256), F.lit("null")
+                    )
                     for c in value_cols
                 ],
             ),

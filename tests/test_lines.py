@@ -105,16 +105,13 @@ def test_strip_matches_mirror_and_invariants(spark):
 
 def test_strip_is_idempotent(spark):
     rows, df = _fixture(spark)
-    _, stripped = _mirror(rows, min_docs=3)
     cleaned = [
         (
             i,
             "\n".join(
                 ln
                 for ln in text.split("\n")
-                if (stripped[i],)  # keep mirror in scope for clarity
-                and ln.strip(" ")
-                not in {HEADER, BANNER, GEN}
+                if ln.strip(" ") not in {HEADER, BANNER, GEN}
             ),
         )
         for i, text in rows

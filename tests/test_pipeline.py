@@ -698,6 +698,9 @@ def test_cli_jsonl_input(spark, tmp_path):
             "--output", out,
             "--master", "local[2]",
             "--no-suffix",
+            # the license prefilter counts the source BEFORE caching —
+            # regression surface for corrupt-only column pruning
+            "--license-policy", "no-copyleft",
         ],
         capture_output=True,
         text=True,

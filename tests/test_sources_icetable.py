@@ -373,3 +373,29 @@ def test_streaming_ingest_feeds_snapshot_table_and_incremental(spark, tmp_path):
         assert rows(str(tmp_path / "inc"), stage) == rows(
             str(tmp_path / "scratch"), stage
         ), f"stage {stage} diverged (streamed-ingest incremental vs scratch)"
+
+
+def test_snapshot_diff_digest_is_injective(spark, tmp_path):
+    """Separator-smuggling and NULL-sentinel collisions must register as
+    modified: per-column hashing keeps the row encoding injective."""
+    from hyrise_generalized_dedup_spark.sources.icetable import (
+        create_table,
+        overwrite,
+        snapshot_diff,
+    )
+
+    schema = "doc_id long, a string, b string"
+    old = spark.createDataFrame(
+        [(1, "x\x1f", "y"), (2, "\x00", "z"), (3, "p", "q")], schema
+    )
+    new = spark.createDataFrame(
+        [(1, "x", "\x1fy"), (2, None, "z"), (3, "p", "q")], schema
+    )
+    root = str(tmp_path / "tbl")
+    s1 = create_table(spark, root, old)
+    overwrite(spark, root, new)
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(spark, root, from_snapshot_id=s1).collect()
+    }
+    assert got == {1: "modified", 2: "modified", 3: "unchanged"}

@@ -18,7 +18,9 @@ import os
 import subprocess
 import sys
 
-CANDIDATES = [
+CANDIDATES = json.loads(os.environ["GOLDEN_PROBE_CANDIDATES"]) if os.environ.get(
+    "GOLDEN_PROBE_CANDIDATES"
+) else [
     "suffix_shared_substrings",
     "g_dedup_censuses",
     "q_approx_distinct",
@@ -32,7 +34,11 @@ master, shuffle, sf_dir, out = sys.argv[1:5]
 from hyrise_generalized_dedup_spark.session import get_spark
 import __spark_entry__ as entry
 spark = get_spark(master=master, shuffle_partitions=int(shuffle))
-qs = entry.queries()
+# Driver gate names (union slots) plus every underlying component slot,
+# so candidates can be named either way.
+qs = dict(entry.queries())
+for k, v in entry._full_registries()[0].items():
+    qs.setdefault(k, v)
 res = {}
 def norm(v):
     if isinstance(v, float):

@@ -3522,6 +3522,48 @@ SELECT length(p_name) AS ln, COUNT(*) AS n FROM part GROUP BY length(p_name) ORD
 SELECT substr(p_name, 1, 3) AS pre, COUNT(*) AS n FROM part GROUP BY substr(p_name, 1, 3) HAVING COUNT(*) >= 3 ORDER BY pre;
 SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity IN (1, 5, 10, 25, 50);
 SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events WHERE EXTRACT(DAY FROM ts) BETWEEN 10 AND 20 GROUP BY event_type ORDER BY event_type;
-SELECT r_name, (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS n_nations FROM region r ORDER BY r_name;
 SELECT o_orderstatus, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM orders WHERE o_orderdate >= CAST('1998-01-01' AS TIMESTAMP) GROUP BY o_orderstatus ORDER BY o_orderstatus;
 SELECT COUNT(*) AS n FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 5000 WHERE c.c_custkey IS NULL;
+
+-- ====== r5 tranche 4: value-windows/bitops/md5/GROUPING()/OFFSET/row-values
+--  (validated via scripts/validate_sweep_candidates.py; dropped as DuckDB
+--  gaps: trailing IGNORE NULLS after window fns, width_bucket,
+--  octet_length/bit_length on VARCHAR, row-value IN <subquery>) ======
+SELECT o_orderkey, FIRST_VALUE(o_orderstatus) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey;
+SELECT o_orderkey, LAST_VALUE(o_orderstatus) OVER (ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS lv FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey;
+SELECT n_nationkey, n_nationkey & 7 AS lo3, n_nationkey | 16 AS hi FROM nation ORDER BY n_nationkey;
+SELECT o_orderkey & 255 AS b, COUNT(*) AS n FROM orders GROUP BY o_orderkey & 255 HAVING COUNT(*) > 3 ORDER BY b;
+SELECT position('N' IN n_name) AS p, n_name FROM nation WHERE n_nationkey < 8 ORDER BY n_nationkey;
+SELECT left(p_name, 4) AS pre, right(p_name, 3) AS suf FROM part WHERE p_partkey <= 15 ORDER BY p_partkey;
+SELECT left(c_mktsegment, 3) AS seg3, COUNT(*) AS n FROM customer GROUP BY left(c_mktsegment, 3) ORDER BY seg3;
+SELECT md5('abc') AS h;
+SELECT n_name, md5(n_name) AS h FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey;
+SELECT COUNT(DISTINCT md5(text)) AS n_unique FROM documents;
+SELECT make_date(1998, 7, 14) AS d;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate >= CAST(make_date(1997, 1, 1) AS TIMESTAMP);
+SELECT n_regionkey, GROUPING(n_regionkey) AS g, COUNT(*) AS n FROM nation GROUP BY ROLLUP (n_regionkey) ORDER BY g, n_regionkey NULLS FIRST;
+SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus) AS gs, GROUPING(o_orderpriority) AS gp, COUNT(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST;
+SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5 OFFSET 10;
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 7 OFFSET 3;
+SELECT COUNT(*) AS n FROM nation WHERE (n_regionkey, n_nationkey) = (0, 0);
+SELECT COUNT(*) AS n FROM nation WHERE (n_regionkey, n_nationkey) IN ((0, 0), (1, 1), (2, 99));
+SELECT r_name, EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20) AS has_late FROM region r ORDER BY r_name;
+SELECT n_nationkey, n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9900) AS rich FROM nation ORDER BY n_nationkey;
+SELECT ascii('A') AS a, chr(66) AS b;
+SELECT ascii(substr(c_mktsegment, 1, 1)) AS a0, COUNT(*) AS n FROM customer GROUP BY ascii(substr(c_mktsegment, 1, 1)) ORDER BY a0;
+SELECT repeat('ab', 3) AS r, reverse('spark') AS v;
+SELECT lpad(CAST(n_nationkey AS STRING), 4, '0') AS padded FROM nation ORDER BY n_nationkey;
+SELECT rpad(n_name, 12, '.') AS padded FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey;
+SELECT COUNT(*) AS n FROM lineitem HAVING COUNT(*) > 100;
+SELECT SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS tot FROM orders HAVING COUNT(*) > 0;
+SELECT COUNT(c.c_custkey) AS matched, COUNT(*) AS total FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000;
+SELECT n.n_name, COUNT(s.s_suppkey) AS n_supp FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n.n_name;
+SELECT ABS(-42) AS a, ABS(c_acctbal) AS b FROM customer WHERE c_custkey = 1;
+SELECT POWER(CAST(2 AS DOUBLE), CAST(10 AS DOUBLE)) AS p;
+SELECT MIN(o_orderkey * 2 - 1) AS mn, MAX(o_orderkey * 2 - 1) AS mx FROM orders;
+SELECT COUNT(*) AS n FROM supplier WHERE s_acctbal > (SELECT MIN(s_acctbal) FROM supplier) + 1000;
+SELECT COUNT(*) AS n FROM part WHERE p_size < (SELECT MAX(p_size) FROM part) - (SELECT MIN(p_size) FROM part);
+SELECT o_orderkey FROM orders o WHERE o_totalprice > (SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 0) * 0.9 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AND o_orderkey <= 200 ORDER BY o_orderkey;
+SELECT x FROM (SELECT RANK() OVER (ORDER BY n_nationkey) AS x FROM nation WHERE n_regionkey = 0) a UNION SELECT x FROM (SELECT RANK() OVER (ORDER BY n_nationkey) AS x FROM nation WHERE n_regionkey = 1) b ORDER BY x;
+SELECT r_name, COUNT(DISTINCT c_custkey) AS n_cust FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN customer c ON c.c_nationkey = n.n_nationkey WHERE c_acctbal > 0 GROUP BY r_name ORDER BY r_name;
+SELECT r_name, n_name, COUNT(*) AS n FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY r_name, n_name HAVING COUNT(*) >= 2 ORDER BY r_name, n_name;

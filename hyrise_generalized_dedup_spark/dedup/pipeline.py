@@ -437,6 +437,16 @@ def main() -> None:
         "the clusters output to <output>/manifest",
     )
     ap.add_argument(
+        "--split",
+        default=None,
+        metavar="NAME:FRAC[,NAME:FRAC...]",
+        help="add a leakage-safe split column to the retention manifest "
+        "(implies --manifest): e.g. 'train:0.98,val:0.01,test:0.01'. "
+        "Assigned per CLUSTER (functions/split.py), so near-duplicates "
+        "never straddle the train/eval boundary; pure function of "
+        "(cluster_id, salt) -> stable under incremental growth",
+    )
+    ap.add_argument(
         "--normalizer",
         choices=("raw", "format", "type2"),
         default="raw",
@@ -584,9 +594,20 @@ def main() -> None:
     if license_summary is not None:
         license_summary.setdefault("n_files_kept", n_in)
         summary["license_filter"] = license_summary
-    if args.manifest:
+    if args.manifest or args.split:
         ckpt = Checkpointer(spark, args.output, cfg, resume=True)
         manifest = retention_manifest(ckpt.load("clusters"))
+        if args.split:
+            from ..functions.split import assign_split
+
+            splits = tuple(
+                (name, float(frac))
+                for name, _, frac in (
+                    part.partition(":") for part in args.split.split(",")
+                )
+            )
+            manifest = assign_split(manifest, "cluster_id", splits=splits)
+            summary["split_spec"] = dict(splits)
         mpath = fsutil.urljoin(args.output, "manifest")
         manifest.write.mode("overwrite").parquet(mpath)
         summary["manifest_path"] = mpath

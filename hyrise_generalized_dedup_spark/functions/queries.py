@@ -1808,3 +1808,39 @@ def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fails the hash (functions/multimodal.thumbnail_features)."""
     docs = load_table(spark, sf_dir, "documents")
     return thumbnail_features(media_table_with_codecs(docs))
+
+
+from .split import (  # noqa: E402  (registered after the md5 helpers exist)
+    split_bucket,
+    split_bucket_oracle_sql,
+    split_label,
+    split_label_oracle_sql,
+)
+
+
+@_register(
+    "code_leakage_split",
+    f"""
+    SELECT doc_id,
+           md5(text) AS dup_key,
+           {split_bucket_oracle_sql("md5(text)")} AS split_bucket,
+           {split_label_oracle_sql("md5(text)")} AS split
+    FROM documents
+    """,
+)
+def code_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (functions/split.py): the
+    split is a pure function of the doc's exact-dup group key (md5 of
+    content here; the pipeline path uses the near-dup cluster id), so
+    duplicates can never straddle the train/eval boundary. The DuckDB
+    oracle recomputes the md5-derived bucket and the threshold CASE
+    bit-for-bit — both sides are generated from the same committed
+    threshold table, so the pair cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("text"))
+    return docs.select(
+        "doc_id",
+        key.alias("dup_key"),
+        split_bucket(key).alias("split_bucket"),
+        split_label(key).alias("split"),
+    )

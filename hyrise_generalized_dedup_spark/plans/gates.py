@@ -361,6 +361,10 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         # vendored/generated/test/docs/config/source over synthesized
         # per-doc paths; priority semantics pytest-oracled (test_code.py)
         ("code_file_roles", ["doc_id", "file_path", "file_role"]),
+        # round-5 leakage-safe train/val/test split (functions/split.py):
+        # group-consistent assignment from the exact-dup key; the DuckDB
+        # oracle recomputes the md5 bucket + threshold CASE bit-for-bit
+        ("code_leakage_split", ["doc_id", "dup_key", "split_bucket", "split"]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

@@ -711,3 +711,50 @@ def test_cli_jsonl_input(spark, tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["n_files"] == 80  # the malformed line never enters
     assert summary["n_clusters"] > 0
+
+
+def test_cli_split_manifest(spark, tmp_path):
+    """--split adds a leakage-safe, cluster-consistent split column to the
+    retention manifest (implies --manifest) and echoes the parsed spec in
+    the summary; the label is recomputable offline from cluster_id alone
+    (subprocess, CLI surface)."""
+    import hashlib
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "split_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", "synth:200",
+            "--output", out,
+            "--master", "local[2]",
+            "--no-suffix",
+            "--split", "train:0.9,val:0.1",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["split_spec"] == {"train": 0.9, "val": 0.1}
+    man = spark.read.parquet(summary["manifest_path"]).collect()
+    assert len(man) == summary["n_files"]
+    from hyrise_generalized_dedup_spark.functions.split import (
+        DEFAULT_SALT,
+        N_BUCKETS,
+    )
+
+    def py_label(cid: int) -> str:
+        h = hashlib.md5((str(cid) + "\x1f" + DEFAULT_SALT).encode()).hexdigest()
+        return "train" if int(h[:12], 16) % N_BUCKETS < 900000 else "val"
+
+    per_cluster = {}
+    for r in man:
+        per_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert r.split == py_label(r.cluster_id)
+    assert all(len(s) == 1 for s in per_cluster.values())

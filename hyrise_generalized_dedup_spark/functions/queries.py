@@ -1844,3 +1844,50 @@ def code_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_bucket(key).alias("split_bucket"),
         split_label(key).alias("split"),
     )
+
+
+@_register(
+    "text_heavy_lines",
+    _LINE_BODY_CTE
+    + """
+    , counts AS (
+      SELECT key AS line, CAST(count(*) AS BIGINT) AS n
+      FROM l WHERE length(key) > 0 GROUP BY key
+    ), ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, line) AS BIGINT)
+               AS rank,
+             ('0x' || substr(md5(line), 1, 12))::BIGINT AS line_key,
+             line, n
+      FROM counts
+    )
+    SELECT rank, line_key, line, n FROM ranked
+    WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def text_heavy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent trimmed lines via the two-pass heavy-hitters
+    operator (functions/heavy.py): per-partition Misra-Gries candidates
+    + an exact verify pass, certified against a missed hitter. The
+    DuckDB oracle recomputes the exact census with a full GROUP BY —
+    at driver scale capacity >> distinct lines so the sketch takes no
+    decrements and both sides are exact; MG under pressure (decrements,
+    retention guarantee, undersized failure) is oracled in
+    tests/test_heavy.py. line_key is the 48-bit md5 prefix, carried so
+    the driver's union gate can hash-check line identity as a BIGINT."""
+    from .heavy import heavy_hitters
+
+    lines = (
+        _line_body(spark, sf_dir)
+        .select(F.explode(F.split("body", "\n")).alias("raw"))
+        .select(F.trim("raw").alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    top = heavy_hitters(lines, "line", k=20, capacity=4096)
+    return top.select(
+        "rank",
+        F.conv(F.substring(F.md5("line"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("line_key"),
+        "line",
+        "n",
+    )

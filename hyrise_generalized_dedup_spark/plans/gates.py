@@ -313,6 +313,14 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(n_rows AS BIGINT) AS n1",
             "CAST(sum_ids AS BIGINT) AS n2",
         ]),
+        # round-5 two-pass heavy hitters (functions/heavy.py): MG sketch
+        # candidates + exact verify; line identity rides as the 48-bit
+        # md5-prefix key so the union gate hash-checks it as a BIGINT
+        ("heavy_lines", "text_heavy_lines", [
+            "CAST(line_key AS BIGINT) AS k",
+            "CAST(n AS BIGINT) AS n1",
+            "CAST(rank AS BIGINT) AS n2",
+        ]),
     ],
 }
 

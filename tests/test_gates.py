@@ -66,6 +66,7 @@ def test_golden_merged_gate_shape(spark, sf_tiny):
         "simhash_blocks",
         "iceberg_snapshots",
         "iceberg_diff",
+        "heavy_lines",
     }
     assert {c for c in rows[0].asDict()} == {"gate_op", "k", "n1", "n2"}
 

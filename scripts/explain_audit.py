@@ -133,6 +133,14 @@ AUDITS = {
         ["HashAggregate"],
         ["CartesianProduct", "MapInPandas", "BroadcastNestedLoopJoin"],
     ),
+    # round-5 leakage-safe split: pure map-only column math — a pruned
+    # scan, zero shuffles, zero Python (text_heavy_lines is not audited
+    # here: its returned frame is the certified k-row literal; the sketch
+    # plan is exercised in tests/test_heavy.py)
+    "code_leakage_split": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
+        ["MapInPandas", "BatchEvalPython", "Exchange"],
+    ),
 }
 
 

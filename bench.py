@@ -52,6 +52,7 @@ HEADLINE = [
     "cdc_chunk_census",
     "text_decontaminate_bloom",
     "code_line_dedup",
+    "text_heavy_lines",
 ]
 
 

@@ -3567,3 +3567,51 @@ SELECT o_orderkey FROM orders o WHERE o_totalprice > (SELECT COALESCE(SUM(CAST(l
 SELECT x FROM (SELECT RANK() OVER (ORDER BY n_nationkey) AS x FROM nation WHERE n_regionkey = 0) a UNION SELECT x FROM (SELECT RANK() OVER (ORDER BY n_nationkey) AS x FROM nation WHERE n_regionkey = 1) b ORDER BY x;
 SELECT r_name, COUNT(DISTINCT c_custkey) AS n_cust FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN customer c ON c.c_nationkey = n.n_nationkey WHERE c_acctbal > 0 GROUP BY r_name ORDER BY r_name;
 SELECT r_name, n_name, COUNT(*) AS n FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY r_name, n_name HAVING COUNT(*) >= 2 ORDER BY r_name, n_name;
+
+-- ====== r5 tranche 5: quarter/week/doy extracts, DISTINCT aggs, ILIKE,
+--  LIKE ESCAPE (non-backslash: Spark string literals eat '\'), instr,
+--  concat_ws, last_day, date_trunc month/quarter, nullif guards, 3-col
+--  rollup, FILTER fan-out, ordered-subquery shapes (validated; dropped
+--  as dialect gaps: EXTRACT(DAYOFYEAR) spelling, initcap, > ALL) ======
+SELECT EXTRACT(QUARTER FROM o_orderdate) AS q, COUNT(*) AS n FROM orders GROUP BY EXTRACT(QUARTER FROM o_orderdate) ORDER BY q;
+SELECT EXTRACT(DOY FROM ts) AS d, COUNT(*) AS n FROM events GROUP BY EXTRACT(DOY FROM ts) HAVING COUNT(*) > 30 ORDER BY d;
+SELECT EXTRACT(WEEK FROM o_orderdate) AS w, COUNT(*) AS n FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 GROUP BY EXTRACT(WEEK FROM o_orderdate) ORDER BY w;
+SELECT SUM(DISTINCT n_regionkey) AS s FROM nation;
+SELECT o_orderstatus, SUM(DISTINCT o_custkey) AS s, COUNT(DISTINCT o_custkey) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT AVG(DISTINCT CAST(p_size AS DOUBLE)) AS a FROM part;
+SELECT COUNT(*) AS n FROM part WHERE p_type LIKE 'STANDARD!%%' ESCAPE '!';
+SELECT COUNT(*) AS n FROM part WHERE p_name ILIKE 'RED%';
+SELECT COUNT(*) AS n FROM part WHERE p_name NOT ILIKE '%GREEN%';
+SELECT instr(n_name, 'AN') AS p, n_name FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey;
+SELECT concat_ws('-', n_name, CAST(n_regionkey AS STRING)) AS tag FROM nation ORDER BY n_nationkey;
+SELECT concat_ws('|', 'a', NULL, 'b') AS joined;
+SELECT last_day(o_orderdate) AS ld, COUNT(*) AS n FROM orders WHERE o_orderkey <= 200 GROUP BY last_day(o_orderdate) ORDER BY ld;
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS n FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) ORDER BY m;
+SELECT CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS q, COUNT(*) AS n FROM events GROUP BY CAST(date_trunc('quarter', ts) AS TIMESTAMP) ORDER BY q;
+SELECT p_partkey, p_size / nullif(p_size - p_size, 0) AS guarded FROM part WHERE p_partkey <= 10 ORDER BY p_partkey;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity / nullif(l_linenumber, 0) > 10;
+SELECT n_regionkey, o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation nt ON c.c_nationkey = nt.n_nationkey GROUP BY ROLLUP (n_regionkey, o_orderstatus, o_orderpriority) HAVING COUNT(*) > 500 ORDER BY n_regionkey NULLS FIRST, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST;
+SELECT floor(pi()) AS f, ceil(pi()) AS c;
+SELECT log2(CAST(8 AS DOUBLE)) AS l3, log2(CAST(1024 AS DOUBLE)) AS l10;
+SELECT factorial(5) AS f;
+SELECT COUNT(*) AS n FROM (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) t;
+SELECT MAX(price) AS worst FROM (SELECT o_totalprice AS price FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 50) t;
+SELECT t.k, COUNT(*) AS n FROM (SELECT CAST(c_custkey % 10 AS BIGINT) AS k FROM customer) t GROUP BY t.k ORDER BY t.k;
+SELECT r_name FROM region CROSS JOIN (SELECT MAX(n_regionkey) AS m FROM nation) t WHERE r_regionkey = t.m;
+SELECT ifnull(NULL, 'fallback') AS a, ifnull('x', 'fallback') AS b;
+SELECT c_custkey, ifnull(CAST(NULL AS STRING), c_mktsegment) AS seg FROM customer WHERE c_custkey <= 5 ORDER BY c_custkey;
+SELECT o_orderstatus, MIN(CAST(o_orderdate AS STRING)) AS first_d, MAX(CAST(o_orderdate AS STRING)) AS last_d FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT user_id, CAST(MIN(ts) AS STRING) AS first_seen FROM events GROUP BY user_id HAVING COUNT(*) > 30 ORDER BY user_id;
+SELECT n_name FROM nation ORDER BY CASE WHEN n_regionkey = 0 THEN 0 ELSE 1 END, n_name LIMIT 10;
+SELECT p_brand FROM part GROUP BY p_brand ORDER BY COUNT(*) DESC, p_brand LIMIT 5;
+SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey LIMIT 20;
+SELECT x.n_name, y.n_name AS peer FROM nation x JOIN nation y ON x.n_regionkey = y.n_regionkey AND x.n_nationkey < y.n_nationkey WHERE x.n_regionkey = 2 ORDER BY x.n_name, peer;
+SELECT e1.user_id, COUNT(*) AS n FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e1.event_type = 'signup' GROUP BY e1.user_id HAVING COUNT(*) > 40 ORDER BY e1.user_id;
+SELECT repeat(n_name, 2) AS twice FROM nation WHERE n_nationkey < 4 ORDER BY n_nationkey;
+SELECT upper(concat(substr(n_name, 1, 1), lower(substr(n_name, 2, 30)))) AS cased FROM nation ORDER BY n_nationkey;
+SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS orders_n, COUNT(DISTINCT l_partkey) AS parts_n FROM lineitem WHERE l_quantity = 1;
+SELECT o_orderpriority, COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n, COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n, COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_rev FROM lineitem;
+SELECT g, COUNT(*) AS n FROM (SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS g FROM customer) t GROUP BY g ORDER BY g;
+SELECT event_type, COUNT(*) AS n FROM events WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL '7' DAY GROUP BY event_type ORDER BY event_type;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate = (SELECT MIN(o_orderdate) FROM orders);

@@ -444,7 +444,9 @@ def main() -> None:
         "(implies --manifest): e.g. 'train:0.98,val:0.01,test:0.01'. "
         "Assigned per CLUSTER (functions/split.py), so near-duplicates "
         "never straddle the train/eval boundary; pure function of "
-        "(cluster_id, salt) -> stable under incremental growth",
+        "(cluster_id, salt). Under --incremental a cluster whose id "
+        "changes (new minimum member, or a merge) re-draws its split — "
+        "diff the manifest across increments to catch flips",
     )
     ap.add_argument(
         "--normalizer",

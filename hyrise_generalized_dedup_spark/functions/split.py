@@ -11,8 +11,14 @@ lands in the same split by construction.
 Scale shape: the group key is already present on each row, so assignment
 is a map-only column expression — no shuffle, no state, no Python — and
 the decision is a pure function of (key, salt), so it is stable across
-runs, cluster sizes, partitionings, and incremental corpus growth (a new
-member of an old cluster joins its cluster's split).
+runs, cluster sizes, and partitionings. Under incremental corpus growth
+the label is exactly as stable as the group key itself: a new member of
+an old cluster joins its cluster's split, but if growth RE-KEYS a group
+(the pipeline's cluster_id is the min member key, so a cluster that
+gains a new minimum, or two clusters that merge, get a new id) that
+group re-draws its split — callers who refresh a served corpus should
+diff the manifest's split column across increments and quarantine flips
+rather than assume immutability.
 
 The bucket hash is md5-based rather than xxhash64 so the exact assignment
 is reproducible OUTSIDE Spark bit-for-bit (the driver's DuckDB oracle and

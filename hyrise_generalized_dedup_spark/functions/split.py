@@ -129,6 +129,27 @@ def assign_split(
     """Add a group-consistent split column: every row sharing
     ``group_col`` gets the same label, so dup groups never straddle a
     split boundary. Map-only (the key is on the row); deterministic in
-    (key, salt) only — stable under repartitioning, parallelism, and
-    incremental growth."""
+    (key, salt) only — stable under repartitioning and parallelism, and
+    exactly as stable under incremental growth as the group key is (see
+    the module docstring; diff generations with split_flip_census)."""
     return df.withColumn(out_col, split_label(F.col(group_col), splits, salt))
+
+
+def split_flip_census(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_key",
+    split_col: str = "split",
+) -> DataFrame:
+    """The post-refresh diff from the module docstring: join two manifest
+    generations on the doc key and census (old_split, new_split, n).
+    Rows with old_split NULL are additions, new_split NULL removals, and
+    any off-diagonal non-NULL pair is a re-drawn group to quarantine.
+    Census-bounded output (<= (n_splits+1)^2 rows)."""
+    o = old.select(F.col(key_col), F.col(split_col).alias("old_split"))
+    n = new.select(F.col(key_col), F.col(split_col).alias("new_split"))
+    return (
+        o.join(n, key_col, "full")
+        .groupBy("old_split", "new_split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -154,3 +154,27 @@ def test_cluster_level_split_on_pipeline_schema(spark):
         b = _py_bucket(str(cid))
         expect = next(name for name, upper in thresholds if b < upper)
         assert label == expect
+
+
+def test_split_flip_census(spark):
+    from hyrise_generalized_dedup_spark.functions.split import split_flip_census
+
+    old = spark.createDataFrame(
+        [("a", "train"), ("b", "train"), ("c", "val"), ("gone", "train")],
+        "doc_key string, split string",
+    )
+    new = spark.createDataFrame(
+        [("a", "train"), ("b", "val"), ("c", "val"), ("added", "train")],
+        "doc_key string, split string",
+    )
+    got = {
+        (r.old_split, r.new_split): r.n
+        for r in split_flip_census(old, new).collect()
+    }
+    assert got == {
+        ("train", "train"): 1,   # a stayed
+        ("train", "val"): 1,     # b flipped — quarantine
+        ("val", "val"): 1,       # c stayed
+        ("train", None): 1,      # gone removed
+        (None, "train"): 1,      # added
+    }

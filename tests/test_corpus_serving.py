@@ -1,0 +1,98 @@
+"""End-to-end corpus-serving journey: the composition a training-data
+user actually runs — dedup pipeline -> retention manifest -> leakage-safe
+split -> served (kept, train) corpus -> deterministic global shuffle —
+asserting the global properties each stage promises still hold after
+composition, against the synth generator's dup ground truth."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyrise_generalized_dedup_spark.dedup.pipeline import (
+    retention_manifest,
+    run_pipeline,
+)
+from hyrise_generalized_dedup_spark.functions.shuffle import shuffle_order
+from hyrise_generalized_dedup_spark.functions.split import assign_split
+from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("serve_out")
+    corpus = generate(n_rows=300, seed=7)
+    docs = to_spark(spark, corpus)
+    run_pipeline(spark, docs, str(out), resume=False, with_suffix_stage=False)
+    from hyrise_generalized_dedup_spark.config import GDConfig
+
+    clusters = spark.read.parquet(
+        f"{out}/checkpoint/{GDConfig().config_hash()}/clusters"
+    )
+    manifest = assign_split(
+        retention_manifest(clusters),
+        "cluster_id",
+        splits=(("train", 0.8), ("val", 0.2)),
+    ).persist()
+    served_keys = manifest.filter(
+        F.col("keep") & (F.col("split") == "train")
+    ).select("doc_key", "cluster_id")
+    yield corpus, manifest, served_keys
+    manifest.unpersist()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_served_corpus_is_dedup_and_leak_free(served):
+    corpus, manifest, served_keys = served
+    rows = manifest.collect()
+    by_key = {r.doc_key: r for r in rows}
+    served = {r.doc_key for r in served_keys.collect()}
+
+    # one served doc per cluster, never from a val cluster
+    seen_clusters = set()
+    for k in served:
+        r = by_key[k]
+        assert r.split == "train" and r.keep
+        assert r.cluster_id not in seen_clusters
+        seen_clusters.add(r.cluster_id)
+
+    # ground truth: an exact-dup group contributes at most one served doc,
+    # and its non-served members share the served member's split (no
+    # member of a served group can sit in val: leakage guard holds
+    # through the full composition)
+    key_of = {c[2]: f"{c[0]}|{c[1]}|{c[2]}" for c in corpus.rows}
+    for group in corpus.exact_groups:
+        keys = [key_of[c] for c in group]
+        assert sum(k in served for k in keys) <= 1
+        splits = {by_key[k].split for k in keys}
+        assert len(splits) == 1, f"group straddles splits: {splits}"
+
+
+def test_split_fractions_at_cluster_granularity(served):
+    _, manifest, _ = served
+    per_cluster = manifest.select("cluster_id", "split").distinct()
+    counts = dict(
+        per_cluster.groupBy("split").count().collect()
+    )
+    total = sum(counts.values())
+    # 80/20 within a generous tolerance for a few hundred clusters
+    assert abs(counts.get("train", 0) / total - 0.8) < 0.12
+
+
+def test_served_shuffle_is_a_deterministic_permutation(served):
+    _, _, served_keys = served
+    base = served_keys.withColumn("doc_id", F.xxhash64("doc_key"))
+    a = shuffle_order(base.repartition(3), seed="serve-v1")
+    b = shuffle_order(base.repartition(11), seed="serve-v1")
+    rows_a = sorted(
+        (r.bucket, r.rank_in_bucket, r.doc_id) for r in a.collect()
+    )
+    rows_b = sorted(
+        (r.bucket, r.rank_in_bucket, r.doc_id) for r in b.collect()
+    )
+    assert rows_a == rows_b  # partitioning-invariant total order
+    n = base.count()
+    assert len({(x[0], x[1]) for x in rows_a}) == n  # a real permutation
+    assert len({x[2] for x in rows_a}) == n

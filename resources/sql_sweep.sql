@@ -3615,3 +3615,45 @@ SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_returnfl
 SELECT g, COUNT(*) AS n FROM (SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS g FROM customer) t GROUP BY g ORDER BY g;
 SELECT event_type, COUNT(*) AS n FROM events WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL '7' DAY GROUP BY event_type ORDER BY event_type;
 SELECT COUNT(*) AS n FROM orders WHERE o_orderdate = (SELECT MIN(o_orderdate) FROM orders);
+
+-- ====== r5 tranche 6: min_by/max_by, any_value/mode on unique-mode data,
+--  USING over derived tables, GROUP BY ordinals, ORDER BY ALL, recursive
+--  CTEs (fibonacci, doubling), substring FROM/FOR, TRIM LEADING/TRAILING/
+--  BOTH, lpad/rpad truncation, decimal arithmetic, string BETWEEN,
+--  parenthesized set-op branches with inner ORDER BY+LIMIT (validated) ======
+SELECT max_by(n_name, n_nationkey) AS last_nation FROM nation;
+SELECT min_by(n_name, n_nationkey) AS first_nation FROM nation;
+SELECT n_regionkey, max_by(n_name, n_nationkey) AS latest FROM nation GROUP BY n_regionkey ORDER BY n_regionkey;
+SELECT o_orderstatus, max_by(o_orderkey, o_totalprice) AS priciest FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT any_value(n_name) AS nm FROM nation GROUP BY n_nationkey ORDER BY nm;
+SELECT mode(o_orderstatus) AS m FROM orders;
+SELECT a.k, a.n_name, b.n FROM (SELECT n_nationkey AS k, n_name FROM nation) a JOIN (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) b USING (k) ORDER BY a.k;
+SELECT k, SUM(n) AS total FROM (SELECT o_orderstatus AS k, COUNT(*) AS n FROM orders GROUP BY 1) t GROUP BY 1 ORDER BY 1;
+SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY ALL ORDER BY ALL;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders GROUP BY ALL ORDER BY ALL;
+WITH RECURSIVE fib(a, b, i) AS (SELECT 0, 1, 1 UNION ALL SELECT b, a + b, i + 1 FROM fib WHERE i < 20) SELECT MAX(a) AS f20 FROM fib;
+WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n * 2 FROM t WHERE n < 500) SELECT SUM(n) AS s, COUNT(*) AS c FROM t;
+SELECT substring(n_name FROM 2 FOR 3) AS mid FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey;
+SELECT substring('abcdefgh' FROM 4) AS tail_s;
+SELECT TRIM(LEADING '0' FROM '00012') AS a, TRIM(TRAILING 'x' FROM '12xx') AS b;
+SELECT TRIM(BOTH '*' FROM '**star**') AS s;
+SELECT lpad('abcdef', 3, 'x') AS trunc_l, rpad('abcdef', 3, 'x') AS trunc_r;
+SELECT CAST(CAST(1.10 AS DECIMAL(10,2)) + CAST(2.05 AS DECIMAL(10,2)) AS DOUBLE) AS s;
+SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS doubled FROM orders WHERE o_orderkey <= 10 ORDER BY o_orderkey;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate >= CAST(CAST('1997-03-05' AS DATE) AS TIMESTAMP);
+SELECT n_name FROM nation WHERE n_name BETWEEN 'A' AND 'D' ORDER BY n_name;
+SELECT COUNT(*) AS n FROM part WHERE p_brand BETWEEN 'Brand#21' AND 'Brand#33';
+SELECT * FROM (SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3) a UNION ALL SELECT * FROM (SELECT n_name FROM nation ORDER BY n_nationkey DESC LIMIT 3) b ORDER BY n_name;
+SELECT CAST(1e3 AS BIGINT) AS k, CAST(0.5 * 4 AS BIGINT) AS two;
+SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY n DESC NULLS LAST, c_mktsegment;
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (1, 2, 3) OR o_orderkey BETWEEN 30 AND 33 ORDER BY o_orderkey;
+SELECT stddev_pop(CAST(n_nationkey AS DOUBLE)) AS sp FROM nation;
+SELECT l_returnflag, MIN(l_quantity + 0) AS mn, MAX(l_quantity * 1) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT COUNT(*) AS n FROM supplier s JOIN nation nt ON s.s_nationkey = nt.n_nationkey WHERE nt.n_name BETWEEN 'E' AND 'N';
+SELECT EXTRACT(YEAR FROM o_orderdate) AS y, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT t.lang, t.n FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) t WHERE t.n > 10 ORDER BY t.lang;
+SELECT doc_id, length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents WHERE doc_id < 10 ORDER BY doc_id;
+SELECT source, MIN(n_chars) AS mn, MAX(n_chars) AS mx, COUNT(*) AS n FROM documents GROUP BY source ORDER BY source;
+SELECT COUNT(*) AS n FROM embeddings;
+SELECT t.b, COUNT(*) AS n FROM (SELECT CAST(vec_id % 16 AS BIGINT) AS b FROM embeddings) t GROUP BY t.b ORDER BY t.b;
+SELECT e.event_type, COUNT(DISTINCT EXTRACT(HOUR FROM e.ts)) AS hours FROM events e GROUP BY e.event_type ORDER BY e.event_type;

@@ -3657,3 +3657,37 @@ SELECT source, MIN(n_chars) AS mn, MAX(n_chars) AS mx, COUNT(*) AS n FROM docume
 SELECT COUNT(*) AS n FROM embeddings;
 SELECT t.b, COUNT(*) AS n FROM (SELECT CAST(vec_id % 16 AS BIGINT) AS b FROM embeddings) t GROUP BY t.b ORDER BY t.b;
 SELECT e.event_type, COUNT(DISTINCT EXTRACT(HOUR FROM e.ts)) AS hours FROM events e GROUP BY e.event_type ORDER BY e.event_type;
+
+-- ====== r5 tranche 7: multi-window selects, bool->int casts,
+--  COUNT(DISTINCT CASE), left-join chains with coalesce defaults,
+--  composite-key EXCEPT, date-scalar-subquery BETWEEN windows, HAVING
+--  with OR of aggregates, CASE reused in GROUP BY+select, EXISTS AND
+--  NOT EXISTS pairs, grouping sets over documents (validated; dropped:
+--  GROUPS window frames do not parse in Spark SQL) ======
+SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn, SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run, COUNT(*) OVER (PARTITION BY o_orderpriority) AS prio_n FROM orders WHERE o_orderkey <= 15 ORDER BY o_orderkey;
+SELECT l_orderkey, l_linenumber, SUM(l_quantity) OVER (PARTITION BY l_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS order_qty FROM lineitem WHERE l_orderkey <= 8 ORDER BY l_orderkey, l_linenumber;
+SELECT CAST(o_totalprice > 100000 AS INTEGER) AS big, COUNT(*) AS n FROM orders GROUP BY CAST(o_totalprice > 100000 AS INTEGER) ORDER BY big;
+SELECT n_name, CAST(n_regionkey = 0 AS INTEGER) AS in_r0 FROM nation ORDER BY in_r0 DESC, n_name LIMIT 10;
+SELECT COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS f_custs, COUNT(DISTINCT o_custkey) AS all_custs FROM orders;
+SELECT c_mktsegment, COUNT(DISTINCT CASE WHEN c_acctbal > 5000 THEN c_nationkey END) AS rich_nations FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT o.o_orderkey, coalesce(c.c_mktsegment, 'NO_CUST') AS seg, coalesce(n.n_name, 'NO_NATION') AS nat FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE o.o_orderkey <= 30 ORDER BY o.o_orderkey;
+SELECT coalesce(seg, 'total') AS seg2, SUM(n) AS n FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY ROLLUP (c_mktsegment)) t GROUP BY coalesce(seg, 'total') ORDER BY seg2;
+SELECT n_regionkey, n_nationkey FROM nation EXCEPT SELECT n_regionkey, n_nationkey FROM nation WHERE n_nationkey < 10 ORDER BY n_regionkey, n_nationkey;
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey <= 50 EXCEPT SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate BETWEEN (SELECT MIN(o_orderdate) FROM orders) AND (SELECT MIN(o_orderdate) FROM orders) + INTERVAL '30' DAY;
+SELECT event_type, COUNT(*) AS n FROM events WHERE ts BETWEEN (SELECT MIN(ts) FROM events) AND (SELECT MIN(ts) FROM events) + INTERVAL '2' DAY GROUP BY event_type ORDER BY event_type;
+SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS mn FROM part GROUP BY p_brand HAVING COUNT(*) > 12 OR MIN(p_size) <= 2 ORDER BY p_brand;
+SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 1000 OR MAX(o_totalprice) > 400000 ORDER BY o_orderpriority;
+SELECT CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS sz, COUNT(*) AS n, MIN(p_size) AS mn FROM part GROUP BY CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END ORDER BY sz;
+SELECT r_name, MIN(n_name) AS a, MAX(n_name) AS z FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey GROUP BY r_name ORDER BY r_name;
+SELECT EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS ym, COUNT(*) AS n FROM orders WHERE o_orderkey <= 500 GROUP BY EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) ORDER BY ym;
+SELECT (n_nationkey + 3) % 5 AS m, COUNT(*) AS n FROM nation GROUP BY (n_nationkey + 3) % 5 ORDER BY m;
+SELECT 'x' AS tag, 1 AS v UNION ALL SELECT 'y', 2 UNION ALL SELECT 'z', 3 UNION ALL SELECT 'w', 4 ORDER BY tag;
+SELECT s_suppkey FROM supplier WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s_suppkey AND (l.l_quantity > 45 OR l.l_discount > 0.09)) ORDER BY s_suppkey LIMIT 15;
+SELECT user_id FROM (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id) AS n FROM events WHERE event_type = 'purchase') t WHERE n >= 10 GROUP BY user_id ORDER BY user_id;
+SELECT dense_rank_v, COUNT(*) AS n FROM (SELECT DENSE_RANK() OVER (ORDER BY p_size) AS dense_rank_v FROM part) t GROUP BY dense_rank_v ORDER BY dense_rank_v;
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS rev, l_linestatus FROM lineitem WHERE l_shipdate < CAST('1998-09-01' AS TIMESTAMP) GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') ORDER BY c_custkey LIMIT 20;
+SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY GROUPING SETS ((lang), (source), (lang, source)) ORDER BY lang NULLS FIRST, source NULLS FIRST;
+SELECT doc_id FROM documents WHERE length(text) > (SELECT CAST(AVG(CAST(length(text) AS DOUBLE)) AS DOUBLE) FROM documents) * 1.5 ORDER BY doc_id LIMIT 25;
+SELECT upper(substr(source, 1, 3)) AS pre, COUNT(DISTINCT lang) AS langs FROM documents GROUP BY upper(substr(source, 1, 3)) ORDER BY pre;

@@ -3691,3 +3691,31 @@ SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_
 SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY GROUPING SETS ((lang), (source), (lang, source)) ORDER BY lang NULLS FIRST, source NULLS FIRST;
 SELECT doc_id FROM documents WHERE length(text) > (SELECT CAST(AVG(CAST(length(text) AS DOUBLE)) AS DOUBLE) FROM documents) * 1.5 ORDER BY doc_id LIMIT 25;
 SELECT upper(substr(source, 1, 3)) AS pre, COUNT(DISTINCT lang) AS langs FROM documents GROUP BY upper(substr(source, 1, 3)) ORDER BY pre;
+
+-- ====== r5 tranche 8: NULL semantics in set ops and grouping (NULLs
+--  compare equal for UNION/INTERSECT/GROUP BY distinctness), count_if,
+--  OFFSET without LIMIT, EXISTS with inner ORDER BY+LIMIT, 3-level
+--  nested derived tables, CASE over IN lists, DESC NULLS FIRST, share-
+--  of-total via CROSS JOIN of a 1-row aggregate (validated; dropped as
+--  gaps: EXTRACT(EPOCH) is DuckDB-only, l_shipmode/p_container absent
+--  from this testdata schema) ======
+SELECT value FROM events WHERE value IS NULL UNION SELECT value FROM events WHERE value IS NULL;
+SELECT value FROM events WHERE value IS NULL INTERSECT SELECT value FROM events WHERE value IS NULL;
+SELECT v, COUNT(*) AS n FROM (SELECT CASE WHEN value IS NULL THEN NULL ELSE floor(value / 25) END AS v FROM events) t GROUP BY v ORDER BY v NULLS FIRST;
+SELECT user_id, value FROM events WHERE user_id <= 2 ORDER BY value DESC NULLS FIRST, ts LIMIT 10;
+SELECT count_if(o_totalprice > 100000) AS big, COUNT(*) AS n FROM orders;
+SELECT o_orderstatus, count_if(o_orderpriority = '1-URGENT') AS urgent FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT n_name FROM nation ORDER BY n_nationkey OFFSET 20;
+SELECT c_custkey FROM customer ORDER BY c_custkey OFFSET 495;
+SELECT r_name FROM region r WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey ORDER BY n.n_nationkey LIMIT 1) ORDER BY r_name;
+SELECT t3.seg, t3.n FROM (SELECT t2.seg, COUNT(*) AS n FROM (SELECT t1.c_mktsegment AS seg FROM (SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 0) t1) t2 GROUP BY t2.seg) t3 ORDER BY t3.seg;
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'fast' WHEN o_orderpriority IN ('3-MEDIUM') THEN 'mid' ELSE 'slow' END AS sp, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY sp;
+SELECT MIN(value) AS mn, MAX(value) AS mx, COUNT(value) AS non_null, COUNT(*) AS total FROM events;
+SELECT event_type, SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type;
+SELECT a.n_nationkey, b.mx FROM nation a JOIN (SELECT n_regionkey, MAX(n_nationkey) AS mx FROM nation GROUP BY n_regionkey) b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey = b.mx ORDER BY a.n_nationkey;
+SELECT o_orderstatus, COUNT(*) AS n FROM orders WHERE o_custkey IN (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT coalesce((SELECT MAX(s_acctbal) FROM supplier WHERE s_nationkey = 999), CAST(-1 AS DECIMAL(15,2))) AS fallback;
+SELECT l_linestatus, l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_linestatus, l_returnflag HAVING NOT (COUNT(*) < 100) ORDER BY l_linestatus, l_returnflag;
+SELECT x.event_type, x.n, y.total, CAST(x.n AS DOUBLE) / y.total AS frac FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type) x CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events) y ORDER BY x.event_type;
+SELECT n_regionkey, COUNT(*) AS n FROM nation WHERE n_name > 'M' GROUP BY n_regionkey ORDER BY n_regionkey DESC;
+SELECT source, lang, n_chars FROM documents WHERE doc_id IN (0, 1, 2) ORDER BY doc_id;

@@ -50,6 +50,13 @@ def mg_candidates(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
+    dtype = df.schema[col].dataType.simpleString()
+    if dtype != "string":
+        raise TypeError(
+            f"heavy hitters runs over a string column; {col!r} is {dtype}"
+            " — cast upstream (the item survives two passes and a driver"
+            " collect, so the caller should pick the representation)"
+        )
 
     def summarize(batches):
         import pandas as pd

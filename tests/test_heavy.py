@@ -102,3 +102,9 @@ def test_text_heavy_lines_matches_duckdb(spark, sf_tiny):
     df = TEXT_QUERIES["text_heavy_lines"](spark, sf_tiny)
     ok, msg = compare_to_duckdb(df, TEXT_ORACLES["text_heavy_lines"], sf_tiny)
     assert ok, msg
+
+
+def test_non_string_column_rejected(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(TypeError, match="string column"):
+        mg_candidates(df, "v", capacity=4)

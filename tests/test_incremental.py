@@ -127,3 +127,46 @@ def test_incremental_pure_deletion_equals_scratch(spark, tmp_path):
         ), f"stage {stage} diverged under pure deletion"
     shutil.rmtree(inc_dir, ignore_errors=True)
     shutil.rmtree(scratch_dir, ignore_errors=True)
+
+
+def test_incremental_split_flip_census(spark, tmp_path):
+    """Round-5 composition: retention manifest + leakage-safe split across
+    an incremental refresh. Growth re-keys some clusters (new minimum
+    member or merges), so cluster-keyed splits may flip — the flip census
+    must account for every doc, report no removals on pure growth, and
+    flips may occur only where the doc's cluster id changed."""
+    from hyrise_generalized_dedup_spark.dedup.pipeline import retention_manifest
+    from hyrise_generalized_dedup_spark.functions.split import (
+        assign_split,
+        split_flip_census,
+    )
+
+    full, old = _split(spark, 400, 3)
+    out = str(tmp_path / "grow_split")
+    run_pipeline(spark, old, out, resume=False)
+    clusters_v1 = Checkpointer(spark, out, GDConfig()).load("clusters")
+    m1_lazy = assign_split(retention_manifest(clusters_v1), "cluster_id")
+    # freeze generation 1: the incremental update rewrites the clusters
+    # checkpoint in place, so m1's lineage would read deleted files
+    rows1_list = m1_lazy.collect()
+    m1 = spark.createDataFrame(rows1_list, schema=m1_lazy.schema)
+    rows1 = {r.doc_key: r for r in rows1_list}
+
+    incremental_update(spark, full, out)
+    clusters_v2 = Checkpointer(spark, out, GDConfig()).load("clusters")
+    m2 = assign_split(retention_manifest(clusters_v2), "cluster_id")
+    rows2 = {r.doc_key: r for r in m2.collect()}
+
+    census = {
+        (r.old_split, r.new_split): r.n
+        for r in split_flip_census(m1, m2).collect()
+    }
+    assert sum(census.values()) == len(set(rows1) | set(rows2))
+    assert not any(new is None for _, new in census)  # pure growth
+    added = sum(n for (o, _), n in census.items() if o is None)
+    assert added == len(rows2) - len(rows1) > 0
+    for key, r1 in rows1.items():
+        r2 = rows2[key]
+        if r1.split != r2.split:
+            assert r1.cluster_id != r2.cluster_id, key
+    shutil.rmtree(out, ignore_errors=True)

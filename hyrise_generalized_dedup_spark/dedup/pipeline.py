@@ -493,6 +493,23 @@ def main() -> None:
         "pair with --fresh when toggling on an existing output dir",
     )
     args = ap.parse_args()
+    split_spec = None
+    if args.split:
+        # parse AND validate before any work: a malformed spec must fail
+        # in milliseconds, not after the whole pipeline has run
+        try:
+            from ..functions.split import _thresholds
+
+            parts = []
+            for part in args.split.split(","):
+                name, sep, frac = part.partition(":")
+                if not sep or not name:
+                    raise ValueError(f"expected NAME:FRAC, got {part!r}")
+                parts.append((name, float(frac)))
+            split_spec = tuple(parts)
+            _thresholds(split_spec)
+        except ValueError as e:
+            ap.error(f"--split {args.split!r}: {e}")
     # --repo-dedup composes with --incremental since removal support
     # landed: a keeper flip (a new larger fork wins the election) shows
     # up as removals of the old keeper's docs plus additions of the new
@@ -599,17 +616,11 @@ def main() -> None:
     if args.manifest or args.split:
         ckpt = Checkpointer(spark, args.output, cfg, resume=True)
         manifest = retention_manifest(ckpt.load("clusters"))
-        if args.split:
+        if split_spec:
             from ..functions.split import assign_split
 
-            splits = tuple(
-                (name, float(frac))
-                for name, _, frac in (
-                    part.partition(":") for part in args.split.split(",")
-                )
-            )
-            manifest = assign_split(manifest, "cluster_id", splits=splits)
-            summary["split_spec"] = dict(splits)
+            manifest = assign_split(manifest, "cluster_id", splits=split_spec)
+            summary["split_spec"] = dict(split_spec)
         mpath = fsutil.urljoin(args.output, "manifest")
         manifest.write.mode("overwrite").parquet(mpath)
         summary["manifest_path"] = mpath

@@ -758,3 +758,34 @@ def test_cli_split_manifest(spark, tmp_path):
         per_cluster.setdefault(r.cluster_id, set()).add(r.split)
         assert r.split == py_label(r.cluster_id)
     assert all(len(s) == 1 for s in per_cluster.values())
+
+
+@pytest.mark.parametrize(
+    "bad", ["train=0.9,val=0.1", "train:0.9", "train:0.9,val:abc", ":0.5,x:0.5"]
+)
+def test_cli_split_spec_validated_before_any_work(tmp_path, bad):
+    """A malformed --split spec must fail at argument time (exit 2, usage
+    error naming the spec), not after the pipeline has run."""
+    import subprocess
+    import sys
+    import time
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", "synth:50",
+            "--output", str(tmp_path / "never_created"),
+            "--split", bad,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60,
+    )
+    assert proc.returncode == 2, proc.stderr[-500:]
+    assert "--split" in proc.stderr
+    assert time.time() - t0 < 30  # no Spark session was started
+    assert not os.path.exists(str(tmp_path / "never_created"))

@@ -493,6 +493,15 @@ def main() -> None:
         "pair with --fresh when toggling on an existing output dir",
     )
     args = ap.parse_args()
+    if args.input.startswith("synth:"):
+        # same fast-fail rule as --split: reject a malformed row count
+        # before the JVM starts
+        try:
+            n_synth = int(args.input.split(":", 1)[1])
+            if n_synth < 1:
+                raise ValueError("row count must be >= 1")
+        except ValueError as e:
+            ap.error(f"--input {args.input!r}: {e}")
     split_spec = None
     if args.split:
         # parse AND validate before any work: a malformed spec must fail

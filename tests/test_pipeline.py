@@ -789,3 +789,27 @@ def test_cli_split_spec_validated_before_any_work(tmp_path, bad):
     assert "--split" in proc.stderr
     assert time.time() - t0 < 30  # no Spark session was started
     assert not os.path.exists(str(tmp_path / "never_created"))
+
+
+@pytest.mark.parametrize("bad", ["synth:abc", "synth:", "synth:0", "synth:-5"])
+def test_cli_synth_input_validated_before_any_work(tmp_path, bad):
+    """A malformed synth:N input spec fails at argument time (exit 2)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hyrise_generalized_dedup_spark.dedup.pipeline",
+            "--input", bad,
+            "--output", str(tmp_path / "never"),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60,
+    )
+    assert proc.returncode == 2, proc.stderr[-500:]
+    assert "--input" in proc.stderr
+    assert not os.path.exists(str(tmp_path / "never"))

@@ -3719,3 +3719,26 @@ SELECT l_linestatus, l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_linest
 SELECT x.event_type, x.n, y.total, CAST(x.n AS DOUBLE) / y.total AS frac FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type) x CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events) y ORDER BY x.event_type;
 SELECT n_regionkey, COUNT(*) AS n FROM nation WHERE n_name > 'M' GROUP BY n_regionkey ORDER BY n_regionkey DESC;
 SELECT source, lang, n_chars FROM documents WHERE doc_id IN (0, 1, 2) ORDER BY doc_id;
+
+-- ====== r5 tranche 9: TPC-H-adjacent analytic shapes on this schema —
+--  order-count distribution via LEFT JOIN (Q13-style), IN over grouped
+--  HAVING sums (Q18-style), OR-of-conjunction part scans (Q19-style),
+--  conditional revenue share with a double division of exact decimal
+--  sums (Q14-style), group sum vs scaled global scalar (Q11-style),
+--  correlated per-segment averages, rank-over-aggregate windows, and
+--  tax/discount revenue ladders (validated, 15/15 first pass) ======
+SELECT c_count, COUNT(*) AS custdist FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC;
+SELECT o.o_orderkey, o.o_orderdate, CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) GROUP BY o.o_orderkey, o.o_orderdate ORDER BY o.o_orderkey;
+SELECT COUNT(*) AS n FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5) OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10) OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15);
+SELECT CAST(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS promo_share FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE l.l_shipdate >= CAST('1997-01-01' AS TIMESTAMP) AND l.l_shipdate < CAST('1997-02-01' AS TIMESTAMP);
+SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS value FROM lineitem GROUP BY l_partkey HAVING SUM(CAST(l_extendedprice AS DECIMAL(38,6))) > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(38,6))) * 0.001 FROM lineitem) ORDER BY value DESC, l_partkey;
+SELECT s.s_suppkey, COUNT(DISTINCT l.l_partkey) AS parts FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey GROUP BY s.s_suppkey HAVING COUNT(DISTINCT l.l_partkey) >= (SELECT MAX(cnt) FROM (SELECT COUNT(DISTINCT l2.l_partkey) AS cnt FROM lineitem l2 GROUP BY l2.l_suppkey) m) ORDER BY s.s_suppkey;
+SELECT r_name, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS rev FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN supplier s ON s.s_nationkey = n.n_nationkey JOIN lineitem l ON l.l_suppkey = s.s_suppkey GROUP BY r_name ORDER BY r_name;
+SELECT yr, CAST(SUM(CASE WHEN n_name = 'FRANCE' THEN vol ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS france_vol, CAST(SUM(vol) AS DOUBLE) AS total_vol FROM (SELECT EXTRACT(YEAR FROM l.l_shipdate) AS yr, n.n_name, CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS vol FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey JOIN nation n ON s.s_nationkey = n.n_nationkey) t GROUP BY yr ORDER BY yr;
+SELECT p_type, COUNT(*) AS n, MIN(ps) AS min_size, MAX(ps) AS max_size FROM (SELECT p_type, p_size AS ps FROM part) t GROUP BY p_type HAVING COUNT(*) >= 5 ORDER BY p_type;
+SELECT c.c_custkey FROM customer c WHERE c.c_acctbal > (SELECT CAST(AVG(CAST(c2.c_acctbal AS DOUBLE)) AS DOUBLE) FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment) AND c.c_custkey <= 100 ORDER BY c.c_custkey;
+SELECT seg, CAST(big AS DOUBLE) / CAST(n AS DOUBLE) AS big_frac FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n, COUNT(*) FILTER (WHERE c_acctbal > 5000) AS big FROM customer GROUP BY c_mktsegment) t ORDER BY seg;
+SELECT o_orderstatus, o_orderpriority, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS tot, RANK() OVER (PARTITION BY o_orderstatus ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) DESC) AS rnk FROM orders GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, rnk;
+SELECT n_name, cnt FROM (SELECT n.n_name, COUNT(*) AS cnt, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, n.n_name) AS rn FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name) t WHERE rn <= 5 ORDER BY cnt DESC, n_name;
+SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS gross, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS net, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS charged FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT t1.d AS ship_day, t1.n AS shipped, t2.n AS ordered FROM (SELECT EXTRACT(DAY FROM l_shipdate) AS d, COUNT(*) AS n FROM lineitem GROUP BY 1) t1 JOIN (SELECT EXTRACT(DAY FROM o_orderdate) AS d, COUNT(*) AS n FROM orders GROUP BY 1) t2 ON t1.d = t2.d ORDER BY t1.d;

@@ -3742,3 +3742,28 @@ SELECT o_orderstatus, o_orderpriority, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,
 SELECT n_name, cnt FROM (SELECT n.n_name, COUNT(*) AS cnt, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, n.n_name) AS rn FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name) t WHERE rn <= 5 ORDER BY cnt DESC, n_name;
 SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS gross, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS net, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS charged FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
 SELECT t1.d AS ship_day, t1.n AS shipped, t2.n AS ordered FROM (SELECT EXTRACT(DAY FROM l_shipdate) AS d, COUNT(*) AS n FROM lineitem GROUP BY 1) t1 JOIN (SELECT EXTRACT(DAY FROM o_orderdate) AS d, COUNT(*) AS n FROM orders GROUP BY 1) t2 ON t1.d = t2.d ORDER BY t1.d;
+
+-- ====== r5 tranche 10: empty/degenerate-input semantics — aggregates
+--  over zero rows (SUM/MAX NULL, COUNT 0), all-NULL inputs, empty
+--  set-op/join/cross sides, scalar subqueries returning no row (NULL),
+--  correlated empty lookups, LIMIT 0, OFFSET past the end, IN / NOT IN
+--  / EXISTS over provably-empty subqueries, single-row windows
+--  (validated; dropped as dialect gaps: GROUP BY (), every(),
+--  string_agg with in-aggregate ORDER BY) ======
+SELECT SUM(n_nationkey) AS s, COUNT(*) AS n, MAX(n_name) AS mx FROM nation WHERE 1 = 0;
+SELECT AVG(CAST(o_totalprice AS DOUBLE)) AS a FROM orders WHERE o_orderkey < 0;
+SELECT SUM(value) AS s, COUNT(value) AS nn, COUNT(*) AS n FROM events WHERE value IS NULL;
+SELECT o_orderstatus, COUNT(*) AS n FROM orders WHERE o_orderkey < 0 GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT n_name FROM nation WHERE 1 = 0 UNION SELECT r_name FROM region ORDER BY n_name;
+SELECT n_name FROM nation WHERE n_regionkey = 0 EXCEPT SELECT n_name FROM nation ORDER BY n_name;
+SELECT COUNT(*) AS n FROM region r CROSS JOIN (SELECT n_nationkey FROM nation WHERE 1 = 0) t;
+SELECT r.r_name, t.k FROM region r LEFT JOIN (SELECT n_regionkey AS k FROM nation WHERE 1 = 0) t ON r.r_regionkey = t.k ORDER BY r.r_name;
+SELECT (SELECT MAX(s_acctbal) FROM supplier WHERE s_suppkey < 0) AS missing;
+SELECT c_custkey, (SELECT MIN(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderkey < 0) AS none_found FROM customer c WHERE c_custkey <= 5 ORDER BY c_custkey;
+SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 0;
+SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 5 OFFSET 1000;
+SELECT COUNT(*) AS n FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE 1 = 0);
+SELECT COUNT(*) AS n FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE 1 = 0);
+SELECT COUNT(*) AS n FROM nation n WHERE EXISTS (SELECT 1 FROM region r WHERE 1 = 0);
+SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders WHERE o_orderkey = 1;
+SELECT MIN(x) AS mn, MAX(x) AS mx FROM (SELECT CAST(NULL AS INTEGER) AS x FROM nation) t;

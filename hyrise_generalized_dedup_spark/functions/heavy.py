@@ -39,7 +39,9 @@ class SketchUndersized(ValueError):
     """capacity too small to certify the requested top-k as exact."""
 
 
-def mg_candidates(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
+def mg_candidates(
+    df: DataFrame, col: str, capacity: int = 4096, weight_col: str | None = None
+) -> DataFrame:
     """Per-partition Misra-Gries summaries over a string column.
 
     Returns (item, est) rows — at most ``capacity`` per partition, where
@@ -47,6 +49,12 @@ def mg_candidates(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
     n_p/(capacity+1) — plus one NULL-item sentinel per partition whose
     ``est`` is the partition's (non-null) row count, so downstream can
     recover the exact total n without another scan.
+
+    With ``weight_col`` (non-negative integers, e.g. token counts), every
+    occurrence contributes its weight instead of 1: ``est`` approximates
+    per-item weight sums, the sentinel carries the partition's total
+    weight, and the retention guarantee becomes weight > W/(capacity+1)
+    — weighted MG is the standard mergeable-summaries generalization.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
@@ -64,10 +72,21 @@ def mg_candidates(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
         state = None
         n_rows = 0
         for pdf in batches:
-            vals = pdf[col].dropna()
-            n_rows += int(len(vals))
-            vc = vals.value_counts()
-            state = vc if state is None else state.add(vc, fill_value=0)
+            if weight_col is None:
+                vals = pdf[col].dropna()
+                n_rows += int(len(vals))
+                batch = vals.value_counts()
+            else:
+                sub = pdf[[col, weight_col]].dropna(subset=[col])
+                w = sub[weight_col].fillna(0)
+                if (w < 0).any():
+                    raise ValueError(
+                        f"negative weight in {weight_col!r}: the MG"
+                        " retention guarantee requires non-negative weights"
+                    )
+                n_rows += int(w.sum())
+                batch = w.groupby(sub[col]).sum()
+            state = batch if state is None else state.add(batch, fill_value=0)
             if len(state) > capacity:
                 # decrement-by-c* form of MG: subtract the (capacity+1)-th
                 # largest count from everyone; entries at/below it drop.
@@ -79,13 +98,20 @@ def mg_candidates(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
             {"item": items + [None], "est": ests + [n_rows]}
         ).astype({"est": "int64"})
 
-    return df.select(F.col(col).alias(col)).mapInPandas(
+    cols = [F.col(col).alias(col)]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias(weight_col))
+    return df.select(*cols).mapInPandas(
         summarize, schema="item string, est long"
     )
 
 
 def heavy_hitters(
-    df: DataFrame, col: str, k: int = 20, capacity: int = 4096
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Certified-exact top-k most frequent values of ``df[col]``.
 
@@ -94,12 +120,16 @@ def heavy_hitters(
     :class:`SketchUndersized` if the sketch cannot certify exactness
     (k-th count <= n/(capacity+1)); raise ``capacity`` and rerun.
 
+    With ``weight_col``, "frequent" means largest exact WEIGHT SUM (e.g.
+    token-weighted boilerplate cost) and the certification threshold is
+    total_weight/(capacity+1); everything else is unchanged.
+
     Scale shape: sketch pass is map-only (bounded output); the verify
     pass shuffles only candidate keys (<= capacity x n_partitions); the
     certification check reads one k-row and one 1-row aggregate.
     """
     merged = (
-        mg_candidates(df, col, capacity)
+        mg_candidates(df, col, capacity, weight_col=weight_col)
         .groupBy("item")
         .agg(F.sum("est").alias("est"))
         .persist()  # bounded: <= capacity x n_partitions + 1 rows
@@ -110,11 +140,17 @@ def heavy_hitters(
     cands = merged.filter(F.col("item").isNotNull()).select(
         F.col("item").alias(col)
     )
+    measure = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
+    verify_cols = [col] if weight_col is None else [col, weight_col]
     exact = (
-        df.select(col)
+        df.select(*verify_cols)
         .join(F.broadcast(cands), col)
         .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(measure.alias("n"))
     )
     top = (
         exact.orderBy(F.col("n").desc(), F.col(col).asc())

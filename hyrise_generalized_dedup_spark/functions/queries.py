@@ -1891,3 +1891,38 @@ def text_heavy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "line",
         "n",
     )
+
+
+@_register(
+    "text_heavy_lines_weighted",
+    _LINE_BODY_CTE
+    + """
+    , wcounts AS (
+      SELECT key AS line, CAST(SUM(length(key)) AS BIGINT) AS n
+      FROM l WHERE length(key) > 0 GROUP BY key
+    ), wranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, line) AS BIGINT)
+               AS rank,
+             line, n
+      FROM wcounts
+    )
+    SELECT rank, line, n FROM wranked WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def text_heavy_lines_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-weighted twin of text_heavy_lines: each occurrence contributes
+    its byte length, so the ranking reflects corpus COST (a long template
+    repeated a few times outranks a short line repeated often) — the
+    weighted heavy-hitters mode (functions/heavy.py weight_col) against a
+    full-GROUP-BY SUM(length) DuckDB oracle. Full-registry slot
+    (pytest-oracled; the driver's 50 slots carry the unweighted twin)."""
+    from .heavy import heavy_hitters
+
+    lines = (
+        _line_body(spark, sf_dir)
+        .select(F.explode(F.split("body", "\n")).alias("raw"))
+        .select(F.trim("raw").alias("line"))
+        .filter(F.length("line") > 0)
+        .withColumn("w", F.length("line").cast("long"))
+    )
+    return heavy_hitters(lines, "line", k=20, capacity=4096, weight_col="w")

@@ -164,3 +164,20 @@ def test_text_heavy_lines_weighted_matches_duckdb(spark, sf_tiny):
         df, TEXT_ORACLES["text_heavy_lines_weighted"], sf_tiny
     )
     assert ok, msg
+
+
+def test_weighted_randomized_vs_brute(spark):
+    # one large fixed-seed randomized corpus, single Spark job (no
+    # per-example Spark inside hypothesis — too slow); zipf-ish weights
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    items = [f"k{rng.integers(0, 120):03d}" for _ in range(5000)]
+    weights = [int(rng.integers(1, 50)) for _ in range(5000)]
+    rows = list(zip(items, weights))
+    df = spark.createDataFrame(rows, "v string, w long").repartition(8)
+    got = [
+        (r["rank"], r["v"], r["n"])
+        for r in heavy_hitters(df, "v", k=12, capacity=256, weight_col="w").collect()
+    ]
+    assert got == _weighted_exact_topk(rows, 12)

@@ -178,3 +178,38 @@ def test_split_flip_census(spark):
         ("train", None): 1,      # gone removed
         (None, "train"): 1,      # added
     }
+
+
+def test_thresholds_property_random_specs():
+    """Any valid fraction spec yields strictly increasing thresholds
+    ending exactly at N_BUCKETS, with each band within 1 bucket of its
+    requested fraction (rounding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8
+        )
+    )
+    def check(parts):
+        total = sum(parts)
+        splits = tuple(
+            (f"s{i}", p / total) for i, p in enumerate(parts)
+        )
+        # float residue can make the sum differ from 1 by > 1e-9 only in
+        # pathological cases; renormalize the last entry exactly
+        residue = 1.0 - sum(f for _, f in splits[:-1])
+        if residue <= 0:
+            return
+        splits = splits[:-1] + ((splits[-1][0], residue),)
+        t = _thresholds(splits)
+        uppers = [u for _, u in t]
+        assert uppers == sorted(set(uppers))  # strictly increasing
+        assert uppers[-1] == N_BUCKETS
+        lowers = [0] + uppers[:-1]
+        for (name, frac), lo, up in zip(splits, lowers, uppers):
+            assert abs((up - lo) - frac * N_BUCKETS) <= 1.0 + 1e-6 * N_BUCKETS
+
+    check()

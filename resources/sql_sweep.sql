@@ -3767,3 +3767,22 @@ SELECT COUNT(*) AS n FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM
 SELECT COUNT(*) AS n FROM nation n WHERE EXISTS (SELECT 1 FROM region r WHERE 1 = 0);
 SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders WHERE o_orderkey = 1;
 SELECT MIN(x) AS mn, MAX(x) AS mx FROM (SELECT CAST(NULL AS INTEGER) AS x FROM nation) t;
+
+-- ====== r5 tranche 11: IS [NOT] DISTINCT FROM null-safe comparisons
+--  (scans, join conditions, FILTER clauses, LAG-change detection),
+--  bit_count / bin / shift operators, exact transcendental identities
+--  (validated; dropped: char_length is Spark-only) ======
+SELECT COUNT(*) AS n FROM events WHERE value IS DISTINCT FROM 50;
+SELECT COUNT(*) AS n FROM events WHERE value IS NOT DISTINCT FROM NULL;
+SELECT e1.user_id, COUNT(*) AS n FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e1.ts < e2.ts AND e1.value IS NOT DISTINCT FROM e2.value WHERE e1.user_id <= 3 GROUP BY e1.user_id ORDER BY e1.user_id;
+SELECT n_nationkey, n_regionkey IS DISTINCT FROM 0 AS not_r0 FROM nation ORDER BY n_nationkey;
+SELECT bit_count(255) AS a, bit_count(0) AS b, bit_count(1024) AS c;
+SELECT n_nationkey, bit_count(n_nationkey) AS pop FROM nation ORDER BY n_nationkey;
+SELECT bin(10) AS b10, bin(255) AS b255;
+SELECT 1 << 10 AS kb, 3 << 2 AS twelve;
+SELECT 1024 >> 3 AS v128, n_nationkey >> 1 AS halved FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey;
+SELECT exp(0) AS one, ln(1) AS zero;
+SELECT o_orderstatus, COUNT(*) FILTER (WHERE o_totalprice IS DISTINCT FROM o_totalprice) AS always_zero, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT v1 IS DISTINCT FROM v2 AS diff, COUNT(*) AS n FROM (SELECT value AS v1, LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS v2 FROM events) t GROUP BY v1 IS DISTINCT FROM v2 ORDER BY diff;
+SELECT (n_nationkey & 1) << 2 AS mixed FROM nation WHERE n_nationkey < 8 ORDER BY n_nationkey;
+SELECT bit_count(o_orderkey) AS pop, COUNT(*) AS n FROM orders GROUP BY bit_count(o_orderkey) ORDER BY pop;

@@ -79,3 +79,13 @@ def test_suffix_gate_non_vacuous(spark, sf_tiny):
     assert "suffix" in rows, f"no suffix edges found: {rows}"
     assert rows["suffix"].n_edges > 0
     assert rows["suffix"].min_shared >= 64
+
+
+def test_bench_headline_queries_registered():
+    """Every bench.py headline entry must resolve in the full registry —
+    a typo here would crash the driver's per-round benchmark run."""
+    import bench
+
+    qs, _ = entrymod._full_registries()
+    missing = [q for q in bench.HEADLINE if q not in qs]
+    assert not missing, missing

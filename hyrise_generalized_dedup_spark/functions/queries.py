@@ -1926,3 +1926,59 @@ def text_heavy_lines_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.length("line").cast("long"))
     )
     return heavy_hitters(lines, "line", k=20, capacity=4096, weight_col="w")
+
+
+@_register(
+    "text_lm_scores",
+    # OOV keep rule constants 1/5 mirror lm.OOV_KEEP_NUM / lm.OOV_KEEP_DEN.
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+            FROM toks WHERE len(w) >= 2)
+    ),
+    ref2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    ref1 AS (SELECT w1, SUM(c2) AS c1 FROM ref2 GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN r2.c2 IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             SUM(COALESCE(r2.c2, 0)) AS sum_pair_c,
+             SUM(COALESCE(r1.c1, 0)) AS sum_ctx_c
+      FROM bg b
+      LEFT JOIN ref2 r2 ON b.w1 = r2.w1 AND b.w2 = r2.w2
+      LEFT JOIN ref1 r1 ON b.w1 = r1.w1
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov_bigrams,
+           CAST(COALESCE(s.sum_pair_c, 0) AS BIGINT) AS sum_pair_c,
+           CAST(COALESCE(s.sum_ctx_c, 0) AS BIGINT) AS sum_ctx_c,
+           COALESCE(s.n_oov, 0) * 5 <= COALESCE(s.n_bigrams, 0) * 1 AS lm_keep
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM scoring (functions/lm.py): train add-alpha
+    bigram counts on the deterministic reference half (doc_id % 2 == 0),
+    score every document by joining its exploded bigrams against the model.
+    The gate surface is the exact-integer count columns + the integer OOV
+    keep rule (bit-stable under any partitioning / summation order); the
+    float cross-entropy and perplexity columns are pytest-oracled against
+    numpy (tests/test_lm.py) because ln-sum order is not bit-portable
+    across engines."""
+    from .lm import lm_score_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score_table(docs).select(
+        "doc_id", "n_bigrams", "n_oov_bigrams", "sum_pair_c", "sum_ctx_c", "lm_keep"
+    )

@@ -373,6 +373,13 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         # group-consistent assignment from the exact-dup key; the DuckDB
         # oracle recomputes the md5 bucket + threshold CASE bit-for-bit
         ("code_leakage_split", ["doc_id", "dup_key", "split_bucket", "split"]),
+        # round-5 CCNet-style bigram-LM scoring (functions/lm.py) — the
+        # exact-integer count surface + the integer OOV keep rule; the
+        # float cross-entropy/perplexity are pytest-oracled (test_lm.py)
+        ("text_lm_scores", [
+            "doc_id", "n_bigrams", "n_oov_bigrams", "sum_pair_c",
+            "sum_ctx_c", "lm_keep",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

@@ -53,6 +53,7 @@ HEADLINE = [
     "text_decontaminate_bloom",
     "code_line_dedup",
     "text_heavy_lines",
+    "text_lm_scores",
 ]
 
 

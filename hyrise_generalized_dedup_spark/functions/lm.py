@@ -130,6 +130,13 @@ def lm_score_table(
         bg, (F.col("doc_id") % ref_mod) == 0
     )
 
+    # The model is vocabulary-bounded (corpus-size-independent), and three
+    # consumers hang off it (ctx fold, vocab count, score join). Persist it
+    # so training reads the corpus exactly ONCE — without this, Spark
+    # recomputes the pair-count lineage per consumer and the reference
+    # slice is scanned three times (visible in .explain as three parquet
+    # scans). The count() below doubles as the materializing action.
+    pair_counts = pair_counts.persist()
     n_model_rows = pair_counts.count()
     if n_model_rows <= BROADCAST_MAX_MODEL_ROWS:
         pair_counts = F.broadcast(pair_counts)

@@ -1982,3 +1982,148 @@ def text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_table(docs).select(
         "doc_id", "n_bigrams", "n_oov_bigrams", "sum_pair_c", "sum_ctx_c", "lm_keep"
     )
+
+
+def contamination_spans_table(
+    docs: DataFrame, n: int = 5, min_span_tokens: int = 13
+) -> DataFrame:
+    """Span-level benchmark decontamination over (doc_id, text, is_eval):
+    the GPT-3 appendix-C measure — a train doc is span-contaminated when
+    it shares a CONTIGUOUS run of word n-grams with the eval split long
+    enough to cover >= min_span_tokens tokens (a run of L consecutive
+    n-grams spans L + n - 1 tokens). Distinct-gram overlap (the
+    text_decontaminate pass) over-fires on isolated idiom collisions;
+    the span length separates quotation from coincidence.
+
+    Scale shape for 10^12 docs: eval gram set is benchmark-sized ->
+    broadcast probe against the positional gram explode (map work in the
+    scan stage). Only the HITS (sparse) flow into the run computation:
+    one hash exchange on doc_id for the row_number window, and the
+    islands groupBy + per-doc max reuse that partitioning (doc_id is a
+    superset clustering key), so no further exchange. Content never
+    shuffles."""
+    per_doc = docs.select(
+        "doc_id", "is_eval", T.word_ngrams_all(F.col("text"), n).alias("grams")
+    )
+    eval_grams = (
+        per_doc.filter("is_eval")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    pos = per_doc.select(
+        "doc_id", "is_eval", F.posexplode_outer("grams").alias("pos", "gram")
+    )
+    flagged = pos.join(F.broadcast(eval_grams), "gram", "left")
+    from pyspark.sql.window import Window
+
+    counts = flagged.groupBy("doc_id").agg(
+        F.count("gram").cast("long").alias("n_grams_pos"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit_pos"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.where(F.col("hit") == 1)
+        .select("doc_id", "pos")
+        .withColumn("grp", F.col("pos") - F.row_number().over(win))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").cast("long").alias("max_hit_run"))
+    )
+    return (
+        docs.select("doc_id", "is_eval")
+        .join(counts, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("is_eval").cast("int").alias("is_eval"),
+            F.coalesce("n_grams_pos", F.lit(0)).alias("n_grams_pos"),
+            F.coalesce("n_hit_pos", F.lit(0)).alias("n_hit_pos"),
+            F.coalesce("max_hit_run", F.lit(0)).alias("max_hit_run"),
+            F.when(F.col("max_hit_run").isNull(), F.lit(0))
+            .otherwise(F.col("max_hit_run") + F.lit(n - 1))
+            .cast("long")
+            .alias("max_span_tokens"),
+            (
+                ~F.col("is_eval").cast("boolean")
+                & (
+                    F.coalesce("max_hit_run", F.lit(0)) + F.lit(n - 1)
+                    >= F.lit(min_span_tokens)
+                )
+                & F.col("max_hit_run").isNotNull()
+            )
+            .cast("int")
+            .alias("span_contaminated"),
+        )
+    )
+
+
+@_register(
+    "text_contamination_spans",
+    # n=5 grams; a run of L grams spans L+4 tokens; threshold 13 tokens
+    # (the GPT-3 13-gram collision rule) mirrors the Spark defaults.
+    """
+    WITH base AS (
+      SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_eval,
+             CASE WHEN len(w) < 5 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(w) - 4),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4]) END AS g
+      FROM base
+    ),
+    ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE is_eval),
+    tg AS (
+      SELECT doc_id, is_eval, p.pos AS pos, p.gram AS gram
+      FROM (SELECT doc_id, is_eval,
+                   unnest(list_transform(generate_series(1, len(g)),
+                          i -> struct_pack(pos := i, gram := g[i]))) AS p
+            FROM grams)
+    ),
+    fl AS (
+      SELECT t.doc_id, t.pos, ev.gram IS NOT NULL AS hit
+      FROM tg t LEFT JOIN ev ON t.gram = ev.gram
+    ),
+    counts AS (
+      SELECT doc_id, COUNT(*) AS n_grams_pos,
+             SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit_pos
+      FROM fl GROUP BY doc_id
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM fl WHERE hit
+    ),
+    mx AS (
+      SELECT doc_id, MAX(run) AS max_hit_run
+      FROM (SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY doc_id, grp)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.is_eval AS INTEGER) AS is_eval,
+           CAST(COALESCE(c.n_grams_pos, 0) AS BIGINT) AS n_grams_pos,
+           CAST(COALESCE(c.n_hit_pos, 0) AS BIGINT) AS n_hit_pos,
+           CAST(COALESCE(m.max_hit_run, 0) AS BIGINT) AS max_hit_run,
+           CAST(CASE WHEN m.max_hit_run IS NULL THEN 0
+                     ELSE m.max_hit_run + 4 END AS BIGINT) AS max_span_tokens,
+           CAST(CASE WHEN NOT b.is_eval AND m.max_hit_run IS NOT NULL
+                      AND m.max_hit_run + 4 >= 13
+                     THEN 1 ELSE 0 END AS INTEGER) AS span_contaminated
+    FROM base b
+    LEFT JOIN counts c ON c.doc_id = b.doc_id
+    LEFT JOIN mx m ON m.doc_id = b.doc_id
+    """,
+)
+def text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (contamination_spans_table) with the
+    same deterministic eval split as text_decontaminate (doc_id % 20)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_spans_table(
+        docs.withColumn("is_eval", F.col("doc_id") % 20 == 0)
+    )

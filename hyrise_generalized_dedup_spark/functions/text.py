@@ -250,6 +250,23 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
 
 
+def word_ngrams_all(col: Column, n: int) -> Column:
+    """Positional (non-distinct, document-ordered) space-joined lowercase
+    word ``n``-grams — the unit of SPAN-level contamination measurement,
+    where consecutive gram indices must stay adjacent (word_ngrams'
+    array_distinct would destroy positions). Same guarded-sequence caveat:
+    sequence DESCENDS when the upper bound < 1, so short docs
+    short-circuit to the empty array."""
+    trimmed = F.trim(F.lower(col))
+    w = F.split(trimmed, r"\s+")
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(w))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_tok - F.lit(n) + 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(n_tok < n, F.array().cast("array<string>")).otherwise(grams)
+
+
 def lang_guess(col: Column) -> Column:
     """Rule-based language id over stopword markers; 'unk' when nothing
     fires. Deliberately simple and ANSI-SQL-reproducible (the DuckDB

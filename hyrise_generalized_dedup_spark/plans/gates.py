@@ -419,6 +419,13 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         ("code_line_dedup", [
             "doc_id", "n_lines", "n_kept", "n_dropped", "clean_sha",
         ]),
+        # round-5 span-level decontamination (GPT-3 appendix-C rule):
+        # longest CONTIGUOUS eval-gram run per doc via hits-only
+        # gaps-and-islands; planted-quote semantics in tests/test_functions.py
+        ("text_contamination_spans", [
+            "doc_id", "n_grams_pos", "n_hit_pos", "max_hit_run",
+            "max_span_tokens", "span_contaminated",
+        ]),
     ],
 }
 

@@ -595,3 +595,52 @@ def test_mm_thumbnails_matches_duckdb(spark, sf_tiny):
     df = TEXT_QUERIES["mm_thumbnails"](spark, sf_tiny)
     ok, msg = compare_to_duckdb(df, TEXT_ORACLES["mm_thumbnails"], sf_tiny)
     assert ok, msg
+
+
+def test_contamination_spans_planted_quotes(spark):
+    """Span semantics on planted fixtures: an embedded long verbatim quote
+    of an eval doc trips the 13-token span rule; a single shared 5-gram
+    (isolated idiom collision) registers a hit but NOT span contamination;
+    eval docs never flag themselves."""
+    import pyspark.sql.functions as F
+
+    from hyrise_generalized_dedup_spark.functions.queries import (
+        contamination_spans_table,
+    )
+
+    eval_text = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+        "juliet kilo lima mike november oscar papa"
+    filler = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text, True),                      # the benchmark doc
+            (1, f"{filler} {eval_text} {filler}", False),   # 16-token quote
+            (2, f"{filler} alpha bravo charlie delta echo {filler}", False),
+            (3, filler, False),                        # clean
+            (4, eval_text, True),                      # eval twin: no flag
+        ],
+        ["doc_id", "text", "is_eval"],
+    )
+    rows = {r["doc_id"]: r for r in contamination_spans_table(docs).collect()}
+
+    # full 16-token quote: run of 12 grams -> span 16, contaminated
+    assert rows[1]["max_hit_run"] == 12
+    assert rows[1]["max_span_tokens"] == 16
+    assert rows[1]["span_contaminated"] == 1
+    # one isolated 5-gram: hit, span 5 < 13 -> clean by the span rule
+    assert rows[2]["n_hit_pos"] == 1
+    assert rows[2]["max_span_tokens"] == 5
+    assert rows[2]["span_contaminated"] == 0
+    # no overlap at all
+    assert rows[3]["n_hit_pos"] == 0 and rows[3]["span_contaminated"] == 0
+    # eval docs self-hit everywhere but never flag
+    assert rows[0]["n_hit_pos"] == rows[0]["n_grams_pos"]
+    assert rows[0]["span_contaminated"] == 0 and rows[4]["span_contaminated"] == 0
+
+    # repartition-invariance of the integer surface
+    rows2 = {
+        r["doc_id"]: r
+        for r in contamination_spans_table(docs.repartition(5, "doc_id")).collect()
+    }
+    for i, r in rows.items():
+        assert tuple(r) == tuple(rows2[i])

@@ -3786,3 +3786,32 @@ SELECT o_orderstatus, COUNT(*) FILTER (WHERE o_totalprice IS DISTINCT FROM o_tot
 SELECT v1 IS DISTINCT FROM v2 AS diff, COUNT(*) AS n FROM (SELECT value AS v1, LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS v2 FROM events) t GROUP BY v1 IS DISTINCT FROM v2 ORDER BY diff;
 SELECT (n_nationkey & 1) << 2 AS mixed FROM nation WHERE n_nationkey < 8 ORDER BY n_nationkey;
 SELECT bit_count(o_orderkey) AS pop, COUNT(*) AS n FROM orders GROUP BY bit_count(o_orderkey) ORDER BY pop;
+
+-- ====== r5 tranche 12: percentile_disc WITHIN GROUP, recursive CTEs
+--  (series + fibonacci), scalar-subquery HAVING, funnel/gap self-joins,
+--  BOOL_AND/OR, distinct-FILTER combos, rank-of-aggregate, quarter truncs, make_date, max_by/min_by, ntile-of-count
+--  (validated; dropped: overlay / quantified ALL-ANY / STRING_AGG
+--  ORDER BY / per-agg SUM ORDER BY / BETWEEN SYMMETRIC / array_agg subscript / QUALIFY —
+--  dialect gaps) ======
+SELECT o_orderstatus, percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med_price FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1, percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3 FROM lineitem;
+SELECT user_id, percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90 FROM events WHERE user_id <= 5 GROUP BY user_id ORDER BY user_id;
+WITH a AS (SELECT n_regionkey AS rk, COUNT(*) AS n FROM nation GROUP BY n_regionkey), b AS (SELECT rk, n * 2 AS n2 FROM a), c AS (SELECT rk, n2 + 1 AS n3 FROM b) SELECT c.rk, a.n, c.n3 FROM c JOIN a ON a.rk = c.rk ORDER BY c.rk;
+WITH RECURSIVE seq(i) AS (SELECT 1 UNION ALL SELECT i + 1 FROM seq WHERE i < 10) SELECT SUM(i) AS s, COUNT(*) AS n FROM seq;
+WITH RECURSIVE fib(a, b, i) AS (SELECT 0, 1, 1 UNION ALL SELECT b, a + b, i + 1 FROM fib WHERE i < 15) SELECT MAX(b) AS f15 FROM fib;
+SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > (SELECT COUNT(*) FROM customer) / 10 ORDER BY c_mktsegment;
+SELECT o_orderstatus, AVG(o_totalprice) AS avg_p FROM orders GROUP BY o_orderstatus HAVING AVG(o_totalprice) > (SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderstatus;
+SELECT e1.user_id, COUNT(*) AS view_then_click FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR WHERE e1.event_type = 'view' AND e2.event_type = 'click' AND e1.user_id <= 4 GROUP BY e1.user_id ORDER BY e1.user_id;
+SELECT r_name, (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey AND n.n_name > r.r_name) AS n_later FROM region r ORDER BY r_name;
+SELECT n_nationkey % 4 AS bucket, BOOL_AND(n_regionkey < 5) AS all_small, BOOL_OR(n_regionkey = 0) AS any_r0 FROM nation GROUP BY n_nationkey % 4 ORDER BY bucket;
+SELECT o_orderstatus, BOOL_AND(o_totalprice > 0) AS pos FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT event_type, COUNT(DISTINCT user_id) FILTER (WHERE value > 50) AS hi, COUNT(DISTINCT user_id) FILTER (WHERE value <= 50) AS lo FROM events GROUP BY event_type ORDER BY event_type;
+SELECT t.grp, t.n FROM (SELECT n_regionkey AS grp, COUNT(*) AS n, RANK() OVER (ORDER BY COUNT(*) DESC, n_regionkey) AS rk FROM nation GROUP BY n_regionkey) t WHERE t.rk = 1 ORDER BY t.grp;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31' AND l_discount BETWEEN 0.05 AND 0.07;
+SELECT CAST(date_trunc('month', DATE '1995-07-17') AS DATE) AS m, CAST(date_trunc('year', DATE '1995-07-17') AS DATE) AS y;
+SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q, COUNT(*) AS n FROM orders WHERE o_orderdate < DATE '1993-01-01' GROUP BY date_trunc('quarter', o_orderdate) ORDER BY q;
+SELECT make_date(1999, 12, 31) AS d1, make_date(2000, 2, 29) AS d2;
+SELECT MAX_BY(n_name, n_nationkey) AS last_nation, MIN_BY(n_name, n_nationkey) AS first_nation FROM nation;
+SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderdate) AS days FROM orders WHERE EXTRACT(MONTH FROM o_orderdate) = 2 AND EXTRACT(DAY FROM o_orderdate) = 29;
+SELECT p_brand, NTILE(3) OVER (ORDER BY COUNT(*) DESC, p_brand) AS tier, COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand;
+SELECT s_nationkey, SUM(s_acctbal) AS bal, RANK() OVER (ORDER BY SUM(s_acctbal) DESC) AS rk FROM supplier GROUP BY s_nationkey ORDER BY rk, s_nationkey LIMIT 5;

@@ -2127,3 +2127,52 @@ def text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_spans_table(
         docs.withColumn("is_eval", F.col("doc_id") % 20 == 0)
     )
+
+
+@_register(
+    "c4_quality_signals",
+    # blocklist mirrors text.C4_BLOCKLIST (printable stand-in for LDNOOBW)
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10)),
+                         x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+                         x -> length(x) > 0) AS nb
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, text, nb,
+             list_filter(nb, l -> regexp_matches(l, '[.!?"]$')
+                              AND len(regexp_split_to_array(l, '\\s+')) >= 5) AS kept
+      FROM base
+    ),
+    s AS (
+      SELECT doc_id, text, nb, kept,
+             COALESCE(array_to_string(kept, chr(10)), '') AS kt
+      FROM k
+    )
+    SELECT doc_id,
+           CAST(len(nb) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_c4_lines,
+           CAST(length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g')) AS BIGINT)
+             AS n_sentences,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{') AS has_brace,
+           regexp_matches(lower(text), '\\b(viagra|casino|porn|xxx)\\b') AS has_badword,
+           (length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g')) >= 3
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND NOT regexp_matches(lower(text), '\\b(viagra|casino|porn|xxx)\\b'))
+             AS c4_keep
+    FROM s
+    """,
+)
+def c4_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 document filter battery (Raffel et al. 2020 §2.2): line
+    retention (terminal punctuation + >= 5 words), sentence census over
+    the kept lines, and the lorem-ipsum / curly-brace / word-boundary
+    blocklist drop rules. Pure Column expressions — scan-stage map work
+    at any corpus size; bit-exact DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = T.c4_signals(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in sig.items()])

@@ -289,3 +289,45 @@ def lang_guess(col: Column) -> Column:
         .when(fr == best, "fr")
         .otherwise("es")
     )
+
+
+# C4 (Raffel et al. 2020 §2.2) blocklist stand-in: the real pipeline uses
+# the LDNOOBW list; this default carries a few printable spam/adult markers
+# so the rule is exercised end-to-end — swap in the full list in production.
+C4_BLOCKLIST = ["viagra", "casino", "porn", "xxx"]
+
+
+def c4_line_keep(line: Column) -> Column:
+    """C4 line rule: ends in a terminal punctuation mark (. ! ? or a
+    closing double quote) and contains at least 5 words."""
+    return line.rlike('[.!?"]$') & (F.size(F.split(line, r"\s+")) >= 5)
+
+
+def c4_signals(col: Column) -> dict[str, Column]:
+    """The C4 document filter battery as named Column expressions:
+    line retention census, sentence count over the KEPT lines (terminal
+    punctuation marks), and the document-level drop rules (lorem ipsum,
+    curly brace, word-boundary blocklist hit). All integer/boolean —
+    bit-stable across engines."""
+    nb = nonblank_lines(col)
+    kept = F.filter(nb, c4_line_keep)
+    kept_text = F.concat_ws("\n", kept)
+    n_sentences = F.length(kept_text) - F.length(
+        F.regexp_replace(kept_text, r"[.!?]", "")
+    )
+    lowered = F.lower(col)
+    bad_re = r"\b(" + "|".join(C4_BLOCKLIST) + r")\b"
+    has_badword = lowered.rlike(bad_re)
+    has_lorem = lowered.contains("lorem ipsum")
+    has_brace = col.contains("{")
+    return {
+        "n_lines": F.size(nb).cast("long"),
+        "n_c4_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "has_badword": has_badword,
+        "c4_keep": (
+            (n_sentences >= 3) & ~has_lorem & ~has_brace & ~has_badword
+        ),
+    }

@@ -380,6 +380,13 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "n_bigrams", "n_oov_bigrams", "sum_pair_c",
             "sum_ctx_c", "lm_keep",
         ]),
+        # round-5 C4 filter battery (Raffel et al. 2020 §2.2): line
+        # retention, sentence census, lorem/brace/blocklist drop rules —
+        # planted-fixture semantics in tests/test_functions.py
+        ("c4_quality_signals", [
+            "doc_id", "n_c4_lines", "n_sentences", "has_lorem",
+            "has_brace", "has_badword", "c4_keep",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

@@ -644,3 +644,47 @@ def test_contamination_spans_planted_quotes(spark):
     }
     for i, r in rows.items():
         assert tuple(r) == tuple(rows2[i])
+
+
+def test_c4_signals_planted_fixture(spark):
+    """C4 rule semantics on planted docs: line retention needs terminal
+    punctuation AND >= 5 words; doc keep needs >= 3 sentences and no
+    lorem-ipsum / brace / blocklist hit; blocklist matches whole words
+    only."""
+    import pyspark.sql.functions as F
+
+    from hyrise_generalized_dedup_spark.functions import text as T
+
+    good = "\n".join(
+        [
+            "This is a proper sentence with enough words.",
+            "Here is another full sentence, nicely terminated!",
+            "And a third one to clear the sentence bar?",
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good, True),
+            (1, "One proper sentence with five words.\nTiny line.\n"
+                "No terminal punct despite many words here",
+             False),                                   # 1 kept line, 1 sentence
+            (2, good + "\nlorem ipsum dolor sit amet.", False),
+            (3, good + "\nfunction f() { return 1; }", False),
+            (4, good + "\nbuy cheap viagra online now.", False),
+            (5, good.replace("words", "viagrafied words"), True),  # substring: no hit
+            (6, "", False),
+        ],
+        ["doc_id", "text", "keep"],
+    )
+    sig = T.c4_signals(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", "keep", *[c.alias(k) for k, c in sig.items()]).collect()
+    }
+    for i, r in rows.items():
+        assert r["c4_keep"] == r["keep"], (i, dict(r.asDict()))
+    assert rows[0]["n_c4_lines"] == 3 and rows[0]["n_sentences"] == 3
+    assert rows[1]["n_c4_lines"] == 1 and rows[1]["n_sentences"] == 1
+    assert rows[2]["has_lorem"] and rows[3]["has_brace"] and rows[4]["has_badword"]
+    assert not rows[5]["has_badword"]
+    assert rows[6]["n_lines"] == 0 and not rows[6]["c4_keep"]

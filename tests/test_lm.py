@@ -128,3 +128,45 @@ def test_deterministic_across_partitionings(spark):
             assert rb["cross_entropy"] is None
         else:
             assert rb["cross_entropy"] == pytest.approx(ra["cross_entropy"], rel=1e-12)
+
+
+def test_lm_random_docs_match_python_oracle(spark):
+    """Hypothesis-style randomized check (seeded, deterministic corpus):
+    documents drawn from a tiny vocabulary so bigrams collide heavily —
+    every count column and the cross-entropy must match the from-scratch
+    Python model on all docs."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"t{i}" for i in range(12)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    toks = {i: t.split() for i, t in corpus}
+    bigrams = {i: list(zip(w, w[1:])) for i, w in toks.items()}
+    c2: dict[tuple[str, str], int] = {}
+    for i, bg in bigrams.items():
+        if i % 2 == 0:
+            for p in bg:
+                c2[p] = c2.get(p, 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), c in c2.items():
+        c1[w1] = c1.get(w1, 0) + c
+    v = len({w2 for _, w2 in c2}) + 1
+
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in lm_score_table(docs, alpha=0.5).collect()}
+    assert len(rows) == len(corpus)
+    for i, bg in bigrams.items():
+        r = rows[i]
+        assert r["n_bigrams"] == len(bg), i
+        assert r["n_oov_bigrams"] == sum(1 for p in bg if p not in c2), i
+        assert r["sum_pair_c"] == sum(c2.get(p, 0) for p in bg), i
+        assert r["sum_ctx_c"] == sum(c1.get(p[0], 0) for p in bg), i
+        if bg:
+            ce = -sum(
+                math.log((c2.get(p, 0) + 0.5) / (c1.get(p[0], 0) + 0.5 * v))
+                for p in bg
+            ) / len(bg)
+            assert r["cross_entropy"] == pytest.approx(ce, rel=1e-12), i

@@ -9,6 +9,7 @@ from ..sources.tables import load_table
 from . import code as C
 from . import text as T
 from .fingerprint import fingerprint_table
+from .pack import pack_shard_oracle_sql
 from .multimodal import (
     decode_media_features,
     thumbnail_features,
@@ -2176,3 +2177,61 @@ def c4_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = T.c4_signals(F.col("text"))
     return docs.select("doc_id", *[c.alias(k) for k, c in sig.items()])
+
+
+# Gate parameters for text_seq_packing: capacity 96 sits inside the
+# driver corpus's token range (max ~100), so the gate exercises multi-doc
+# packs AND the oversize-doc-alone path; 8 shards keep the oracle's
+# recursive CTE shallow while still proving shard namespacing.
+_PACK_CAPACITY = 96
+_PACK_SHARDS = 8
+
+
+@_register(
+    "text_seq_packing",
+    # Recursive CTE = the row-at-a-time statement of the same greedy walk
+    # the Spark side runs vectorized (functions/pack.py greedy_pack).
+    f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id,
+             {pack_shard_oracle_sql("doc_id", _PACK_SHARDS)} AS pack_shard,
+             CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0)
+                  AS BIGINT) AS pack_n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT *, row_number() OVER (PARTITION BY pack_shard ORDER BY doc_id) AS rn
+      FROM w
+    ),
+    walk AS (
+      SELECT pack_shard, rn, doc_id, pack_n_tokens,
+             CAST(0 AS BIGINT) AS pack_id,
+             CAST(0 AS BIGINT) AS pack_offset,
+             pack_n_tokens AS acc
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.pack_shard, o.rn, o.doc_id, o.pack_n_tokens,
+             CASE WHEN k.acc + o.pack_n_tokens <= {_PACK_CAPACITY}
+                  THEN k.pack_id ELSE k.pack_id + 1 END,
+             CASE WHEN k.acc + o.pack_n_tokens <= {_PACK_CAPACITY}
+                  THEN k.acc ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN k.acc + o.pack_n_tokens <= {_PACK_CAPACITY}
+                  THEN k.acc + o.pack_n_tokens ELSE o.pack_n_tokens END
+      FROM walk k JOIN o ON o.pack_shard = k.pack_shard AND o.rn = k.rn + 1
+    )
+    SELECT doc_id, pack_shard, pack_n_tokens, pack_id, pack_offset FROM walk
+    """,
+)
+def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed-capacity training contexts
+    (functions/pack.py): md5-sharded, shard-local sequential walk run
+    vectorized inside applyInPandas — one exchange on the shard key,
+    assignment a pure function of (doc_id, n_tokens, config) so the
+    recursive-CTE oracle recomputes it bit-for-bit."""
+    from .pack import pack_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_table(
+        docs, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    )

@@ -387,6 +387,13 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "n_c4_lines", "n_sentences", "has_lorem",
             "has_brace", "has_badword", "c4_keep",
         ]),
+        # round-5 greedy sequence packing into fixed-capacity training
+        # contexts (functions/pack.py) — md5-sharded shard-local walk;
+        # the DuckDB oracle restates the walk as a recursive CTE
+        ("text_seq_packing", [
+            "doc_id", "pack_shard", "pack_n_tokens", "pack_id",
+            "pack_offset",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

@@ -54,6 +54,7 @@ HEADLINE = [
     "code_line_dedup",
     "text_heavy_lines",
     "text_lm_scores",
+    "text_seq_packing",
 ]
 
 

@@ -2186,12 +2186,10 @@ def c4_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CAPACITY = 96
 _PACK_SHARDS = 8
 
-
-@_register(
-    "text_seq_packing",
-    # Recursive CTE = the row-at-a-time statement of the same greedy walk
-    # the Spark side runs vectorized (functions/pack.py greedy_pack).
-    f"""
+# Recursive CTE = the row-at-a-time statement of the same greedy walk the
+# Spark side runs vectorized (functions/pack.py greedy_pack). Shared by the
+# per-doc assignment oracle and the materialized-context oracle.
+_PACK_WALK_CTE = f"""
     WITH RECURSIVE w AS (
       SELECT doc_id,
              {pack_shard_oracle_sql("doc_id", _PACK_SHARDS)} AS pack_shard,
@@ -2220,8 +2218,13 @@ _PACK_SHARDS = 8
                   THEN k.acc + o.pack_n_tokens ELSE o.pack_n_tokens END
       FROM walk k JOIN o ON o.pack_shard = k.pack_shard AND o.rn = k.rn + 1
     )
-    SELECT doc_id, pack_shard, pack_n_tokens, pack_id, pack_offset FROM walk
-    """,
+"""
+
+
+@_register(
+    "text_seq_packing",
+    _PACK_WALK_CTE
+    + "SELECT doc_id, pack_shard, pack_n_tokens, pack_id, pack_offset FROM walk",
 )
 def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing into fixed-capacity training contexts
@@ -2233,5 +2236,35 @@ def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_table(
+        docs, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    )
+
+
+@_register(
+    "pack_contexts",
+    # The serving step: the walk joins content and string_agg rebuilds
+    # each pack's training example in doc_id order; sha256 makes the
+    # comparison content-exact without shipping the text.
+    _PACK_WALK_CTE
+    + """
+    SELECT w.pack_shard, w.pack_id,
+           COUNT(*) AS n_docs,
+           SUM(w.pack_n_tokens) AS fill_tokens,
+           sha256(string_agg(COALESCE(d.text, ''), chr(10) || chr(10)
+                             ORDER BY w.doc_id)) AS context_sha
+    FROM walk w JOIN documents d ON d.doc_id = w.doc_id
+    GROUP BY w.pack_shard, w.pack_id
+    """,
+)
+def pack_contexts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training contexts (functions/pack.py
+    pack_contexts): greedy assignment over projected (doc_id, n_tokens)
+    pairs, content joined back and concatenated JVM-side (collect_list
+    + array_sort + array_join — per-group memory capacity-bounded);
+    sha256 of each context bit-checks the full serving transform."""
+    from .pack import pack_contexts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_contexts(
         docs, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
     )

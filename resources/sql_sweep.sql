@@ -3815,3 +3815,58 @@ SELECT MAX_BY(n_name, n_nationkey) AS last_nation, MIN_BY(n_name, n_nationkey) A
 SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderdate) AS days FROM orders WHERE EXTRACT(MONTH FROM o_orderdate) = 2 AND EXTRACT(DAY FROM o_orderdate) = 29;
 SELECT p_brand, NTILE(3) OVER (ORDER BY COUNT(*) DESC, p_brand) AS tier, COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand;
 SELECT s_nationkey, SUM(s_acctbal) AS bal, RANK() OVER (ORDER BY SUM(s_acctbal) DESC) AS rk FROM supplier GROUP BY s_nationkey ORDER BY rk, s_nationkey LIMIT 5;
+
+-- tranche: LATERAL joins, GROUPING SETS/CUBE + GROUPING(), window-function
+-- edges (nth_value/cume_dist/lag defaults), EXCEPT/INTERSECT ALL, TRY_CAST,
+-- percentile_cont WITHIN GROUP, ILIKE, split_part/translate/instr parity
+SELECT r_name, n_name FROM region, LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r_regionkey ORDER BY n_nationkey LIMIT 2) t ORDER BY r_name, n_name;
+SELECT r.r_name, t.n FROM region r, LATERAL (SELECT COUNT(*) AS n FROM nation WHERE n_regionkey = r.r_regionkey) t ORDER BY r.r_name;
+SELECT n_regionkey, n_nationkey % 2 AS par, COUNT(*) AS n, GROUPING(n_regionkey) AS g_r, GROUPING(n_nationkey % 2) AS g_p FROM nation GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey % 2), ()) ORDER BY g_r, g_p, n_regionkey, par;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST;
+SELECT n_regionkey, COUNT(*) AS n, GROUPING(n_regionkey) AS g FROM nation GROUP BY CUBE (n_regionkey) ORDER BY g, n_regionkey NULLS LAST;
+SELECT n_name, NTH_VALUE(n_name, 2) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_name FROM nation ORDER BY n_name;
+SELECT n_nationkey, CUME_DIST() OVER (ORDER BY n_nationkey) AS cd, PERCENT_RANK() OVER (ORDER BY n_nationkey) AS pr FROM nation ORDER BY n_nationkey;
+SELECT s_suppkey, LAG(s_acctbal, 2, -1.0) OVER (ORDER BY s_suppkey) AS lag2, LEAD(s_acctbal, 3, -1.0) OVER (ORDER BY s_suppkey) AS lead3 FROM supplier ORDER BY s_suppkey LIMIT 20;
+SELECT n_regionkey, n_name, FIRST_VALUE(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_name DESC ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv FROM nation ORDER BY n_regionkey, n_name;
+SELECT x FROM (SELECT n_regionkey AS x FROM nation) a EXCEPT ALL SELECT r_regionkey AS x FROM region ORDER BY x;
+SELECT n_regionkey AS x FROM nation INTERSECT ALL SELECT n_regionkey FROM nation WHERE n_nationkey < 10 ORDER BY x;
+SELECT split_part(p_type, ' ', 1) AS w1, split_part(p_type, ' ', 3) AS w3, COUNT(*) AS n FROM part GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT translate(n_name, 'AEIOU', 'aeiou') AS tr FROM nation ORDER BY tr LIMIT 10;
+SELECT repeat(substr(n_name, 1, 2), 3) AS rep, lpad(n_name, 12, '.') AS lp, rpad(n_name, 12, '.') AS rp FROM nation ORDER BY n_nationkey LIMIT 8;
+SELECT ascii(n_name) AS a, chr(CAST(65 + n_nationkey % 26 AS INTEGER)) AS c FROM nation ORDER BY n_nationkey LIMIT 10;
+SELECT TRY_CAST('123' AS INTEGER) AS ok, TRY_CAST('12x' AS INTEGER) AS bad, TRY_CAST('' AS INTEGER) AS empty;
+SELECT TRY_CAST('2020-02-30' AS DATE) AS bad_date, TRY_CAST('2020-02-29' AS DATE) AS good_date;
+SELECT r_name, (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n_nations FROM region ORDER BY r_name;
+SELECT r_name, (SELECT MAX(n_name) FROM nation WHERE n_regionkey = r_regionkey) AS top_name FROM region ORDER BY r_name;
+WITH a AS (SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey), b AS (SELECT MAX(n) AS mx FROM a) SELECT a.n_regionkey FROM a, b WHERE a.n = b.mx ORDER BY a.n_regionkey;
+WITH big AS (SELECT * FROM orders WHERE o_totalprice > 100000) SELECT o_orderstatus, COUNT(*) AS n, (SELECT COUNT(*) FROM big) AS total FROM big GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT v.a, v.b, n_name FROM (VALUES (0, 'x'), (1, 'y'), (2, 'z')) AS v(a, b) JOIN nation ON n_regionkey = v.a WHERE n_nationkey < 6 ORDER BY v.a, n_name;
+SELECT IFNULL(NULL, 'fb') AS f1, NULLIF('a', 'a') AS n1, NULLIF('a', 'b') AS n2, COALESCE(NULL, NULL, 7) AS c1;
+SELECT o_orderpriority FROM orders GROUP BY o_orderpriority HAVING COUNT(DISTINCT o_custkey) > 10 ORDER BY o_orderpriority;
+SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY n_nationkey) AS med, PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY n_nationkey) AS q1 FROM nation;
+SELECT n_regionkey, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY CAST(n_nationkey AS DOUBLE)) AS med FROM nation GROUP BY n_regionkey ORDER BY n_regionkey;
+SELECT last_day(DATE '2000-02-01') AS ld1, last_day(DATE '1999-12-31') AS ld2;
+SELECT o_orderdate, COUNT(*) AS n FROM orders WHERE o_orderdate = last_day(o_orderdate) GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 5;
+SELECT n_name ILIKE '%a%' AS has_a, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT p_name FROM part WHERE p_name ILIKE '%BLUSH%' ORDER BY p_name LIMIT 5;
+SELECT GREATEST(1, NULL, 3) AS g, LEAST(2, NULL, 0) AS l;
+SELECT GREATEST(o_orderdate, DATE '1995-01-01') AS g, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1 LIMIT 5;
+SELECT c_mktsegment, SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS neg, SUM(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS nonneg FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT s_suppkey % 5 AS b, MIN(s_name) AS mn FROM supplier GROUP BY s_suppkey % 5 HAVING MIN(s_acctbal) < MAX(s_acctbal) ORDER BY b;
+SELECT EXISTS (SELECT 1 FROM nation WHERE n_regionkey = 99) AS none_there, EXISTS (SELECT 1 FROM nation WHERE n_regionkey = 0) AS some_there;
+SELECT r_name FROM region WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey GROUP BY n_regionkey HAVING COUNT(*) >= 5) ORDER BY r_name;
+SELECT n_nationkey & 3 AS band, n_nationkey | 16 AS bor, COUNT(*) AS n FROM nation GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT CAST(position('E' IN n_name) AS INTEGER) AS pos, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT n_name, instr(n_name, 'AN') AS i FROM nation WHERE instr(n_name, 'AN') > 0 ORDER BY n_name;
+SELECT reverse(n_name) AS rv FROM nation ORDER BY rv LIMIT 6;
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 300000 ORDER BY o_orderstatus, o_orderpriority;
+SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey ORDER BY n DESC, c_nationkey LIMIT 3;
+SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey WHERE a.n_regionkey = 2 ORDER BY n1, n2;
+SELECT CAST(o_totalprice AS DECIMAL(12,2)) % 10 AS m, COUNT(*) AS n FROM orders WHERE o_orderkey < 100 GROUP BY 1 ORDER BY 1;
+SELECT user_id, COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5;
+SELECT date_part('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT c_mktsegment, MEDIAN(c_acctbal) AS med FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT regexp_extract(p_type, '^([A-Z]+)', 1) AS head, COUNT(*) AS n FROM part GROUP BY 1 ORDER BY 1;
+SELECT CAST(AVG(DISTINCT n_regionkey) AS DOUBLE) AS ad, SUM(DISTINCT n_regionkey) AS sd FROM nation;
+SELECT o_orderstatus, COUNT(*) FILTER (WHERE o_orderpriority LIKE '1%') AS urgent FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS bal FROM supplier GROUP BY s_nationkey HAVING SUM(s_acctbal) BETWEEN 0 AND 50000 ORDER BY s_nationkey;

@@ -2240,6 +2240,101 @@ def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture-plan gate parameters: a non-uniform whitelist mixture over the
+# driver corpus's 20 sources and a budget that oversamples the 0.1-weight
+# sources (~2.4 epochs) while undersampling the rest — both branches of
+# the repeat/epoch math exercised.
+_MIX_BUDGET = 30_000
+_MIX_WEIGHTS = {f"src{i}": (0.1 if i < 4 else 0.0375) for i in range(20)}
+_MIX_VALUES_SQL = ", ".join(
+    f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in sorted(_MIX_WEIGHTS.items())
+)
+# Discrete quality score for the prune gate: token count bucketed to 0-5.
+_QSCORE_SQL = (
+    "CAST(LEAST(5, CAST(floor(COALESCE(CASE WHEN length(trim(text)) = 0 "
+    "THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0) "
+    "/ 20.0) AS BIGINT)) AS BIGINT)"
+)
+_PRUNE_KEEP_FRAC = 0.4
+
+
+@_register(
+    "corpus_mixture_plan",
+    f"""
+    WITH w(source, weight) AS (VALUES {_MIX_VALUES_SQL}),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0)
+                 AS BIGINT)) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT s.source, s.n_docs, s.n_tokens, w.weight,
+           CAST(floor(w.weight * {float(_MIX_BUDGET)!r}) AS BIGINT) AS target_tokens,
+           CAST(floor(w.weight * {float(_MIX_BUDGET)!r}) AS BIGINT) / s.n_tokens
+             AS repeat_factor,
+           CAST(ceil(CAST(floor(w.weight * {float(_MIX_BUDGET)!r}) AS BIGINT)
+                     / s.n_tokens) AS BIGINT) AS epochs,
+           (CAST(floor(w.weight * {float(_MIX_BUDGET)!r}) AS BIGINT)
+             / s.n_tokens) > 1.0 AS oversampled
+    FROM s JOIN w ON s.source = w.source
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static mixture table (functions/mixture.py mixture_plan): per-source
+    token census + broadcast weight join -> repeat factors and epoch
+    counts for a global token budget. One partial-agg groupBy over the
+    corpus; arithmetic is IEEE-double so DuckDB recomputes it bit-exact."""
+    from .mixture import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+@_register(
+    "text_quality_prune",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source, {_QSCORE_SQL} AS q_score FROM documents
+    ),
+    c AS (SELECT source, q_score, COUNT(*) AS n FROM s GROUP BY source, q_score),
+    r AS (
+      SELECT source, q_score,
+             SUM(n) OVER (PARTITION BY source ORDER BY q_score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n,
+             SUM(n) OVER (PARTITION BY source) AS src_n
+      FROM c
+    ),
+    t AS (
+      SELECT source, MAX(q_score) AS q_threshold, MAX(src_n) AS src_n
+      FROM r WHERE cum_n >= CAST(ceil({_PRUNE_KEEP_FRAC!r} * src_n) AS BIGINT)
+      GROUP BY source
+    )
+    SELECT s.doc_id, s.q_score, t.src_n, t.q_threshold,
+           s.q_score >= t.q_threshold AS quality_keep
+    FROM s JOIN t ON s.source = t.source
+    """,
+)
+def text_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-keep_frac-per-source quality pruning (functions/mixture.py
+    quality_prune): the keep set computed from a (source x score-level)
+    census + threshold broadcast — NOT a per-source row_number window,
+    which would serialize each source through one task at 10^12 docs.
+    All docs tied at the threshold score are kept (the deterministic
+    statement of top-x% for discrete scores)."""
+    from .mixture import quality_prune
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.least(
+        F.lit(5),
+        F.floor(
+            F.coalesce(T.token_count(F.col("text")), F.lit(0)) / F.lit(20.0)
+        ),
+    )
+    return quality_prune(docs, score, _PRUNE_KEEP_FRAC).drop("source")
+
+
 @_register(
     "pack_contexts",
     # The serving step: the walk joins content and string_agg rebuilds

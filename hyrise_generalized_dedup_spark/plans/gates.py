@@ -440,6 +440,12 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "n_grams_pos", "n_hit_pos", "max_hit_run",
             "max_span_tokens", "span_contaminated",
         ]),
+        # round-5 census-threshold quality pruning (functions/mixture.py):
+        # top-keep_frac per source by discrete score WITHOUT a per-source
+        # row_number — the skew-safe statement of FineWeb-Edu selection
+        ("text_quality_prune", [
+            "doc_id", "q_score", "src_n", "q_threshold", "quality_keep",
+        ]),
     ],
 }
 

@@ -1713,6 +1713,62 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_serving_offsets",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             sha256('shuf:' || CAST(doc_id AS VARCHAR)) AS shuf_key,
+             CAST((strpos('0123456789abcdef',
+                          substr(sha256('shuf:' || CAST(doc_id AS VARCHAR)),
+                                 1, 1)) - 1) % 16 AS BIGINT) AS srv_bucket,
+             CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0)
+                  AS BIGINT) AS srv_n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, srv_bucket, srv_n_tokens,
+             CAST(row_number() OVER (PARTITION BY srv_bucket
+                                     ORDER BY shuf_key, doc_id) AS BIGINT)
+               AS srv_rank,
+             COALESCE(SUM(srv_n_tokens) OVER (
+                 PARTITION BY srv_bucket ORDER BY shuf_key, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS tok_in_bucket
+      FROM k
+    ),
+    c AS (
+      SELECT srv_bucket, COUNT(*) AS n, SUM(srv_n_tokens) AS t
+      FROM k GROUP BY srv_bucket
+    ),
+    b AS (
+      SELECT srv_bucket,
+             COALESCE(SUM(n) OVER (ORDER BY srv_bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base_docs,
+             COALESCE(SUM(t) OVER (ORDER BY srv_bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base_toks
+      FROM c
+    )
+    SELECT r.doc_id, r.srv_bucket, r.srv_rank, r.srv_n_tokens,
+           b.base_docs + r.srv_rank - 1 AS global_pos,
+           b.base_toks + r.tok_in_bucket AS global_token_offset
+    FROM r JOIN b ON r.srv_bucket = b.srv_bucket
+    """,
+)
+def corpus_serving_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global doc position + token offset in the seeded training order
+    (functions/shuffle.py serving_offsets): the shuffle's one bucket
+    exchange carries the in-bucket cumulative sums; a 16-row bucket
+    census broadcast supplies the cross-bucket bases — a data loader
+    can seek any doc in the served stream from this table alone."""
+    from .shuffle import serving_offsets
+
+    return serving_offsets(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "code_file_roles",
     """
     WITH p AS (

@@ -394,6 +394,12 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "pack_shard", "pack_n_tokens", "pack_id",
             "pack_offset",
         ]),
+        # round-5 serving offsets (functions/shuffle.py serving_offsets):
+        # global doc position + token offset in the seeded training order
+        ("corpus_serving_offsets", [
+            "doc_id", "srv_bucket", "srv_rank", "global_pos",
+            "global_token_offset",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

@@ -96,3 +96,70 @@ def test_served_shuffle_is_a_deterministic_permutation(served):
     n = base.count()
     assert len({(x[0], x[1]) for x in rows_a}) == n  # a real permutation
     assert len({x[2] for x in rows_a}) == n
+
+
+# ------------------------------------------------------- serving offsets
+
+
+def test_serving_offsets_are_a_consistent_token_index(spark):
+    """global_pos is a permutation of 0..n-1 consistent with
+    (bucket, rank); walking docs in global_pos order, each doc's
+    global_token_offset is the running token total."""
+    from hyrise_generalized_dedup_spark.functions.shuffle import (
+        serving_offsets,
+        shuffle_order,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 9))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = sorted(serving_offsets(docs).collect(), key=lambda r: r["global_pos"])
+    assert [r["global_pos"] for r in out] == list(range(300))
+    acc = 0
+    prev = (-1, 0)
+    for r in out:
+        assert (r["srv_bucket"], r["srv_rank"]) > prev  # bucket-major order
+        prev = (r["srv_bucket"], r["srv_rank"])
+        assert r["global_token_offset"] == acc
+        acc += r["srv_n_tokens"]
+        assert r["srv_n_tokens"] == r["doc_id"] % 9
+    # consistent with the shuffle primitive's order
+    order = {
+        (r["bucket"], r["rank_in_bucket"]): r["doc_id"]
+        for r in shuffle_order(docs).collect()
+    }
+    for r in out:
+        assert order[(r["srv_bucket"], r["srv_rank"])] == r["doc_id"]
+
+
+def test_serving_offsets_stable_under_repartitioning(spark):
+    from hyrise_generalized_dedup_spark.functions.shuffle import serving_offsets
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (i % 5))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    a = key(serving_offsets(docs.repartition(1)).collect())
+    b = key(serving_offsets(docs.repartition(13)).collect())
+    assert a == b
+
+
+def test_serving_offsets_match_duckdb_oracle(spark, sf_tiny):
+    import duckdb
+
+    from hyrise_generalized_dedup_spark.functions.queries import (
+        TEXT_ORACLES,
+        TEXT_QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+    )
+    name = "corpus_serving_offsets"
+    duck = sorted(map(tuple, con.execute(TEXT_ORACLES[name]).fetchall()))
+    got = sorted(map(tuple, TEXT_QUERIES[name](spark, sf_tiny).collect()))
+    assert got == duck and len(got) > 0

@@ -163,3 +163,49 @@ def test_serving_offsets_match_duckdb_oracle(spark, sf_tiny):
     duck = sorted(map(tuple, con.execute(TEXT_ORACLES[name]).fetchall()))
     got = sorted(map(tuple, TEXT_QUERIES[name](spark, sf_tiny).collect()))
     assert got == duck and len(got) > 0
+
+
+def test_served_corpus_packs_and_offsets_compose(spark, served):
+    """The full serving tail: kept-train docs -> greedy packing +
+    global offsets. Every served doc lands in exactly one pack and one
+    stream slot; nothing unserved leaks in; token accounting agrees
+    between the two indexes."""
+    from hyrise_generalized_dedup_spark.functions.pack import (
+        pack_census,
+        pack_table,
+    )
+    from hyrise_generalized_dedup_spark.functions.shuffle import serving_offsets
+
+    corpus, _, served_keys = served
+    docs = to_spark(spark, corpus).withColumn(
+        "doc_key", F.concat_ws("|", "repo", "path", "commit")
+    )
+    served_docs = (
+        docs.join(served_keys, "doc_key")
+        .select(
+            F.xxhash64("doc_key").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+    )
+    n_served = served_docs.count()
+    assert n_served > 50
+
+    packed = pack_table(served_docs, capacity=256, n_shards=4)
+    offsets = serving_offsets(served_docs, seed="serve-v1")
+    p_rows = packed.collect()
+    o_rows = offsets.collect()
+    assert len(p_rows) == len(o_rows) == n_served
+    assert {r["doc_id"] for r in p_rows} == {r["doc_id"] for r in o_rows}
+
+    # token accounting agrees between the independent walks
+    ptok = {r["doc_id"]: r["pack_n_tokens"] for r in p_rows}
+    for r in o_rows:
+        assert ptok[r["doc_id"]] == r["srv_n_tokens"]
+    # the stream's total token length equals the packs' total fill
+    census = pack_census(packed, capacity=256).collect()
+    assert sum(c["fill_tokens"] for c in census) == sum(ptok.values())
+    last = max(o_rows, key=lambda r: r["global_pos"])
+    assert (
+        last["global_token_offset"] + last["srv_n_tokens"]
+        == sum(ptok.values())
+    )

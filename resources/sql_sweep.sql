@@ -3870,3 +3870,53 @@ SELECT regexp_extract(p_type, '^([A-Z]+)', 1) AS head, COUNT(*) AS n FROM part G
 SELECT CAST(AVG(DISTINCT n_regionkey) AS DOUBLE) AS ad, SUM(DISTINCT n_regionkey) AS sd FROM nation;
 SELECT o_orderstatus, COUNT(*) FILTER (WHERE o_orderpriority LIKE '1%') AS urgent FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
 SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS bal FROM supplier GROUP BY s_nationkey HAVING SUM(s_acctbal) BETWEEN 0 AND 50000 ORDER BY s_nationkey;
+
+-- tranche: hash/string-function parity (md5/hex/trim-both), null concat,
+-- interval arithmetic, modulo/rounding sign edges, named WINDOW clause,
+-- RANGE frames, LIMIT OFFSET, empty-input aggregates, EXISTS-in-CASE
+SELECT md5(n_name) AS h FROM nation ORDER BY n_nationkey LIMIT 5;
+SELECT hex(255) AS h1, hex(CAST(n_nationkey AS BIGINT)) AS h2 FROM nation ORDER BY n_nationkey LIMIT 5;
+SELECT TRIM(BOTH 'A' FROM n_name) AS t FROM nation WHERE n_name LIKE 'A%' ORDER BY n_name;
+SELECT 'a' || NULL AS c1, NULL || 'b' AS c2, 'x' || 'y' AS c3;
+SELECT o_orderdate + INTERVAL '3' MONTH AS d3, COUNT(*) AS n FROM orders WHERE o_orderkey < 40 GROUP BY 1 ORDER BY 1;
+SELECT CAST(date_trunc('week', DATE '1995-07-17') AS DATE) AS wk;
+SELECT -7 % 3 AS m1, 7 % -3 AS m2, -7 % -3 AS m3;
+SELECT ROUND(2.5) AS r1, ROUND(-2.5) AS r2, ROUND(3.14159, 3) AS r3;
+SELECT FLOOR(-1.5) AS f, CEIL(-1.5) AS c, ABS(-4) AS a, SIGN(-9) AS s;
+SELECT POWER(2, 10) AS p, SQRT(144.0) AS q;
+SELECT CAST('2021-06-01' AS DATE) AS d, CAST('2021-06-01 12:30:00' AS TIMESTAMP) AS t;
+SELECT n_name FROM nation WHERE n_name LIKE '%I_IA' ORDER BY n_name;
+SELECT n_name FROM nation WHERE n_name LIKE '%!_%' ESCAPE '!' ORDER BY n_name;
+SELECT n_nationkey IN (1, 2, 3) AS in_list, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT COUNT(*) AS n FROM nation WHERE (n_nationkey IN (1, NULL)) IS NULL;
+SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5 OFFSET 10;
+SELECT n_name, SUM(n_nationkey) OVER w AS s, AVG(n_nationkey) OVER w AS a FROM nation WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey) ORDER BY n_name;
+SELECT s_suppkey, AVG(s_acctbal) OVER (ORDER BY s_suppkey ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS trail FROM supplier ORDER BY s_suppkey LIMIT 10;
+SELECT n_nationkey, SUM(n_regionkey) OVER (ORDER BY n_nationkey RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS rsum FROM nation ORDER BY n_nationkey;
+SELECT n_regionkey, DENSE_RANK() OVER (ORDER BY n_regionkey) AS dr, COUNT(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey;
+SELECT o_orderstatus, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS frac FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT c_mktsegment, ANY_VALUE(c_mktsegment) AS av FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT SUM(l_quantity) AS s, AVG(l_discount) AS a, COUNT(*) AS n FROM lineitem WHERE l_orderkey < 0;
+SELECT o_orderstatus, SUM(o_totalprice) AS s FROM orders WHERE o_orderkey < 0 GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT CASE WHEN EXISTS (SELECT 1 FROM nation WHERE n_regionkey = 9) THEN 'yes' ELSE 'no' END AS has_r9;
+SELECT r_name, CASE WHEN (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) >= 5 THEN 'full' ELSE 'partial' END AS fill FROM region ORDER BY r_name;
+SELECT x, COUNT(*) AS n FROM (SELECT CAST(n_nationkey AS DOUBLE) AS x FROM nation UNION ALL SELECT CAST(r_regionkey AS DOUBLE) FROM region) u GROUP BY x HAVING COUNT(*) > 1 ORDER BY x;
+SELECT s_name FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey AND l_returnflag = 'R') ORDER BY s_name LIMIT 5;
+SELECT p_brand FROM part GROUP BY p_brand HAVING SUM(p_retailprice) > (SELECT AVG(p_retailprice) * 30 FROM part) ORDER BY p_brand;
+SELECT n1.n_name AS a, n2.n_name AS b, n3.n_name AS c FROM nation n1 JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey + 1 JOIN nation n3 ON n3.n_nationkey = n2.n_nationkey + 1 WHERE n1.n_regionkey = n2.n_regionkey AND n2.n_regionkey = n3.n_regionkey ORDER BY a;
+SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45) t;
+SELECT q, COUNT(*) AS n FROM (SELECT NTILE(4) OVER (ORDER BY o_totalprice) AS q FROM orders) t GROUP BY q ORDER BY q;
+SELECT o_orderpriority, MIN(o_orderdate) AS first_d FROM orders GROUP BY o_orderpriority HAVING MIN(o_orderdate) < DATE '1992-06-01' ORDER BY o_orderpriority;
+SELECT c_nationkey, MAX(length(c_name)) AS ml FROM customer GROUP BY c_nationkey HAVING COUNT(*) BETWEEN 5 AND 50 ORDER BY c_nationkey LIMIT 10;
+SELECT upper(lower(r_name)) AS u FROM region ORDER BY u;
+SELECT replace(p_type, ' ', '_') AS t, COUNT(*) AS n FROM part WHERE p_partkey < 50 GROUP BY 1 ORDER BY 1;
+SELECT l_returnflag, l_linestatus, SUM(l_quantity * (1 - l_discount)) AS disc_qty FROM lineitem WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01' GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2;
+SELECT t.b, COUNT(*) AS n FROM (SELECT CASE WHEN o_totalprice < 50000 THEN 'low' WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS b FROM orders) t GROUP BY t.b ORDER BY t.b;
+SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open?') AS st, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx, COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) AS yrs FROM orders;
+SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(QUARTER FROM o_orderdate) AS q, COUNT(*) AS n FROM orders WHERE o_orderkey < 400 GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT s_nationkey, COUNT(*) FILTER (WHERE s_acctbal > 0) AS pos, COUNT(*) FILTER (WHERE s_acctbal <= 0) AS nonpos FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 10;
+SELECT CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS zero_disc_frac FROM lineitem;
+SELECT g, SUM(cnt) AS total FROM (SELECT n_regionkey AS g, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey UNION ALL SELECT r_regionkey, 1 FROM region) u GROUP BY g ORDER BY g;
+SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) = (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey) m) ORDER BY o_custkey LIMIT 5;
+SELECT STDDEV_SAMP(CAST(n_nationkey AS DOUBLE)) IS NOT NULL AS sd_ok, VAR_SAMP(CAST(n_nationkey AS DOUBLE)) IS NOT NULL AS var_ok FROM nation;

@@ -2419,3 +2419,42 @@ def pack_contexts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_contexts(
         docs, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
     )
+
+
+@_register(
+    "text_encoding_signals",
+    # Marker counts are literal replace() length-diffs (chr() builds the
+    # markers so no multibyte literal sits in SQL text); only the ASCII
+    # char classes go through a regex, identical in RE2 and Java.
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text,
+                '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_nonascii,
+           CAST(length(text) - length(replace(text, chr(65533), ''))
+                AS BIGINT) AS n_replacement,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'))
+                AS BIGINT) AS n_control,
+           CAST(length(text) - length(replace(text, chr(195), ''))
+                AS BIGINT) AS n_moji_lead,
+           CAST((length(text) - length(replace(text,
+                chr(226) || chr(8364), ''))) // 2 AS BIGINT) AS n_moji_punct,
+           (length(text) - length(replace(text, chr(65533), ''))) = 0
+           AND (length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'))) = 0
+           AND (length(text) - length(replace(text, chr(195), ''))) = 0
+           AND (length(text) - length(replace(text,
+                chr(226) || chr(8364), ''))) = 0 AS enc_clean
+    FROM documents
+    """,
+)
+def text_encoding_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 cleanliness / mojibake signals (text.encoding_signals —
+    the CCNet-style encoding-noise filter). The driver corpus is
+    ASCII-clean, so this slot hash-checks the cross-dialect expression
+    plumbing; the semantic oracle runs on a crafted mojibake corpus in
+    tests/test_functions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = T.encoding_signals(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in sig.items()])

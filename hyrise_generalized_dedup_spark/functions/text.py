@@ -331,3 +331,46 @@ def c4_signals(col: Column) -> dict[str, Column]:
             (n_sentences >= 3) & ~has_lorem & ~has_brace & ~has_badword
         ),
     }
+
+
+def encoding_signals(col: Column) -> dict[str, Column]:
+    """UTF-8 cleanliness / mojibake signals (the CCNet-style encoding-
+    noise filter): counts of non-ASCII chars, U+FFFD replacement chars,
+    C0/DEL/C1 control chars (tab/newline/CR excluded; C1 included since
+    latin-1 mojibake materializes UTF-8 continuation bytes there), and
+    the two classic
+    Latin-1-misdecode markers — a stray 'Ã' lead byte and the 'â€'
+    punctuation lead pair, which legitimate text essentially never
+    contains. All counts are integers (bit-stable across engines); the
+    marker counts use literal replace() length-diffs so no regex
+    dialect is involved. `enc_clean` is the document-level keep rule.
+    """
+    n_chars = F.length(col)
+
+    def n_matching(pattern: str) -> Column:
+        return (n_chars - F.length(F.regexp_replace(col, pattern, ""))).cast(
+            "long"
+        )
+
+    def n_substr(marker: str) -> Column:
+        diff = n_chars - F.length(F.replace(col, F.lit(marker), F.lit("")))
+        return (diff / len(marker)).cast("long")
+
+    n_replacement = n_substr("�")
+    n_control = n_matching(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    n_moji_lead = n_substr("Ã")  # 'Ã'
+    n_moji_punct = n_substr("â€")  # 'â€'
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_nonascii": n_matching(r"[^\x00-\x7F]"),
+        "n_replacement": n_replacement,
+        "n_control": n_control,
+        "n_moji_lead": n_moji_lead,
+        "n_moji_punct": n_moji_punct,
+        "enc_clean": (
+            (n_replacement == 0)
+            & (n_control == 0)
+            & (n_moji_lead == 0)
+            & (n_moji_punct == 0)
+        ),
+    }

@@ -422,6 +422,14 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         ("code_normalized_dedup", [
             "doc_id", "norm_sha", "n_copies", "canonical_doc_id", "is_dup",
         ]),
+        # round-5 UTF-8 cleanliness / mojibake signals (text.encoding_
+        # signals) — driver corpus is ASCII-clean, so this hash-checks
+        # the cross-dialect expression plumbing; semantics are oracled
+        # on a crafted mojibake corpus in tests/test_functions.py
+        ("text_encoding_signals", [
+            "doc_id", "n_chars", "n_nonascii", "n_replacement",
+            "n_control", "n_moji_lead", "n_moji_punct", "enc_clean",
+        ]),
         # round-5 type-2 clone dedup (rename/literal-invariant canonical
         # form) — semantics oracled on the synth corpus in tests/test_code.py
         ("code_clone_census", [

@@ -688,3 +688,68 @@ def test_c4_signals_planted_fixture(spark):
     assert rows[2]["has_lorem"] and rows[3]["has_brace"] and rows[4]["has_badword"]
     assert not rows[5]["has_badword"]
     assert rows[6]["n_lines"] == 0 and not rows[6]["c4_keep"]
+
+
+def test_encoding_signals_crafted_mojibake(spark):
+    """Semantic oracle for text.encoding_signals on text the driver
+    corpus can't contain: genuine mojibake (UTF-8 bytes re-decoded as
+    latin-1 and cp1252), replacement chars, control chars, and clean
+    multilingual unicode that must NOT be flagged."""
+    moji_latin1 = "déjà vu — fin".encode("utf-8").decode(
+        "latin-1"
+    )
+    moji_cp1252 = "it’s “quoted”".encode("utf-8").decode(
+        "cp1252", errors="replace"
+    )
+    rows = [
+        (1, "plain ascii."),
+        (2, moji_latin1),
+        (3, moji_cp1252),
+        (4, "bad � byte �"),
+        (5, "bell\x07 nul\x00 tab\t nl\n cr\r del\x7f"),
+        (6, "naïve café — 東京"),
+        (7, ""),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from hyrise_generalized_dedup_spark.functions.text import (
+        encoding_signals,
+    )
+
+    sig = encoding_signals(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in sig.items()]
+        ).collect()
+    }
+    # ground truth computed independently in Python
+    import re as _re
+
+    ctrl = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    for doc_id, text in rows:
+        r = out[doc_id]
+        if text is None:
+            assert r.n_chars is None and r.enc_clean is None
+            continue
+        assert r.n_chars == len(text)
+        assert r.n_nonascii == sum(1 for ch in text if ord(ch) > 0x7F)
+        assert r.n_replacement == text.count("�")
+        assert r.n_control == len(ctrl.findall(text))
+        assert r.n_moji_lead == text.count("Ã")
+        assert r.n_moji_punct == text.count("â€")
+        expect_clean = (
+            text.count("�") == 0
+            and not ctrl.search(text)
+            and text.count("Ã") == 0
+            and text.count("â€") == 0
+        )
+        assert r.enc_clean == expect_clean
+    # the keep rule: clean unicode passes, every corruption mode fails
+    assert out[1].enc_clean and out[6].enc_clean and out[7].enc_clean
+    assert not out[2].enc_clean  # latin-1 mojibake (A-tilde leads + C1)
+    assert not out[3].enc_clean  # cp1252 mojibake (punct pairs)
+    assert not out[4].enc_clean  # replacement chars
+    assert not out[5].enc_clean  # control chars
+    assert out[2].n_moji_lead >= 2 and out[2].n_control >= 1
+    assert out[3].n_moji_punct >= 2

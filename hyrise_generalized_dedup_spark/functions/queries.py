@@ -1752,8 +1752,8 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT r.doc_id, r.srv_bucket, r.srv_rank, r.srv_n_tokens,
-           b.base_docs + r.srv_rank - 1 AS global_pos,
-           b.base_toks + r.tok_in_bucket AS global_token_offset
+           CAST(b.base_docs + r.srv_rank - 1 AS BIGINT) AS global_pos,
+           CAST(b.base_toks + r.tok_in_bucket AS BIGINT) AS global_token_offset
     FROM r JOIN b ON r.srv_bucket = b.srv_bucket
     """,
 )
@@ -2325,7 +2325,7 @@ _PRUNE_KEEP_FRAC = 0.4
                  AS BIGINT)) AS n_tokens
       FROM documents GROUP BY source
     )
-    SELECT s.source, s.n_docs, s.n_tokens, w.weight,
+    SELECT s.source, s.n_docs, CAST(s.n_tokens AS BIGINT) AS n_tokens, w.weight,
            CAST(floor(w.weight * {float(_MIX_BUDGET)!r}) AS BIGINT) AS target_tokens,
            CAST(floor(w.weight * {float(_MIX_BUDGET)!r}) AS BIGINT) / s.n_tokens
              AS repeat_factor,
@@ -2367,7 +2367,7 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r WHERE cum_n >= CAST(ceil({_PRUNE_KEEP_FRAC!r} * src_n) AS BIGINT)
       GROUP BY source
     )
-    SELECT s.doc_id, s.q_score, t.src_n, t.q_threshold,
+    SELECT s.doc_id, s.q_score, CAST(t.src_n AS BIGINT) AS src_n, t.q_threshold,
            s.q_score >= t.q_threshold AS quality_keep
     FROM s JOIN t ON s.source = t.source
     """,
@@ -2400,7 +2400,7 @@ def text_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT w.pack_shard, w.pack_id,
            COUNT(*) AS n_docs,
-           SUM(w.pack_n_tokens) AS fill_tokens,
+           CAST(SUM(w.pack_n_tokens) AS BIGINT) AS fill_tokens,
            sha256(string_agg(COALESCE(d.text, ''), chr(10) || chr(10)
                              ORDER BY w.doc_id)) AS context_sha
     FROM walk w JOIN documents d ON d.doc_id = w.doc_id
@@ -2458,3 +2458,73 @@ def text_encoding_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = T.encoding_signals(F.col("text"))
     return docs.select("doc_id", *[c.alias(k) for k, c in sig.items()])
+
+
+@_register(
+    "text_dsir_weights",
+    # Hashed-feature modulus 4096 and target slice doc_id % 2 mirror
+    # dsir.DEFAULT_BUCKETS / dsir_table's target_mod default. The lean
+    # vote compares single-rounded double products, bit-identical in
+    # both engines (see functions/dsir.py module docstring).
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_concat(w,
+                    list_transform(generate_series(1, len(w)-1),
+                                   i -> w[i] || ' ' || w[i+1]))) AS g
+      FROM toks WHERE len(w) >= 1
+    ),
+    gb AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(g), 1, 12))::BIGINT) % 4096 AS bucket
+      FROM grams
+    ),
+    model AS (
+      SELECT bucket,
+             COUNT(*) AS cr,
+             SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ct
+      FROM gb GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+    scored AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(m.ct) AS sum_tc,
+             SUM(m.cr) AS sum_rc,
+             SUM(CASE WHEN CAST(m.ct + 1 AS DOUBLE) * (t.nr + 4096)
+                       > CAST(m.cr + 1 AS DOUBLE) * (t.nt + 4096)
+                  THEN 1 ELSE 0 END) AS n_lean
+      FROM gb g JOIN model m USING (bucket) CROSS JOIN tot t
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS dsir_n_grams,
+           CAST(COALESCE(s.sum_tc, 0) AS BIGINT) AS dsir_sum_tc,
+           CAST(COALESCE(s.sum_rc, 0) AS BIGINT) AS dsir_sum_rc,
+           CAST(COALESCE(s.n_lean, 0) AS BIGINT) AS dsir_n_lean,
+           COALESCE(s.n_lean, 0) * 2 >= COALESCE(s.n_grams, 0) AS dsir_keep
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling surface (functions/dsir.py, Xie et al.
+    NeurIPS 2023): hashed unigram+bigram models for the deterministic
+    target half (doc_id % 2 == 0) vs the raw pool, trained in ONE
+    bucket-keyed groupBy, scored per doc through an unconditional
+    broadcast join. The gate surface is the exact-integer count columns
+    plus the double-product lean vote; the float log_weight (the actual
+    DSIR statistic) is pytest-oracled against numpy (tests/test_dsir.py)
+    because ln-sum order is not bit-portable across engines."""
+    from .dsir import dsir_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_table(docs).select(
+        "doc_id", "dsir_n_grams", "dsir_sum_tc", "dsir_sum_rc",
+        "dsir_n_lean", "dsir_keep",
+    )

@@ -460,6 +460,14 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         ("text_quality_prune", [
             "doc_id", "q_score", "src_n", "q_threshold", "quality_keep",
         ]),
+        # round-5 DSIR importance resampling (functions/dsir.py, Xie et
+        # al. 2023): hashed-n-gram target-vs-raw models from one groupBy;
+        # exact-integer counts + double-product lean vote are the gate
+        # surface, the float log_weight is numpy-oracled (test_dsir.py)
+        ("text_dsir_weights", [
+            "doc_id", "dsir_n_grams", "dsir_sum_tc", "dsir_sum_rc",
+            "dsir_n_lean", "dsir_keep",
+        ]),
     ],
 }
 

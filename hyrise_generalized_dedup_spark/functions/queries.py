@@ -2528,3 +2528,58 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dsir_n_grams", "dsir_sum_tc", "dsir_sum_rc",
         "dsir_n_lean", "dsir_keep",
     )
+
+
+@_register(
+    "code_comment_signals",
+    # Marker regex restates code.COMMENT_LINE_PATTERN verbatim (RE2 and
+    # Java agree on this subset); the keep bounds are the integer-percent
+    # cross-products of code.COMMENT_RATIO_{MIN,MAX}_PCT.
+    """
+    WITH lines AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+                         x -> regexp_matches(x,
+                              '^[ \\t]*(//|/\\*|\\*/|\\*|--|#|;)')) AS cl
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(len(cl) AS BIGINT) AS n_comment_lines,
+             CAST(COALESCE(list_sum(list_transform(cl, x -> length(x))), 0)
+                  AS BIGINT) AS n_comment_chars,
+             CAST(CASE WHEN contains(text, '"' || '"' || '"')
+                        OR contains(text, repeat(chr(39), 3))
+                  THEN 1 ELSE 0 END AS INTEGER) AS has_docstring,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM lines
+    )
+    SELECT doc_id, n_comment_lines, n_comment_chars, has_docstring,
+           CAST(CASE WHEN n_comment_chars * 100 >= nc * 1
+                      AND n_comment_chars * 100 <= nc * 80
+                THEN 1 ELSE 0 END AS INTEGER) AS comment_keep
+    FROM sig
+    """,
+)
+def code_comment_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-density signals (functions/code.py, the StarCoder
+    comment-ratio filter re-stated line-marker-heuristically): comment
+    line/char counts, docstring presence, and the integer-percent keep
+    bounds. Pure Column exprs — per-file map work in the scan stage;
+    the ratio rule is exact integer cross-products, so the gate surface
+    is bit-stable. Semantics are oracled on a planted corpus in
+    tests/test_code.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    sig = docs.select(
+        "doc_id",
+        C.comment_line_count(c).alias("n_comment_lines"),
+        C.comment_char_count(c).alias("n_comment_chars"),
+        C.has_docstring(c).alias("has_docstring"),
+        F.length(c).cast("long").alias("nc"),
+    )
+    return sig.select(
+        "doc_id", "n_comment_lines", "n_comment_chars", "has_docstring",
+        C.comment_keep(F.col("n_comment_chars"), F.col("nc")).alias(
+            "comment_keep"
+        ),
+    )

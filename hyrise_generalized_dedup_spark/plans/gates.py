@@ -400,6 +400,14 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "srv_bucket", "srv_rank", "global_pos",
             "global_token_offset",
         ]),
+        # round-5 comment-density signals (functions/code.py, the
+        # StarCoder comment-ratio filter as a line-marker heuristic) —
+        # integer-percent keep bounds; semantics on a planted corpus in
+        # tests/test_code.py
+        ("code_comment_signals", [
+            "doc_id", "n_comment_lines", "n_comment_chars",
+            "has_docstring", "comment_keep",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

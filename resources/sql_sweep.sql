@@ -3920,3 +3920,64 @@ SELECT CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*
 SELECT g, SUM(cnt) AS total FROM (SELECT n_regionkey AS g, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey UNION ALL SELECT r_regionkey, 1 FROM region) u GROUP BY g ORDER BY g;
 SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) = (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey) m) ORDER BY o_custkey LIMIT 5;
 SELECT STDDEV_SAMP(CAST(n_nationkey AS DOUBLE)) IS NOT NULL AS sd_ok, VAR_SAMP(CAST(n_nationkey AS DOUBLE)) IS NOT NULL AS var_ok FROM nation;
+
+-- tranche r5-j: grouping sets / date trunc / string+math builtins /
+-- frames / multiset ops / try_cast / VALUES / recursion (validated)
+SELECT n_regionkey, COUNT(*) AS n, grouping(n_regionkey) AS g FROM nation GROUP BY GROUPING SETS ((n_regionkey), ()) ORDER BY g, n_regionkey;
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders WHERE o_orderkey < 2000 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST;
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS q, SUM(l_quantity) AS qty FROM lineitem WHERE l_orderkey < 500 GROUP BY 1 ORDER BY 1;
+SELECT last_day(o_orderdate) AS ld, COUNT(*) AS n FROM orders WHERE o_orderkey < 800 GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT translate(r_name, 'AE', 'ae') AS t FROM region ORDER BY t;
+SELECT lpad(n_name, 20, '.') AS p FROM nation WHERE n_nationkey < 5 ORDER BY p;
+SELECT rpad(r_name, 12, '-') AS p FROM region ORDER BY p;
+SELECT repeat(substr(r_name, 1, 2), 3) AS rp FROM region ORDER BY rp;
+SELECT reverse(n_name) AS rv FROM nation WHERE n_nationkey BETWEEN 3 AND 9 ORDER BY rv;
+SELECT split_part(p_type, ' ', 1) AS w1, COUNT(*) AS n FROM part GROUP BY 1 ORDER BY 1;
+SELECT split_part(p_type, ' ', 3) AS w3, COUNT(DISTINCT p_brand) AS nb FROM part WHERE p_partkey < 400 GROUP BY 1 ORDER BY 1;
+SELECT greatest(n_nationkey, n_regionkey * 5) AS g, least(n_nationkey, n_regionkey * 5) AS l FROM nation ORDER BY n_nationkey LIMIT 10;
+SELECT MOD(o_orderkey, 7) AS m, COUNT(*) AS n FROM orders WHERE o_orderkey < 5000 GROUP BY 1 ORDER BY 1;
+SELECT SUM(CAST(power(l_linenumber, 2) AS BIGINT)) AS sq FROM lineitem WHERE l_orderkey < 300;
+SELECT ROUND(AVG(sqrt(CAST(p_retailprice AS DOUBLE))), 4) AS r FROM part;
+SELECT SIGN(s_acctbal) AS sg, COUNT(*) AS n FROM supplier GROUP BY 1 ORDER BY 1;
+SELECT n_nationkey & 3 AS a, n_nationkey | 8 AS o FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey;
+SELECT COUNT(*) AS n FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey GROUP BY l.l_orderkey HAVING SUM(l.l_quantity) > 150);
+SELECT l_linenumber, SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber;
+SELECT o_orderkey, lag(o_totalprice, 1, 0.0) OVER (ORDER BY o_orderkey) AS prev_p FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey;
+SELECT o_orderkey, lead(o_orderstatus, 2, 'NA') OVER (ORDER BY o_orderkey) AS nx FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey;
+SELECT DISTINCT first_value(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f FROM nation ORDER BY f;
+SELECT n_nationkey, ROUND(percent_rank() OVER (ORDER BY n_nationkey), 6) AS pr FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey;
+SELECT n_nationkey, ROUND(cume_dist() OVER (ORDER BY n_nationkey), 6) AS cd FROM nation WHERE n_nationkey < 8 ORDER BY n_nationkey;
+SELECT x FROM (SELECT n_regionkey AS x FROM nation EXCEPT ALL SELECT r_regionkey FROM region) t ORDER BY x;
+SELECT x, COUNT(*) AS n FROM (SELECT l_suppkey AS x FROM lineitem WHERE l_orderkey < 200 INTERSECT ALL SELECT l_suppkey FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400) t GROUP BY x ORDER BY x LIMIT 10;
+SELECT t.k, t.v, n.n_name FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS t(k, v) JOIN nation n ON n.n_nationkey = t.k ORDER BY t.k;
+SELECT v.tag, COUNT(*) AS n FROM (VALUES ('F'), ('O'), ('P')) AS v(tag) JOIN orders o ON o.o_orderstatus = v.tag WHERE o.o_orderkey < 4000 GROUP BY v.tag ORDER BY v.tag;
+WITH RECURSIVE seq(i) AS (SELECT 0 UNION ALL SELECT i + 1 FROM seq WHERE i < 4) SELECT s.i, COUNT(*) AS n FROM seq s JOIN nation n ON n.n_regionkey = s.i GROUP BY s.i ORDER BY s.i;
+WITH RECURSIVE f(i, v) AS (SELECT 1, 1 UNION ALL SELECT i + 1, v * (i + 1) FROM f WHERE i < 8) SELECT i, v FROM f ORDER BY i;
+SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med FROM orders WHERE o_orderkey < 1000;
+SELECT o_orderstatus, percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1 FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT bool_and(o_totalprice > 0) AS all_pos, bool_or(o_orderstatus = 'F') AS any_f FROM orders WHERE o_orderkey < 100;
+SELECT c_mktsegment, bool_and(c_acctbal > -1000) AS floor_ok FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT regexp_extract(p_type, '^([A-Z]+)', 1) AS head, COUNT(*) AS n FROM part WHERE p_partkey < 300 GROUP BY 1 ORDER BY 1;
+SELECT c_custkey FROM customer WHERE c_nationkey IN (1, 3, 5) AND c_custkey < 60 ORDER BY c_custkey;
+SELECT COALESCE(NULLIF(COALESCE(NULLIF(o_orderstatus, 'O'), 'x'), 'F'), 'y') AS chain, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT CASE WHEN SUM(l_quantity) > 1000 THEN 'big' WHEN SUM(l_quantity) > 100 THEN 'mid' ELSE 'small' END AS bucket FROM lineitem WHERE l_orderkey < 50;
+SELECT s_nationkey FROM supplier GROUP BY s_nationkey HAVING AVG(s_acctbal) > (SELECT AVG(s_acctbal) FROM supplier) ORDER BY s_nationkey;
+SELECT a.n_name FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey WHERE b.n_name LIKE 'U%' ORDER BY a.n_name;
+SELECT COUNT(*) AS n FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL);
+SELECT (SELECT COUNT(*) FROM nation WHERE n_regionkey = r.r_regionkey) AS nn, r_name FROM region r ORDER BY r_name;
+SELECT o_orderstatus, CASE WHEN o_orderstatus = 'F' THEN CASE WHEN o_totalprice > 100000 THEN 'F-hi' ELSE 'F-lo' END ELSE 'other' END AS tag, COUNT(*) AS n FROM orders WHERE o_orderkey < 3000 GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT n_name FROM nation WHERE n_regionkey = 0 INTERSECT SELECT n_name FROM nation WHERE n_nationkey < 15 ORDER BY n_name;
+SELECT COUNT(*) AS n FROM orders o WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING') AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R');
+SELECT o_orderpriority, any_value(len5) AS l5 FROM (SELECT o_orderpriority, length(o_orderpriority) AS len5 FROM orders WHERE o_orderkey < 2000) t GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT c_mktsegment, COUNT(*) FILTER (WHERE c_acctbal > 5000) AS rich, COUNT(*) FILTER (WHERE c_acctbal < 0) AS neg, COUNT(*) AS total FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT ROUND(VAR_SAMP(CAST(o_totalprice AS DOUBLE)) / 1e9, 6) AS v9 FROM orders WHERE o_orderkey < 500;
+SELECT p_brand, ROUND(STDDEV_SAMP(CAST(p_retailprice AS DOUBLE)), 6) AS sd FROM part WHERE p_partkey < 1200 GROUP BY p_brand ORDER BY p_brand;
+SELECT COUNT(*) AS n FROM part WHERE p_type LIKE 'SM%' OR p_type NOT LIKE '%STEEL';
+SELECT try_cast(substr(p_brand, 7, 2) AS INTEGER) AS brand_num, COUNT(*) AS n FROM part WHERE p_partkey < 200 GROUP BY 1 ORDER BY 1 NULLS FIRST;
+SELECT n_regionkey, min_by(n_name, n_nationkey) AS first_by_key FROM nation GROUP BY n_regionkey ORDER BY n_regionkey;
+SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS np FROM orders WHERE o_orderkey < 2500 GROUP BY ROLLUP (o_orderstatus) ORDER BY o_orderstatus NULLS FIRST;
+SELECT c_mktsegment, SUM(c_acctbal) AS s FROM customer GROUP BY c_mktsegment HAVING SUM(c_acctbal) > 0 ORDER BY c_mktsegment;
+SELECT x.w AS w, COUNT(*) AS n FROM (SELECT split_part(p_type, ' ', 2) AS w FROM part WHERE p_partkey < 600) x GROUP BY x.w ORDER BY x.w;
+SELECT s_suppkey, ntile(3) OVER (ORDER BY s_suppkey) AS t FROM supplier WHERE s_suppkey < 13 ORDER BY s_suppkey;
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS rev FROM lineitem WHERE l_quantity < 10 AND l_orderkey < 4000;

@@ -55,6 +55,7 @@ HEADLINE = [
     "text_heavy_lines",
     "text_lm_scores",
     "text_seq_packing",
+    "text_dsir_weights",
 ]
 
 

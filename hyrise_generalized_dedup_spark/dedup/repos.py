@@ -163,3 +163,58 @@ def repo_dedup_manifest(
         F.col("n_keys").cast("long").alias("n_keys"),
         (F.col("repo") == F.col("keeper_repo")).cast("int").alias("keep"),
     )
+
+
+def repo_content_census(
+    files: DataFrame,
+    repo_col: str = "repo",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-repository content rollup — the repo-level curation artifact
+    a (repo, path, content) corpus serves downstream: how big each repo
+    is, how much of it is corpus-wide duplicate content, and whether it
+    survives the duplication keep rule.
+
+    Returns one row per repo: ``(repo, n_files, n_dup_files,
+    n_canonical, total_chars, total_tokens, census_keep)`` where
+    ``n_dup_files`` counts files whose exact content sha appears more
+    than once ANYWHERE in the corpus, ``n_canonical`` counts files that
+    are the min-doc_id representative of their sha group, and
+    ``census_keep`` = 1 when 2*n_dup_files <= n_files (a repo that is
+    mostly copies of other content is dropped whole, The-Stack-style
+    repo pruning).
+
+    Scale shape: one sha-keyed census groupBy (map-side partial agg, the
+    same exchange dedup_exact pays), one corpus-sized join back on sha
+    (AQE-planned; the census is distinct-sha-sized), one repo-keyed
+    rollup. Content never shuffles — only (sha, ints)."""
+    from ..functions.text import token_count
+
+    f = files.select(
+        F.col(repo_col).alias("repo"),
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("sha"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    census = f.groupBy("sha").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+    j = f.join(census, "sha")
+    out = j.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_files"),
+        F.sum(F.when(F.col("doc_id") == F.col("canonical_doc_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_canonical"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return out.withColumn(
+        "census_keep",
+        (F.col("n_dup_files") * 2 <= F.col("n_files")).cast("int"),
+    )

@@ -2583,3 +2583,54 @@ def code_comment_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "comment_keep"
         ),
     )
+
+
+@_register(
+    "code_repo_census",
+    # Repo keys synthesized as doc_id % 31 (the driver table has no repo
+    # column); sha256 hex is byte-identical between Spark's sha2 and
+    # DuckDB's sha256 (the gd slots' established pair).
+    """
+    WITH f AS (
+      SELECT doc_id,
+             'r' || CAST(doc_id % 31 AS VARCHAR) AS repo,
+             sha256(text) AS sha,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT sha, COUNT(*) AS n_copies, MIN(doc_id) AS canon
+      FROM f GROUP BY sha
+    )
+    SELECT f.repo,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_files,
+           CAST(SUM(CASE WHEN f.doc_id = c.canon THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical,
+           CAST(SUM(f.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CASE WHEN 2 * SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END)
+                      <= COUNT(*) THEN 1 ELSE 0 END AS INTEGER) AS census_keep
+    FROM f JOIN c USING (sha)
+    GROUP BY f.repo
+    """,
+)
+def code_repo_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo content rollup (dedup/repos.py repo_content_census): file
+    counts, corpus-wide exact-dup exposure, canonical share, size
+    totals, and The-Stack-style whole-repo keep rule. Repo keys are
+    synthesized deterministically (doc_id % 31) since the driver table
+    carries no repo column; semantics on a planted multi-repo corpus in
+    tests/test_code.py."""
+    from ..dedup.repos import repo_content_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select(
+        "doc_id",
+        F.concat(F.lit("r"), (F.col("doc_id") % 31).cast("string")).alias("repo"),
+        "text",
+    )
+    return repo_content_census(files)

@@ -321,6 +321,16 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(n AS BIGINT) AS n1",
             "CAST(rank AS BIGINT) AS n2",
         ]),
+        # round-5 per-repo content rollup (dedup/repos.py
+        # repo_content_census): corpus-wide dup exposure + size totals
+        # per synthesized repo key; n_files / n_canonical / keep rule
+        # stay value-checked in the full registry (check_oracles --full,
+        # tests/test_code.py)
+        ("repo_census", "code_repo_census", [
+            "CAST(substr(repo, 2) AS BIGINT) AS k",
+            "CAST(n_dup_files AS BIGINT) AS n1",
+            "CAST(total_tokens AS BIGINT) AS n2",
+        ]),
     ],
 }
 

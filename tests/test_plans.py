@@ -96,3 +96,22 @@ def test_contamination_spans_plan_shape(spark, sf_tiny):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_plan_single_training_scan(spark, sf_tiny):
+    """The DSIR model is persisted: both models (raw + target) come from
+    ONE cached bucket groupBy, so the live plan reads the corpus at most
+    twice (score grams + the doc_id-only restore join), serves the model
+    and its totals from InMemoryTableScan, and broadcasts the score join
+    (the model is buckets-bounded). The single cross join must be the
+    1-row totals broadcast, never a corpus-sided product."""
+    from hyrise_generalized_dedup_spark.functions.queries import TEXT_QUERIES
+
+    df = TEXT_QUERIES["text_dsir_weights"](spark, sf_tiny)
+    nodes = _live_nodes(df)
+    n_parquet = sum(1 for n in nodes if "Scan parquet" in n)
+    assert n_parquet <= 2, f"model lineage recomputed live: {n_parquet} parquet scans"
+    assert sum(1 for n in nodes if "InMemoryTableScan" in n) >= 2, nodes
+    assert sum(1 for n in nodes if n == "BroadcastHashJoin") >= 1, nodes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -3981,3 +3981,53 @@ SELECT c_mktsegment, SUM(c_acctbal) AS s FROM customer GROUP BY c_mktsegment HAV
 SELECT x.w AS w, COUNT(*) AS n FROM (SELECT split_part(p_type, ' ', 2) AS w FROM part WHERE p_partkey < 600) x GROUP BY x.w ORDER BY x.w;
 SELECT s_suppkey, ntile(3) OVER (ORDER BY s_suppkey) AS t FROM supplier WHERE s_suppkey < 13 ORDER BY s_suppkey;
 SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS rev FROM lineitem WHERE l_quantity < 10 AND l_orderkey < 4000;
+
+-- tranche r5-k: documents/events cross-table shapes, nested
+-- windows, conditional aggregation, correlated scalars (validated)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang ORDER BY lang;
+SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY ROLLUP (source, lang) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST;
+SELECT d.lang, MAX(length(d.text)) AS mx FROM documents d WHERE d.doc_id % 3 = 0 GROUP BY d.lang HAVING COUNT(*) > 2 ORDER BY d.lang;
+SELECT event_type, COUNT(DISTINCT user_id) AS nu FROM events GROUP BY event_type ORDER BY event_type;
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id HAVING COUNT(*) >= 8 ORDER BY user_id LIMIT 10;
+SELECT event_type, ROUND(SUM(value), 3) AS sv FROM events WHERE value > 0 GROUP BY event_type ORDER BY event_type;
+SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1 LIMIT 7;
+SELECT u.user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') u WHERE u.user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'view' AND user_id IS NOT NULL) ORDER BY u.user_id LIMIT 5;
+SELECT doc_id, length(text) AS lt FROM documents WHERE length(text) = (SELECT MAX(length(text)) FROM documents) ORDER BY doc_id;
+SELECT lang, src_rank FROM (SELECT lang, source, dense_rank() OVER (PARTITION BY lang ORDER BY source) AS src_rank FROM documents) t WHERE src_rank = 1 GROUP BY lang, src_rank ORDER BY lang;
+SELECT o_orderstatus, o_orderpriority, n, rank() OVER (PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS r FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1, 2) t ORDER BY o_orderstatus, r LIMIT 12;
+SELECT s1.s_suppkey, s1.s_acctbal FROM supplier s1 WHERE s1.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s1.s_nationkey) ORDER BY s1.s_suppkey LIMIT 15;
+SELECT p_size, p_brand FROM part GROUP BY p_size, p_brand HAVING COUNT(*) > 2 AND p_size < 15 ORDER BY p_size, p_brand LIMIT 15;
+SELECT l_returnflag, SUM(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END) AS hi_disc_qty, SUM(CASE WHEN l_tax > 0.04 THEN l_quantity ELSE 0 END) AS hi_tax_qty FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT COUNT(*) AS n FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) = COUNT(*)) t;
+SELECT n_name, (SELECT r_name FROM region WHERE r_regionkey = n_regionkey) AS rn FROM nation WHERE n_nationkey < 8 ORDER BY n_name;
+SELECT o_orderdate, o_orderkey FROM orders WHERE o_orderdate IN (SELECT MIN(o_orderdate) FROM orders) ORDER BY o_orderkey LIMIT 5;
+SELECT x.g, x.n FROM (SELECT n_regionkey AS g, COUNT(*) AS n FROM nation GROUP BY n_regionkey) x JOIN (SELECT r_regionkey FROM region WHERE r_name <> 'ASIA') y ON x.g = y.r_regionkey ORDER BY x.g;
+SELECT SUM(l_extendedprice * l_discount * (1 + l_tax)) AS taxed_disc FROM lineitem WHERE l_orderkey < 1500 AND l_quantity BETWEEN 5 AND 15;
+SELECT l_linestatus, MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT c_mktsegment, MIN(c_name) AS first_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT COUNT(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_acctbal < 0 AND o.o_orderstatus = 'F';
+SELECT s_nationkey, COUNT(*) AS n FROM supplier WHERE s_name LIKE '%#000000__' ESCAPE '!' GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 8;
+SELECT doc_id % 10 AS bucket, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS chars FROM documents GROUP BY 1 ORDER BY 1;
+SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY CUBE (lang, source) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT 25;
+SELECT t.half, COUNT(*) AS n FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half FROM documents) t GROUP BY t.half ORDER BY t.half;
+SELECT event_type, ROUND(MIN(value), 3) AS mn, ROUND(MAX(value), 3) AS mx FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type;
+SELECT user_id, event_type, COUNT(*) AS n FROM events WHERE user_id < 20 GROUP BY user_id, event_type ORDER BY user_id, event_type LIMIT 20;
+SELECT COUNT(*) AS n FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e1.event_type = 'view' AND e2.event_type = 'purchase' AND e2.ts > e1.ts WHERE e1.user_id < 12;
+SELECT vec_id, label FROM embeddings WHERE vec_id < 8 ORDER BY vec_id;
+SELECT r1.r_name FROM region r1 CROSS JOIN region r2 WHERE r1.r_regionkey = r2.r_regionkey + 1 ORDER BY r1.r_name;
+SELECT o_orderpriority, bool_or(o_totalprice > 300000) AS has_big FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY length(text)) AS p90 FROM documents;
+SELECT source, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med FROM documents GROUP BY source ORDER BY source;
+SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 32 AND 70 AND o_orderkey NOT BETWEEN 40 AND 60 ORDER BY o_orderkey;
+SELECT p_brand, SUM(p_size) FILTER (WHERE p_size > 25) AS big_sz FROM part WHERE p_partkey < 500 GROUP BY p_brand ORDER BY p_brand;
+SELECT substr(p_name, 1, 5) AS pre, COUNT(*) AS n FROM part WHERE p_partkey < 150 GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1;
+SELECT lower(c_mktsegment) AS seg, length(c_mktsegment) AS ln FROM customer GROUP BY c_mktsegment ORDER BY seg;
+SELECT CAST(AVG(CAST(n_chars AS DOUBLE)) AS DOUBLE) / 100.0 AS avg_h FROM documents WHERE lang = 'en';
+SELECT l_returnflag || '/' || l_linestatus AS fl, COUNT(*) AS n FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1 ORDER BY 1;
+WITH big AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 250000), cnt AS (SELECT COUNT(*) AS nb FROM big) SELECT nb, (SELECT COUNT(*) FROM big WHERE o_orderkey % 2 = 0) AS nb_even FROM cnt;
+WITH RECURSIVE pow2(i, v) AS (SELECT 0, 1 UNION ALL SELECT i + 1, v * 2 FROM pow2 WHERE i < 12) SELECT v FROM pow2 WHERE i = 12;
+SELECT COALESCE(MAX(o_totalprice), 0.0) AS mx FROM orders WHERE o_orderkey < 0;
+SELECT COUNT(*) AS n, COUNT(value) AS nv, COUNT(DISTINCT event_type) AS nt FROM events;
+SELECT doc_id FROM documents WHERE text LIKE '%the%' AND text NOT LIKE '%xyzzy%' AND doc_id < 25 ORDER BY doc_id;
+SELECT o_orderstatus, ROUND(SUM(o_totalprice) / SUM(SUM(o_totalprice)) OVER (), 6) AS share FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT l_suppkey, SUM(l_quantity) AS q, ROW_NUMBER() OVER (ORDER BY SUM(l_quantity) DESC, l_suppkey) AS rn FROM lineitem WHERE l_orderkey < 800 GROUP BY l_suppkey ORDER BY rn LIMIT 10;

@@ -2634,3 +2634,19 @@ def code_repo_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     return repo_content_census(files)
+
+
+@_register("text_bpe_tokens", None)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer over the corpus (functions/bpe.py): merge
+    table trained on the capped vocabulary census (the only collect,
+    max_vocab rows), applied distributed via an Arrow mapInPandas
+    encoder with a per-batch word memo. Rows-only in the full registry
+    (iterative merging is not SQL-expressible); correctness is the
+    two-code-path algebraic invariant + reconstruction + monotonicity
+    + partitioning-invariance pytest battery in tests/test_bpe.py."""
+    from .bpe import bpe_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, table = bpe_pipeline(docs, n_merges=64, max_vocab=10_000)
+    return table

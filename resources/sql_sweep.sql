@@ -4031,3 +4031,52 @@ SELECT COUNT(*) AS n, COUNT(value) AS nv, COUNT(DISTINCT event_type) AS nt FROM 
 SELECT doc_id FROM documents WHERE text LIKE '%the%' AND text NOT LIKE '%xyzzy%' AND doc_id < 25 ORDER BY doc_id;
 SELECT o_orderstatus, ROUND(SUM(o_totalprice) / SUM(SUM(o_totalprice)) OVER (), 6) AS share FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
 SELECT l_suppkey, SUM(l_quantity) AS q, ROW_NUMBER() OVER (ORDER BY SUM(l_quantity) DESC, l_suppkey) AS rn FROM lineitem WHERE l_orderkey < 800 GROUP BY l_suppkey ORDER BY rn LIMIT 10;
+
+-- tranche r5-l: expression group-bys, scalar-subquery arithmetic,
+-- window frame edges, null-ordering, anti-join spellings (validated)
+SELECT length(n_name) AS ln, COUNT(*) AS n FROM nation GROUP BY length(n_name) ORDER BY ln;
+SELECT upper(substr(r_name, 2, 3)) AS mid FROM region ORDER BY mid;
+SELECT (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS total;
+SELECT (SELECT MAX(o_totalprice) FROM orders) - (SELECT MIN(o_totalprice) FROM orders) AS price_range;
+SELECT o_orderstatus, COUNT(*) AS n FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT c_custkey FROM customer WHERE c_custkey < 40 EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey LIMIT 10;
+SELECT n_regionkey, n_name FROM nation WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey) ORDER BY n_regionkey, n_name LIMIT 8;
+SELECT p_brand, FLOOR(AVG(p_size)) AS avg_sz FROM part GROUP BY p_brand HAVING FLOOR(AVG(p_size)) >= 25 ORDER BY p_brand;
+SELECT l_orderkey, SUM(l_extendedprice) AS rev FROM lineitem GROUP BY l_orderkey HAVING SUM(l_extendedprice) > 400000 ORDER BY rev DESC, l_orderkey LIMIT 5;
+SELECT trim(BOTH ' ' FROM '  ' || r_name || ' ') AS t FROM region ORDER BY t;
+SELECT o_orderkey, o_totalprice, SUM(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS prev2 FROM orders WHERE o_orderkey < 35 ORDER BY o_orderkey;
+SELECT o_orderkey, AVG(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fwd3 FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey;
+SELECT n_regionkey, n_name, LAST_VALUE(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_in_region FROM nation ORDER BY n_regionkey, n_name;
+SELECT s_suppkey, s_acctbal, CASE WHEN s_acctbal IS NULL THEN 'null' WHEN s_acctbal < 0 THEN 'neg' ELSE 'pos' END AS tag FROM supplier WHERE s_suppkey < 12 ORDER BY s_suppkey;
+SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity * l_extendedprice > 2000000 AND l_orderkey < 5000;
+SELECT event_type, COUNT(*) FILTER (WHERE value > 50) AS hi, COUNT(*) FILTER (WHERE value <= 50) AS lo FROM events WHERE value IS NOT NULL GROUP BY event_type HAVING COUNT(*) FILTER (WHERE value > 50) > 0 ORDER BY event_type;
+SELECT user_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et, event_type FROM events WHERE user_id < 4 ORDER BY user_id, ts, event_id LIMIT 20;
+SELECT doc_id, n_chars, n_chars - LAG(n_chars, 1, 0) OVER (ORDER BY doc_id) AS delta FROM documents WHERE doc_id < 12 ORDER BY doc_id;
+SELECT source, MAX(n_chars) - MIN(n_chars) AS spread FROM documents GROUP BY source ORDER BY source;
+SELECT ABS(MIN(s_acctbal)) AS a, ROUND(ABS(AVG(s_acctbal)), 4) AS b FROM supplier WHERE s_nationkey = 3;
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT x FROM (SELECT n_name AS x FROM nation UNION SELECT r_name FROM region) u WHERE x LIKE 'A%' ORDER BY x;
+SELECT COUNT(DISTINCT o_orderdate) AS nd FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1994 AND EXTRACT(MONTH FROM o_orderdate) IN (1, 2, 3);
+SELECT c_mktsegment, COUNT(*) AS n, DENSE_RANK() OVER (ORDER BY COUNT(*) DESC) AS dr FROM customer GROUP BY c_mktsegment ORDER BY dr, c_mktsegment;
+SELECT a.r_name, b.r_name AS other FROM region a JOIN region b ON b.r_regionkey = (a.r_regionkey + 2) % 5 ORDER BY a.r_name;
+SELECT COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0) AS r_qty FROM lineitem WHERE l_orderkey < 100;
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders WHERE o_orderkey < 4000 GROUP BY o_orderpriority, o_orderstatus HAVING COUNT(*) > 10 ORDER BY o_orderpriority, o_orderstatus;
+SELECT p_type, p_size FROM part WHERE p_partkey IN (SELECT MIN(p_partkey) FROM part GROUP BY p_brand) ORDER BY p_type, p_size LIMIT 10;
+SELECT s_nationkey, COUNT(*) AS n FROM supplier GROUP BY s_nationkey HAVING COUNT(*) > (SELECT COUNT(*) FROM supplier) / 30 ORDER BY s_nationkey;
+SELECT l_linenumber, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS q FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_linenumber ORDER BY l_linenumber;
+SELECT 'const' AS k, COUNT(*) AS n, MIN(n_nationkey) AS mn, MAX(n_nationkey) AS mx FROM nation;
+SELECT d1.lang FROM documents d1 GROUP BY d1.lang HAVING COUNT(*) = (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang) m) ORDER BY d1.lang;
+SELECT doc_id FROM documents WHERE n_chars > (SELECT AVG(CAST(n_chars AS DOUBLE)) FROM documents) * 1.5 ORDER BY doc_id LIMIT 10;
+SELECT event_type, ts FROM events WHERE ts = (SELECT MIN(ts) FROM events) ORDER BY event_type;
+SELECT user_id FROM events GROUP BY user_id HAVING COUNT(DISTINCT event_type) >= 3 ORDER BY user_id LIMIT 10;
+SELECT o_orderstatus, o_orderdate FROM orders WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders);
+SELECT r_name, (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey % 2 = 0) AS even_nations FROM region ORDER BY r_name;
+SELECT GREATEST(l_discount, l_tax) AS g, COUNT(*) AS n FROM lineitem WHERE l_orderkey < 300 GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT NULLIF(n_regionkey, 2) AS nr, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1 NULLS FIRST;
+SELECT doc_id % 7 AS g, MIN(doc_id) AS mn, MAX(doc_id) AS mx, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1;
+SELECT source, lang FROM documents GROUP BY source, lang HAVING COUNT(*) >= 10 ORDER BY source, lang;
+SELECT SUM(CAST(n_chars AS BIGINT) * CAST(doc_id % 3 AS BIGINT)) AS weighted FROM documents;
+SELECT l_returnflag, VAR_POP(CAST(l_quantity AS DOUBLE)) IS NOT NULL AS has_var FROM lineitem WHERE l_orderkey < 500 GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey < 600) t;
+SELECT CASE WHEN COUNT(*) > 0 THEN 'yes' ELSE 'no' END AS any_rows FROM orders WHERE o_totalprice < 0;
+SELECT c_nationkey, STRING_AGG(DISTINCT c_mktsegment, ',') IS NOT NULL AS has_segs FROM customer WHERE c_custkey < 30 GROUP BY c_nationkey ORDER BY c_nationkey;

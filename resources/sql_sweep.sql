@@ -4080,3 +4080,43 @@ SELECT l_returnflag, VAR_POP(CAST(l_quantity AS DOUBLE)) IS NOT NULL AS has_var 
 SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey < 600) t;
 SELECT CASE WHEN COUNT(*) > 0 THEN 'yes' ELSE 'no' END AS any_rows FROM orders WHERE o_totalprice < 0;
 SELECT c_nationkey, STRING_AGG(DISTINCT c_mktsegment, ',') IS NOT NULL AS has_segs FROM customer WHERE c_custkey < 30 GROUP BY c_nationkey ORDER BY c_nationkey;
+
+-- tranche r5-m: concat_ws, exists-in-case, window counts,
+-- mixed-predicate joins, union-of-aggregates (validated)
+SELECT concat_ws('/', n_name, r_name) AS path FROM nation JOIN region ON n_regionkey = r_regionkey WHERE n_nationkey < 6 ORDER BY path;
+SELECT o_orderkey, CASE WHEN EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') THEN 'returned' ELSE 'clean' END AS status FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey;
+SELECT n_regionkey, COUNT(*) OVER (PARTITION BY n_regionkey) AS region_n, n_name FROM nation WHERE n_nationkey < 10 ORDER BY n_regionkey, n_name;
+SELECT kind, total FROM (SELECT 'orders' AS kind, COUNT(*) AS total FROM orders UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem UNION ALL SELECT 'customer', COUNT(*) FROM customer) u ORDER BY kind;
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority;
+SELECT c.c_custkey, o.o_orderkey FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal * 100 WHERE c.c_custkey < 10 ORDER BY c.c_custkey, o.o_orderkey LIMIT 12;
+SELECT s.s_suppkey, COUNT(l.l_orderkey) AS n FROM supplier s LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey AND l.l_quantity > 48 GROUP BY s.s_suppkey ORDER BY s.s_suppkey LIMIT 12;
+SELECT p_size, COUNT(*) AS n FROM part WHERE p_size IN (1, 5, 10, 25, 50) GROUP BY p_size HAVING COUNT(*) > 1 OR MIN(p_retailprice) > 1000 ORDER BY p_size;
+SELECT t.seg, t.n, t.r FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n, RANK() OVER (ORDER BY COUNT(*) DESC) AS r FROM customer GROUP BY c_mktsegment) t WHERE t.r <= 3 ORDER BY t.r, t.seg;
+SELECT o_orderstatus, SUM(o_totalprice) AS s FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'ALL', SUM(o_totalprice) FROM orders ORDER BY 1;
+SELECT source, COUNT(*) AS n, MIN(doc_id) AS first_doc FROM documents WHERE lang <> 'en' GROUP BY source ORDER BY source;
+SELECT e.event_type, COUNT(*) AS n FROM events e WHERE e.ts BETWEEN (SELECT MIN(ts) FROM events) AND (SELECT MIN(ts) FROM events) + INTERVAL 2 DAY GROUP BY e.event_type ORDER BY e.event_type;
+SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n FROM events WHERE user_id < 6 GROUP BY user_id ORDER BY user_id;
+SELECT doc_id, lang FROM documents WHERE lang IN (SELECT lang FROM documents GROUP BY lang HAVING COUNT(*) < 50) ORDER BY doc_id LIMIT 10;
+SELECT COUNT(*) AS n_pairs FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey WHERE a.n_nationkey < b.n_nationkey;
+SELECT r_name, COALESCE((SELECT MAX(n_name) FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey > 20), 'none') AS top_n FROM region ORDER BY r_name;
+SELECT p_brand, MAX(length(p_name)) AS ml FROM part GROUP BY p_brand HAVING MAX(length(p_name)) >= (SELECT MAX(length(p_name)) - 3 FROM part) ORDER BY p_brand;
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS no, COUNT(*) AS nl FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT y, n FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n FROM orders GROUP BY 1) t WHERE n > 100 ORDER BY y;
+SELECT o_orderkey FROM orders o WHERE (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) = 7 ORDER BY o_orderkey LIMIT 8;
+SELECT s_nationkey, SUM(CASE WHEN s_acctbal > 5000 THEN 1 ELSE 0 END) * 100 / COUNT(*) AS pct_rich FROM supplier GROUP BY s_nationkey HAVING COUNT(*) >= 2 ORDER BY s_nationkey LIMIT 12;
+SELECT c_mktsegment, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer);
+SELECT doc_id, length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents WHERE doc_id < 8 ORDER BY doc_id;
+SELECT lang, SUM(length(text)) AS chars, COUNT(*) AS docs, CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars FROM documents GROUP BY lang ORDER BY lang;
+SELECT event_type, value FROM events WHERE value = (SELECT MAX(value) FROM events WHERE value IS NOT NULL) ORDER BY event_type LIMIT 3;
+SELECT a.event_type AS et1, b.event_type AS et2, COUNT(*) AS n FROM events a JOIN events b ON a.user_id = b.user_id AND b.event_id = a.event_id + 1 WHERE a.user_id < 5 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 15;
+SELECT part_bucket, COUNT(*) AS n FROM (SELECT p_partkey % 5 AS part_bucket FROM part WHERE p_retailprice > 1500) t GROUP BY part_bucket ORDER BY part_bucket;
+SELECT o_orderpriority, MIN(o_orderkey) AS mn FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_orderpriority HAVING MIN(o_orderkey) > 100 ORDER BY o_orderpriority;
+SELECT 'x' || repeat('y', 3) || 'z' AS s, length('x' || repeat('y', 3) || 'z') AS l;
+SELECT n_name FROM nation WHERE length(n_name) = (SELECT MIN(length(n_name)) FROM nation) ORDER BY n_name;
+SELECT SUM(q1) AS tq FROM (SELECT SUM(l_quantity) AS q1 FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey) t;
+SELECT COUNT(*) AS n, SUM(CASE WHEN c_acctbal BETWEEN 0 AND 1000 THEN 1 ELSE 0 END) AS low_band FROM customer WHERE c_mktsegment = 'HOUSEHOLD';
+SELECT l_suppkey FROM lineitem WHERE l_orderkey < 100 GROUP BY l_suppkey HAVING SUM(l_quantity) > 2 * AVG(l_quantity) ORDER BY l_suppkey LIMIT 10;
+SELECT r_regionkey * 2 + 1 AS odd_key, upper(r_name) AS uname FROM region WHERE r_regionkey % 2 = 0 ORDER BY odd_key;
+SELECT source, lang, n, SUM(n) OVER (PARTITION BY source) AS src_total FROM (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang) t ORDER BY source, lang;
+SELECT user_id, event_type, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE user_id IN (1, 2) ORDER BY user_id, rn LIMIT 10;
+SELECT MAX(mx) AS overall FROM (SELECT MAX(l_extendedprice) AS mx FROM lineitem GROUP BY l_returnflag) t;

@@ -4120,3 +4120,46 @@ SELECT r_regionkey * 2 + 1 AS odd_key, upper(r_name) AS uname FROM region WHERE 
 SELECT source, lang, n, SUM(n) OVER (PARTITION BY source) AS src_total FROM (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang) t ORDER BY source, lang;
 SELECT user_id, event_type, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE user_id IN (1, 2) ORDER BY user_id, rn LIMIT 10;
 SELECT MAX(mx) AS overall FROM (SELECT MAX(l_extendedprice) AS mx FROM lineitem GROUP BY l_returnflag) t;
+
+-- tranche r5-n: offsets, multi-CTE chains, directional sorts,
+-- date ranges, percent math, nested windows (validated)
+SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10;
+SELECT n_name FROM nation ORDER BY n_name DESC LIMIT 4 OFFSET 2;
+WITH a AS (SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey), b AS (SELECT r_regionkey, r_name FROM region), c AS (SELECT b.r_name, a.n FROM a JOIN b ON a.n_regionkey = b.r_regionkey) SELECT * FROM c ORDER BY r_name;
+WITH q AS (SELECT l_orderkey, SUM(l_quantity) AS tq FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey) SELECT CAST(AVG(tq) AS DOUBLE) AS avg_q, MAX(tq) AS max_q FROM q;
+SELECT o_orderdate FROM orders WHERE o_orderdate BETWEEN DATE '1993-01-01' AND DATE '1993-01-31' GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 10;
+SELECT l_shipdate, COUNT(*) AS n FROM lineitem WHERE l_shipdate IN (DATE '1994-01-01', DATE '1995-01-01', DATE '1996-01-01') GROUP BY l_shipdate ORDER BY l_shipdate;
+SELECT c_mktsegment, ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM customer), 4) AS pct FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT p_brand, ROUND(100.0 * SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) / COUNT(*), 4) AS pct_big FROM part GROUP BY p_brand HAVING COUNT(*) >= 5 ORDER BY p_brand LIMIT 12;
+SELECT seg, n, SUM(n) OVER (ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) t ORDER BY seg;
+SELECT y, n, n - LAG(n) OVER (ORDER BY y) AS yoy FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n FROM orders GROUP BY 1) t ORDER BY y;
+SELECT o_orderstatus, MAX(o_totalprice) AS mx FROM orders GROUP BY o_orderstatus ORDER BY mx DESC, o_orderstatus ASC;
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS q FROM lineitem GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC;
+SELECT s_name FROM supplier WHERE s_suppkey BETWEEN 5 AND 9 OR s_suppkey BETWEEN 20 AND 22 ORDER BY s_name;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate >= DATE '1995-01-01' - INTERVAL 30 DAY AND o_orderdate < DATE '1995-01-01';
+SELECT doc_id, substr(text, 1, 12) AS head FROM documents WHERE doc_id IN (0, 1, 2) ORDER BY doc_id;
+SELECT lang, MIN(length(text)) AS mn, MAX(length(text)) AS mx FROM documents GROUP BY lang HAVING MIN(length(text)) < MAX(length(text)) ORDER BY lang;
+SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT event_type) AS nt FROM events GROUP BY user_id HAVING COUNT(*) > 2 * COUNT(DISTINCT event_type) ORDER BY user_id LIMIT 10;
+SELECT event_type, CAST(SUM(value) AS DOUBLE) / NULLIF(COUNT(value), 0) AS mean_v FROM events GROUP BY event_type ORDER BY event_type;
+SELECT t.k, COUNT(*) AS n FROM (SELECT event_id % 16 AS k FROM events) t GROUP BY t.k HAVING COUNT(*) > 5 ORDER BY t.k;
+SELECT a.n_name AS x, COUNT(s.s_suppkey) AS ns, COUNT(c.c_custkey) AS ncust FROM nation a LEFT JOIN supplier s ON s.s_nationkey = a.n_nationkey LEFT JOIN customer c ON c.c_nationkey = a.n_nationkey AND c.c_custkey < 30 GROUP BY a.n_name ORDER BY a.n_name LIMIT 10;
+SELECT r_name, SUM(n_cnt) AS nations FROM region LEFT JOIN (SELECT n_regionkey, COUNT(*) AS n_cnt FROM nation GROUP BY n_regionkey) n ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name;
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'high' ELSE 'low' END AS band, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT COUNT(*) AS n FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F') AND l.l_orderkey < 2000;
+SELECT p_type FROM part GROUP BY p_type HAVING COUNT(*) = 1 ORDER BY p_type LIMIT 12;
+SELECT x, y FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')) t(x, y) WHERE x % 2 = 0 ORDER BY x;
+SELECT v.x + n.n_nationkey AS s FROM (VALUES (100), (200)) v(x) CROSS JOIN nation n WHERE n.n_nationkey < 3 ORDER BY s;
+SELECT MAX(len) AS longest FROM (SELECT length(p_name) AS len FROM part UNION ALL SELECT length(s_name) FROM supplier UNION ALL SELECT length(c_name) FROM customer) t;
+SELECT o_orderpriority, COUNT(*) AS n FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority LIMIT 3;
+SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(DISTINCT l_returnflag) = 3 ORDER BY l_partkey LIMIT 10;
+SELECT n1.n_name, n2.n_name AS peer FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey <> n2.n_nationkey WHERE n1.n_name = 'BRAZIL' ORDER BY peer;
+SELECT source, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75 FROM documents GROUP BY source ORDER BY source;
+SELECT COUNT(*) FILTER (WHERE text LIKE '%data%') AS with_data, COUNT(*) AS total FROM documents;
+SELECT doc_id FROM documents WHERE length(trim(text)) = 0 ORDER BY doc_id LIMIT 5;
+SELECT lang, bool_and(n_chars > 0) AS all_nonempty FROM documents GROUP BY lang ORDER BY lang;
+SELECT event_type, MIN(event_id) AS mn FROM events WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 10) GROUP BY event_type ORDER BY event_type;
+SELECT o_custkey, n FROM (SELECT o_custkey, COUNT(*) AS n, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_custkey) AS rn FROM orders GROUP BY o_custkey) t WHERE rn <= 5 ORDER BY rn;
+SELECT SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN l_extendedprice * l_discount ELSE 0 END) AS q6ish FROM lineitem WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01';
+SELECT c_nationkey FROM customer GROUP BY c_nationkey HAVING SUM(c_acctbal) < 0 ORDER BY c_nationkey LIMIT 10;
+SELECT p_size + 0 AS sz, COUNT(DISTINCT p_brand) AS nb FROM part WHERE p_size <= 10 GROUP BY p_size ORDER BY sz;
+SELECT upper(r_name) || '_' || lower(r_name) AS mixed FROM region ORDER BY mixed;

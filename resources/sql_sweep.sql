@@ -4163,3 +4163,34 @@ SELECT SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN l_extendedprice * l_d
 SELECT c_nationkey FROM customer GROUP BY c_nationkey HAVING SUM(c_acctbal) < 0 ORDER BY c_nationkey LIMIT 10;
 SELECT p_size + 0 AS sz, COUNT(DISTINCT p_brand) AS nb FROM part WHERE p_size <= 10 GROUP BY p_size ORDER BY sz;
 SELECT upper(r_name) || '_' || lower(r_name) AS mixed FROM region ORDER BY mixed;
+
+-- tranche r5-o: grouping() markers, position math, nth_value,
+-- correlated double-nesting, cross-schema unions (validated)
+SELECT o_orderstatus, grouping(o_orderstatus) AS g, COUNT(*) AS n FROM orders GROUP BY ROLLUP (o_orderstatus) ORDER BY g, o_orderstatus;
+SELECT p_brand, p_size, grouping(p_brand) + grouping(p_size) AS lvl, COUNT(*) AS n FROM part WHERE p_partkey < 300 GROUP BY GROUPING SETS ((p_brand, p_size), (p_brand), ()) ORDER BY lvl, p_brand NULLS FIRST, p_size NULLS FIRST LIMIT 25;
+SELECT c_custkey FROM customer c WHERE c_acctbal > (SELECT AVG(o_totalprice) / 100 FROM orders o WHERE o.o_custkey = c.c_custkey) AND c_custkey < 50 ORDER BY c_custkey;
+SELECT n_name, position('A' IN n_name) AS pa FROM nation WHERE n_nationkey < 10 ORDER BY n_name;
+SELECT p_type, position('BRUSHED' IN p_type) AS pos, COUNT(*) AS n FROM part WHERE position('BRUSHED' IN p_type) > 0 GROUP BY 1, 2 ORDER BY 1;
+SELECT x, COUNT(*) AS n FROM (SELECT c_nationkey AS x FROM customer UNION ALL SELECT s_nationkey FROM supplier UNION ALL SELECT n_nationkey FROM nation) u GROUP BY x ORDER BY x LIMIT 12;
+SELECT l_orderkey, MAX(l_extendedprice) OVER (PARTITION BY l_orderkey) - l_extendedprice AS below_max FROM lineitem WHERE l_orderkey < 8 ORDER BY l_orderkey, below_max;
+SELECT o_orderkey, NTH_VALUE(o_totalprice, 2) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_p FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey;
+SELECT doc_id FROM documents d WHERE EXISTS (SELECT 1 FROM documents e WHERE e.lang = d.lang AND e.doc_id = d.doc_id + 1) AND d.doc_id < 15 ORDER BY doc_id;
+SELECT lang, COUNT(*) AS n FROM documents WHERE source = (SELECT MIN(source) FROM documents) GROUP BY lang ORDER BY lang;
+SELECT event_type, COUNT(*) AS n, MIN(event_id) AS mn, MAX(event_id) AS mx FROM events GROUP BY event_type HAVING MAX(event_id) - MIN(event_id) > 100 ORDER BY event_type;
+SELECT a.p_brand, COUNT(*) AS n FROM part a JOIN part b ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey WHERE a.p_size > 45 GROUP BY a.p_brand ORDER BY a.p_brand LIMIT 10;
+SELECT COUNT(*) AS n FROM customer WHERE c_name LIKE '%#000000001%' OR c_name LIKE '%#000000002%';
+SELECT r_regionkey, CASE r_regionkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'many' END AS word FROM region ORDER BY r_regionkey;
+SELECT MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order, COUNT(*) AS n FROM orders WHERE o_orderstatus = 'P';
+SELECT l_returnflag, SUM(l_quantity * l_extendedprice) / SUM(l_quantity) AS weighted_price FROM lineitem WHERE l_orderkey < 400 GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT source, COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en_docs, COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS other_docs FROM documents GROUP BY source ORDER BY source;
+SELECT t.tot FROM (SELECT SUM(n_chars) AS tot FROM documents GROUP BY lang) t ORDER BY t.tot LIMIT 3;
+SELECT COUNT(DISTINCT o_orderdate) AS nd, COUNT(DISTINCT o_custkey) AS nc FROM orders WHERE o_orderkey < 5000;
+SELECT n_regionkey, COUNT(*) AS n FROM nation WHERE n_name > 'J' GROUP BY n_regionkey ORDER BY n_regionkey;
+SELECT o_orderpriority FROM orders GROUP BY o_orderpriority HAVING COUNT(*) BETWEEN 100 AND 100000 ORDER BY o_orderpriority;
+SELECT event_id, user_id FROM events WHERE event_id IN (SELECT MIN(event_id) FROM events GROUP BY user_id) ORDER BY event_id LIMIT 10;
+SELECT d1.source, COUNT(*) AS n FROM documents d1 JOIN documents d2 ON d1.doc_id = d2.doc_id + 250 WHERE d1.lang = d2.lang GROUP BY d1.source ORDER BY d1.source;
+SELECT p_brand, MIN(p_retailprice) AS mn FROM part GROUP BY p_brand HAVING MIN(p_retailprice) > (SELECT MIN(p_retailprice) + 50 FROM part) ORDER BY p_brand LIMIT 10;
+SELECT CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt, CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_cnt, CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt FROM lineitem;
+SELECT c_nationkey, MAX(c_acctbal) AS mx FROM customer WHERE c_custkey % 3 = 0 GROUP BY c_nationkey HAVING MAX(c_acctbal) > 9500 ORDER BY c_nationkey;
+SELECT repeat(r_name, 2) AS dbl, length(repeat(r_name, 2)) AS l FROM region ORDER BY dbl;
+SELECT COALESCE((SELECT n_name FROM nation WHERE n_nationkey = 999), 'missing') AS fallback;

@@ -153,7 +153,11 @@ def bpe_encode_table(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                words = token_re.findall((text or "").lower())
+                # NULL text reaches pandas as float NaN, which is truthy —
+                # guard on type, not falsiness
+                if not isinstance(text, str):
+                    text = ""
+                words = token_re.findall(text.lower())
                 n_tok, sig = 0, 0
                 for w in words:
                     k, h = enc(w)

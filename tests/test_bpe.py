@@ -141,3 +141,18 @@ def test_census_cap_is_the_only_collect(spark):
     merges = train_bpe_from_census(census, n_merges=8, max_vocab=5)
     # cap honored: merges only involve symbols from the top-5 words
     assert len(merges) <= 8 and all(len(p) == 2 for p in merges)
+
+
+def test_null_text_rows_encode_as_empty(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    docs = spark.createDataFrame([(0, "alpha beta"), (1, None)], schema)
+    merges = train_bpe([("alpha", 2), ("beta", 1)], 4)
+    rows = {r["doc_id"]: r for r in bpe_encode_table(docs, merges).collect()}
+    assert rows[1]["n_words"] == 0
+    assert rows[1]["n_bpe_tokens"] == 0 and rows[1]["bpe_sig"] == 0
+    assert rows[0]["n_words"] == 2

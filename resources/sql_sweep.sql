@@ -4194,3 +4194,26 @@ SELECT CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_
 SELECT c_nationkey, MAX(c_acctbal) AS mx FROM customer WHERE c_custkey % 3 = 0 GROUP BY c_nationkey HAVING MAX(c_acctbal) > 9500 ORDER BY c_nationkey;
 SELECT repeat(r_name, 2) AS dbl, length(repeat(r_name, 2)) AS l FROM region ORDER BY dbl;
 SELECT COALESCE((SELECT n_name FROM nation WHERE n_nationkey = 999), 'missing') AS fallback;
+
+-- tranche r5-p: exists chains, windowed mins, string census
+-- shapes, three-way joins (validated)
+SELECT COUNT(*) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49));
+SELECT n_name, s_cnt, c_cnt FROM (SELECT n_nationkey, n_name FROM nation) n JOIN (SELECT s_nationkey, COUNT(*) AS s_cnt FROM supplier GROUP BY s_nationkey) s ON s.s_nationkey = n.n_nationkey JOIN (SELECT c_nationkey, COUNT(*) AS c_cnt FROM customer GROUP BY c_nationkey) c ON c.c_nationkey = n.n_nationkey ORDER BY n_name LIMIT 10;
+SELECT l_orderkey, MIN(l_extendedprice) OVER (PARTITION BY l_orderkey) AS cheapest FROM lineitem WHERE l_orderkey < 10 ORDER BY l_orderkey, cheapest;
+SELECT o_orderstatus, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) / 7.0 AS weekly_rate FROM orders WHERE o_orderkey < 700 GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT substr(n_name, 1, 1) AS initial, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT length(p_type) AS lt, COUNT(DISTINCT p_type) AS nt FROM part GROUP BY 1 ORDER BY 1;
+SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n FROM lineitem WHERE l_orderkey < 1200 GROUP BY 1 ORDER BY 1 LIMIT 15;
+SELECT o_orderkey % 100 AS residue, COUNT(*) AS n FROM orders WHERE o_orderkey < 10000 GROUP BY 1 HAVING COUNT(*) > 20 ORDER BY 1 LIMIT 10;
+SELECT c_mktsegment, MAX(length(c_name)) AS ml, MIN(length(c_name)) AS mnl FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT event_type, EXTRACT(HOUR FROM ts) AS h, COUNT(*) AS n FROM events WHERE user_id < 8 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20;
+SELECT doc_id, CASE WHEN n_chars > 1000 THEN 'long' WHEN n_chars > 100 THEN 'mid' ELSE 'short' END AS bucket FROM documents WHERE doc_id < 10 ORDER BY doc_id;
+SELECT bucket, COUNT(*) AS n FROM (SELECT CASE WHEN n_chars > 1000 THEN 'long' WHEN n_chars > 100 THEN 'mid' ELSE 'short' END AS bucket FROM documents) t GROUP BY bucket ORDER BY bucket;
+SELECT s.s_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE' AND s.s_acctbal > 9000 ORDER BY s.s_name LIMIT 8;
+SELECT r_name, COUNT(DISTINCT n_nationkey) AS nn, COUNT(DISTINCT s_suppkey) AS ns FROM region LEFT JOIN nation ON n_regionkey = r_regionkey LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY r_name ORDER BY r_name;
+SELECT MAX(d) AS max_gap FROM (SELECT o_orderdate - LAG(o_orderdate) OVER (ORDER BY o_orderdate, o_orderkey) AS d FROM orders WHERE o_orderkey < 200) t;
+SELECT COUNT(*) AS n FROM (SELECT user_id FROM events GROUP BY user_id HAVING MIN(ts) < (SELECT MIN(ts) + INTERVAL 1 DAY FROM events)) t;
+SELECT p_brand FROM part WHERE p_brand NOT IN (SELECT p_brand FROM part WHERE p_size > 40) GROUP BY p_brand ORDER BY p_brand LIMIT 10;
+SELECT o_orderpriority, SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) / NULLIF(SUM(o_totalprice), 0) AS f_share FROM orders WHERE o_orderkey < 3000 GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT t1.lang, t1.n AS docs, t2.n AS en_docs FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) t1 LEFT JOIN (SELECT lang, COUNT(*) AS n FROM documents WHERE source = 'web' GROUP BY lang) t2 ON t1.lang = t2.lang ORDER BY t1.lang;
+SELECT COUNT(*) AS n, SUM(length(text)) AS total_chars FROM documents WHERE doc_id BETWEEN 100 AND 199;

@@ -242,3 +242,90 @@ def pack_census(packed: DataFrame, capacity: int = DEFAULT_CAPACITY) -> DataFram
             (F.col("fill_tokens") > capacity).alias("oversize"),
         )
     )
+
+
+# --- Sliding-window chunking (the dual of packing) --------------------------
+#
+# Packing assembles SHORT docs into fixed-capacity contexts; chunking
+# splits LONG docs into stride-overlapped windows so no document is
+# truncated at the context boundary (the standard LM data-prep rule:
+# window W, stride S < W, the last window may be short). Pure Column
+# arithmetic over the whitespace token count — the chunk table is an
+# integer function of (doc_id, n_tokens, W, S), so a DuckDB oracle
+# recomputes every row bit-for-bit and the explode is map-side work in
+# the scan stage at any corpus size.
+
+DEFAULT_CHUNK_WINDOW = 128
+DEFAULT_CHUNK_STRIDE = 96
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = DEFAULT_CHUNK_WINDOW,
+    stride: int = DEFAULT_CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, window): ``(doc_id, chunk_id, chunk_start,
+    chunk_len)`` where chunk_id counts from 0, chunk_start is the token
+    offset ``chunk_id * stride``, and chunk_len = min(window, n_tokens -
+    chunk_start). Empty docs produce no rows. The window count is
+    ``1 + max(0, ceil((n - window) / stride))`` — every token is covered
+    and no window starts at or past the end."""
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    from .text import token_count
+
+    n = token_count(F.col(text_col)).cast("long")
+    base = docs.select("doc_id", n.alias("n_tokens")).where(F.col("n_tokens") > 0)
+    extra = F.floor(
+        (F.col("n_tokens") - F.lit(window) + F.lit(stride) - 1) / F.lit(stride)
+    ).cast("long")
+    k_max = F.greatest(extra, F.lit(0))
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
+            F.least(
+                F.lit(window).cast("long"),
+                F.col("n_tokens") - F.col("chunk_id") * stride,
+            ).alias("chunk_len"),
+        )
+    )
+
+
+def chunk_census(
+    docs: DataFrame,
+    window: int = DEFAULT_CHUNK_WINDOW,
+    stride: int = DEFAULT_CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc chunking rollup: ``(doc_id, n_chunks, chunk_cov_tokens,
+    last_chunk_len)`` — window count, total tokens across windows
+    (n_tokens + overlap double-count), and the short-tail length. Every
+    input doc gets a row (zeros for empty docs)."""
+    ch = chunk_windows(docs, window, stride, text_col)
+    agg = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("chunk_cov_tokens"),
+        F.max_by("chunk_len", "chunk_id").cast("long").alias("last_chunk_len"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("chunk_cov_tokens", F.lit(0)).cast("long").alias(
+                "chunk_cov_tokens"
+            ),
+            F.coalesce("last_chunk_len", F.lit(0)).cast("long").alias(
+                "last_chunk_len"
+            ),
+        )
+    )

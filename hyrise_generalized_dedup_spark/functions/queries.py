@@ -2650,3 +2650,73 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _, table = bpe_pipeline(docs, n_merges=64, max_vocab=10_000)
     return table
+
+
+_CHUNK_CTE = """
+    WITH chunk_toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n
+      FROM documents
+    ), chunk_rows AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0,
+                    GREATEST(CAST(floor((n - 128 + 96 - 1) / 96.0) AS BIGINT),
+                             0))) AS chunk_id
+      FROM chunk_toks WHERE n > 0
+    )
+"""
+
+
+@_register(
+    "text_chunk_windows",
+    # Window/stride constants 128/96 mirror pack.DEFAULT_CHUNK_WINDOW /
+    # DEFAULT_CHUNK_STRIDE.
+    _CHUNK_CTE
+    + """
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 96 AS BIGINT) AS chunk_start,
+           CAST(LEAST(128, n - chunk_id * 96) AS BIGINT) AS chunk_len
+    FROM chunk_rows
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (functions/pack.py chunk_windows
+    — the dual of packing): long docs split into stride-overlapped
+    training windows, short tail kept. Pure integer Column arithmetic +
+    a map-side sequence explode; the DuckDB oracle recomputes every
+    (chunk_id, start, len) row bit-for-bit."""
+    from .pack import chunk_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_windows(docs)
+
+
+@_register(
+    "text_chunk_census",
+    _CHUNK_CTE
+    + """
+    , census AS (
+      SELECT doc_id,
+             COUNT(*) AS n_chunks,
+             SUM(LEAST(128, n - chunk_id * 96)) AS cov,
+             max_by(LEAST(128, n - chunk_id * 96), chunk_id) AS last_len
+      FROM chunk_rows GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(c.cov, 0) AS BIGINT) AS chunk_cov_tokens,
+           CAST(COALESCE(c.last_len, 0) AS BIGINT) AS last_chunk_len
+    FROM documents d LEFT JOIN census c ON d.doc_id = c.doc_id
+    """,
+)
+def text_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc chunking rollup over text_chunk_windows: window count,
+    covered tokens (n_tokens + overlap double-count), short-tail
+    length. One exchange on doc_id; every doc gets a row."""
+    from .pack import chunk_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_census(docs)

@@ -418,6 +418,13 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "n_comment_lines", "n_comment_chars",
             "has_docstring", "comment_keep",
         ]),
+        # round-5 sliding-window chunking census (functions/pack.py
+        # chunk_windows/chunk_census — the dual of packing): window
+        # count + overlap coverage + short-tail length; long-doc edge
+        # semantics in tests/test_pack.py
+        ("text_chunk_census", [
+            "doc_id", "n_chunks", "chunk_cov_tokens", "last_chunk_len",
+        ]),
     ],
     "g_text_quality_langid": [
         ("text_quality", ["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"]),

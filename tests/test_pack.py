@@ -334,3 +334,96 @@ def test_pack_census_fill_waste_oversize(spark):
     assert rows[(0, 3)]["fill_tokens"] == 2
     # census partitions the docs
     assert sum(r["n_docs"] for r in rows.values()) == 5
+
+
+class TestChunkWindows:
+    def _mirror(self, n, w, s):
+        if n == 0:
+            return []
+        out, k = [], 0
+        while True:
+            start = k * s
+            if start >= n:
+                break
+            out.append((k, start, min(w, n - start)))
+            if start + w >= n:
+                break
+            k += 1
+        return out
+
+    def test_matches_python_mirror_across_edges(self, spark):
+        from hyrise_generalized_dedup_spark.functions.pack import chunk_windows
+
+        w, s = 8, 5
+        # edges: empty, 1, s, w, w+1, exact multiple of s, large
+        lens = [0, 1, 5, 8, 9, 10, 15, 16, 20, 21, 40, 100]
+        docs = spark.createDataFrame(
+            [(i, " ".join(["t"] * n)) for i, n in enumerate(lens)],
+            ["doc_id", "text"],
+        )
+        got: dict[int, list] = {}
+        for r in chunk_windows(docs, window=w, stride=s).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_start"], r["chunk_len"])
+            )
+        for i, n in enumerate(lens):
+            assert sorted(got.get(i, [])) == self._mirror(n, w, s), (i, n)
+
+    def test_every_token_covered_no_empty_windows(self, spark):
+        from hyrise_generalized_dedup_spark.functions.pack import chunk_windows
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["t"] * (i * 7 + 1))) for i in range(40)],
+            ["doc_id", "text"],
+        )
+        rows = chunk_windows(docs, window=16, stride=11).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            assert 1 <= r["chunk_len"] <= 16
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, chunks in by_doc.items():
+            n = i * 7 + 1
+            last = max(chunks, key=lambda r: r["chunk_id"])
+            assert last["chunk_start"] + last["chunk_len"] == n  # tail reached
+            # consecutive windows overlap or touch: full coverage
+            starts = sorted(r["chunk_start"] for r in chunks)
+            assert all(b - a <= 16 for a, b in zip(starts, starts[1:]))
+
+    def test_census_matches_windows(self, spark):
+        from hyrise_generalized_dedup_spark.functions.pack import (
+            chunk_census,
+            chunk_windows,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["t"] * n)) for i, n in enumerate([0, 3, 200, 129])],
+            ["doc_id", "text"],
+        )
+        ch = {
+            i: sorted(rs, key=lambda r: r["chunk_id"])
+            for i, rs in __import__("itertools").groupby(
+                sorted(
+                    chunk_windows(docs).collect(), key=lambda r: r["doc_id"]
+                ),
+                key=lambda r: r["doc_id"],
+            )
+        }
+        ch = {i: list(rs) for i, rs in ch.items()}
+        for r in chunk_census(docs).collect():
+            rows = ch.get(r["doc_id"], [])
+            assert r["n_chunks"] == len(rows)
+            assert r["chunk_cov_tokens"] == sum(x["chunk_len"] for x in rows)
+            assert r["last_chunk_len"] == (
+                max(rows, key=lambda x: x["chunk_id"])["chunk_len"] if rows else 0
+            )
+
+    def test_bad_stride_rejected(self, spark):
+        import pytest as _pytest
+
+        from hyrise_generalized_dedup_spark.functions.pack import chunk_windows
+
+        docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            chunk_windows(docs, window=8, stride=0)
+        with _pytest.raises(ValueError):
+            chunk_windows(docs, window=8, stride=9)

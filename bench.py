@@ -56,6 +56,7 @@ HEADLINE = [
     "text_lm_scores",
     "text_seq_packing",
     "text_dsir_weights",
+    "code_zorder_census",
 ]
 
 

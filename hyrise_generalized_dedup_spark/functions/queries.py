@@ -2720,3 +2720,35 @@ def text_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_census(docs)
+
+
+from .zorder import zorder_census_oracle_sql as _zc_oracle  # noqa: E402
+
+
+@_register(
+    "code_zorder_census",
+    # Dims: content length x doc_id — the (size, id-range) pair a corpus
+    # scan slices on. Same generator builds both dialects (zorder.py), so
+    # the Morton keys are bit-identical by construction.
+    _zc_oracle(
+        "SELECT CAST(length(text) AS BIGINT) AS x0,"
+        " CAST(doc_id AS BIGINT) AS x1 FROM documents"
+    ),
+)
+def code_zorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout quality census (functions/zorder.py):
+    quantize (n_chars, doc_id) to 16-bit, interleave into a Morton key,
+    cut into 64 z-range slabs (the file boundaries `zorder_layout`'s
+    range-partitioned write would produce) and report each slab's
+    per-dimension bounding box + volume — the multi-column data-skipping
+    metric behind Delta/Iceberg OPTIMIZE ZORDER. Exact integer math in
+    both engines; the actual write path (`zorder_layout`) is plan- and
+    file-stats-tested in tests/test_zorder.py."""
+    from .zorder import zorder_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        F.length("text").cast("long").alias("x0"),
+        F.col("doc_id").cast("long").alias("x1"),
+    )
+    return zorder_census(pts, ["x0", "x1"], n_buckets=64)

@@ -331,6 +331,15 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(n_dup_files AS BIGINT) AS n1",
             "CAST(total_tokens AS BIGINT) AS n2",
         ]),
+        # round-5 Z-order layout census (functions/zorder.py): Morton-key
+        # slab bounding boxes over (n_chars, doc_id) — the multi-column
+        # data-skipping quality metric; per-dim q-bounds stay value-checked
+        # in the full registry, the write path in tests/test_zorder.py
+        ("zorder", "code_zorder_census", [
+            "CAST(bucket AS BIGINT) AS k",
+            "CAST(n_docs AS BIGINT) AS n1",
+            "CAST(bbox_area AS BIGINT) AS n2",
+        ]),
     ],
 }
 

@@ -68,6 +68,7 @@ def test_golden_merged_gate_shape(spark, sf_tiny):
         "iceberg_diff",
         "heavy_lines",
         "repo_census",
+        "zorder",
     }
     assert {c for c in rows[0].asDict()} == {"gate_op", "k", "n1", "n2"}
 

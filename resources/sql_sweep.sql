@@ -4217,3 +4217,41 @@ SELECT p_brand FROM part WHERE p_brand NOT IN (SELECT p_brand FROM part WHERE p_
 SELECT o_orderpriority, SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) / NULLIF(SUM(o_totalprice), 0) AS f_share FROM orders WHERE o_orderkey < 3000 GROUP BY o_orderpriority ORDER BY o_orderpriority;
 SELECT t1.lang, t1.n AS docs, t2.n AS en_docs FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) t1 LEFT JOIN (SELECT lang, COUNT(*) AS n FROM documents WHERE source = 'web' GROUP BY lang) t2 ON t1.lang = t2.lang ORDER BY t1.lang;
 SELECT COUNT(*) AS n, SUM(length(text)) AS total_chars FROM documents WHERE doc_id BETWEEN 100 AND 199;
+
+-- tranche r5-q: FILTER clause, GROUP BY ALL, CUBE/ROLLUP+GROUPING,
+-- VALUES join, twice-referenced CTEs, date_trunc-as-DATE, floor-cast
+-- integer surfaces (validated; 6 dialect-trap redrafts)
+SELECT o_orderstatus, COUNT(*) FILTER (WHERE o_totalprice > 200000) AS big, COUNT(*) FILTER (WHERE o_totalprice <= 200000) AS small FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem WHERE l_orderkey < 2000 GROUP BY ALL ORDER BY l_returnflag, l_linestatus;
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, GROUPING(c_mktsegment) AS g1, GROUPING(c_nationkey) AS g2 FROM customer WHERE c_custkey < 200 GROUP BY CUBE (c_mktsegment, c_nationkey) ORDER BY g1, g2, c_mktsegment, c_nationkey;
+SELECT v.grp, COUNT(*) AS n FROM orders o JOIN (VALUES ('F', 'final'), ('O', 'open'), ('P', 'pending')) AS v(st, grp) ON o.o_orderstatus = v.st GROUP BY v.grp ORDER BY v.grp;
+WITH seg AS (SELECT c_mktsegment AS s, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) SELECT a.s, a.n, CAST(SUM(b.n) AS BIGINT) AS n_smaller FROM seg a JOIN seg b ON b.n < a.n OR (b.n = a.n AND b.s <= a.s) GROUP BY a.s, a.n ORDER BY a.s;
+SELECT n_name, (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS ns, (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS nc FROM nation n ORDER BY n_name LIMIT 10;
+SELECT p_brand, ntile(4) OVER (ORDER BY p_retailprice, p_partkey) AS quartile FROM part WHERE p_partkey < 30 ORDER BY p_partkey LIMIT 12;
+SELECT s_name, dense_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS r FROM supplier WHERE s_suppkey < 40 ORDER BY r LIMIT 10;
+SELECT upper(lpad(r_name, 10, '.')) AS padded, reverse(r_name) AS rev FROM region ORDER BY r_name;
+SELECT replace(p_type, ' ', '_') AS slug, COUNT(*) AS n FROM part WHERE p_partkey < 150 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT trim(BOTH 'S' FROM c_mktsegment) AS trimmed, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1;
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nc FROM orders GROUP BY o_orderpriority HAVING COUNT(DISTINCT o_custkey) > 10 ORDER BY o_orderpriority;
+SELECT x.l_orderkey, x.items FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS items FROM lineitem GROUP BY l_orderkey) x WHERE x.items = (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) m) ORDER BY x.l_orderkey LIMIT 10;
+SELECT n_name FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%') EXCEPT SELECT n_name FROM nation WHERE n_name LIKE 'I%' ORDER BY n_name;
+SELECT least(l_quantity, l_discount * 100, l_tax * 100) AS lo, COUNT(*) AS n FROM lineitem WHERE l_orderkey < 300 GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT greatest(length(c_name), c_nationkey, 10) AS g, COUNT(*) AS n FROM customer WHERE c_custkey < 400 GROUP BY 1 ORDER BY 1;
+SELECT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign, c_mktsegment, COUNT(*) AS n FROM customer GROUP BY ALL ORDER BY sign, c_mktsegment;
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500 ORDER BY CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END, o_totalprice DESC, o_orderkey LIMIT 10;
+WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3) SELECT CAST(COUNT(*) AS BIGINT) AS n_cust, CAST(SUM(n) AS BIGINT) AS n_orders FROM big;
+SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY ROLLUP (lang, source) ORDER BY GROUPING(lang), GROUPING(source), lang, source LIMIT 25;
+SELECT d.lang, COUNT(*) AS n FROM documents d WHERE NOT EXISTS (SELECT 1 FROM documents e WHERE e.lang = d.lang AND e.n_chars > 5000) GROUP BY d.lang ORDER BY d.lang;
+SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(l_orderkey) AS BIGINT) AS first_ok FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber;
+SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey WHERE c.c_custkey < 300 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20;
+SELECT t.initial, CAST(SUM(t.n) AS BIGINT) AS total FROM (SELECT substr(s_name, 1, 2) AS initial, COUNT(*) AS n FROM supplier GROUP BY 1 UNION ALL SELECT substr(c_name, 1, 2) AS initial, COUNT(*) AS n FROM customer GROUP BY 1) t GROUP BY t.initial ORDER BY t.initial LIMIT 15;
+SELECT o_orderstatus, MIN(o_orderdate) AS first_d, MAX(o_orderdate) AS last_d FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS kinds FROM events WHERE user_id < 12 GROUP BY user_id HAVING COUNT(DISTINCT event_type) >= 3 ORDER BY user_id;
+SELECT a.r_name, b.r_name AS other FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey ORDER BY a.r_name, b.r_name LIMIT 12;
+SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN (SELECT MIN(n_chars) FROM documents) AND (SELECT MIN(n_chars) + 20 FROM documents) ORDER BY doc_id LIMIT 10;
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE user_id < 5 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20;
+SELECT event_type, CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000 FROM events WHERE user_id < 10 GROUP BY event_type ORDER BY event_type;
+SELECT p_size, p_brand FROM part WHERE p_size = (SELECT MIN(p_size) FROM part) AND p_brand = (SELECT MIN(p_brand) FROM part WHERE p_size = (SELECT MIN(p_size) FROM part)) ORDER BY p_partkey LIMIT 5;
+SELECT source, CAST(FLOOR(AVG(n_chars)) AS BIGINT) AS avg_chars_floor FROM documents GROUP BY source ORDER BY source;
+SELECT vec_id, label FROM embeddings WHERE label = (SELECT MIN(label) FROM embeddings) ORDER BY vec_id LIMIT 8;

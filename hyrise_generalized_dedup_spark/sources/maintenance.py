@@ -105,6 +105,7 @@ def compact_table(
     root: str,
     target_bytes: int,
     small_frac: float = 0.75,
+    zorder_cols: list[str] | None = None,
 ) -> tuple[int, dict]:
     """Rewrite the current snapshot's sub-target data files into
     ~``target_bytes`` files and commit the result as a ``replace``
@@ -112,20 +113,31 @@ def compact_table(
     intact). Files already >= ``small_frac * target_bytes`` are carried
     into the new manifest by reference — never re-read, never rewritten.
 
-    The rewrite is ONE job: a manifest-routed parquet read of only the
-    small files, then ``coalesce(ceil(small_bytes / target_bytes))`` —
-    a shuffle-free merge of scan partitions (Iceberg's binpack
-    strategy). Returns ``(snapshot_id, stats)``; a table with fewer than
-    two small files is already compact and commits nothing.
+    Default (binpack) rewrite is ONE job: a manifest-routed parquet read
+    of only the small files, then ``coalesce(ceil(small_bytes /
+    target_bytes))`` — a shuffle-free merge of scan partitions
+    (Iceberg's binpack strategy). With ``zorder_cols`` the rewrite
+    instead RE-CLUSTERS the table: every live file is rewritten,
+    range-partitioned on the Morton key of those columns
+    (:func:`..functions.zorder.zorder_layout` — Iceberg's sort/zorder
+    rewrite, likewise rewrite-all: clustering is a whole-table property,
+    so size-based file selection doesn't apply). One shuffle, bought
+    deliberately so the compacted files' min/max stats prune on EVERY
+    listed dimension afterwards. Returns ``(snapshot_id, stats)``; a
+    binpack run over fewer than two sub-target files is already compact
+    and commits nothing.
     """
     if target_bytes < 1:
         raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
     meta = icetable._read_metadata(spark, root)
     cur = int(meta["current_snapshot_id"])
     files = icetable._read_manifest(spark, root, cur)["files"]
-    cutoff = small_frac * target_bytes
-    small = [f for f in files if int(f["bytes"]) < cutoff]
-    keep = [f for f in files if int(f["bytes"]) >= cutoff]
+    if zorder_cols:
+        small, keep = list(files), []
+    else:
+        cutoff = small_frac * target_bytes
+        small = [f for f in files if int(f["bytes"]) < cutoff]
+        keep = [f for f in files if int(f["bytes"]) >= cutoff]
     if len(small) < 2:
         return cur, {
             "compacted": False, "n_input_files": len(files),
@@ -136,7 +148,13 @@ def compact_table(
     n_out = max(1, math.ceil(small_bytes / target_bytes))
     merged: DataFrame = spark.read.parquet(
         *[fsutil.urljoin(root, f["path"]) for f in small]
-    ).coalesce(n_out)
+    )
+    if zorder_cols:
+        from ..functions.zorder import zorder_layout
+
+        merged = zorder_layout(merged, zorder_cols, n_partitions=n_out)
+    else:
+        merged = merged.coalesce(n_out)
     snap = icetable._commit(spark, root, merged, "replace", prior_files=keep)
     added = [
         f for f in icetable._read_manifest(spark, root, snap)["files"]
@@ -182,6 +200,9 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--compact-target", type=int, default=None,
                     help="rewrite sub-target data files into ~BYTES files")
+    ap.add_argument("--zorder", default=None, metavar="COL,COL[,...]",
+                    help="compact with a Z-order rewrite on these columns "
+                         "instead of binpack coalesce")
     ap.add_argument("--expire-keep", type=int, default=None,
                     help="expire all but the newest N snapshots")
     ap.add_argument("--census", action="store_true",
@@ -189,13 +210,18 @@ def main() -> None:
     args = ap.parse_args()
     if args.compact_target is None and args.expire_keep is None and not args.census:
         ap.error("nothing to do: pass --compact-target, --expire-keep, or --census")
+    if args.zorder is not None and args.compact_target is None:
+        ap.error("--zorder requires --compact-target")
 
     from ..session import get_spark
 
     spark = get_spark(app_name="gd-maintenance", master=args.master)
     out: dict = {"root": args.root}
     if args.compact_target is not None:
-        snap, stats = compact_table(spark, args.root, args.compact_target)
+        zcols = args.zorder.split(",") if args.zorder else None
+        snap, stats = compact_table(
+            spark, args.root, args.compact_target, zorder_cols=zcols
+        )
         out["compact"] = {"snapshot_id": snap, **stats}
     if args.expire_keep is not None:
         out["expire"] = expire_snapshots(spark, args.root, args.expire_keep)

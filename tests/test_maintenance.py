@@ -218,3 +218,49 @@ def test_maintenance_cli_compact_and_expire(spark, tmp_path):
     assert _rows(read_table(spark, root)) == [
         (i, f"content-{i}") for i in range(40)
     ]
+
+
+def test_compact_with_zorder_rewrite_prunes_both_dims(spark, root):
+    """compact_table(zorder_cols=...) — Iceberg's zorder rewrite
+    strategy: the compacted files' per-file stats are tight on BOTH
+    listed dimensions, where binpack coalesce only inherits whatever
+    order the appends had."""
+    n = 64
+    grid = spark.range(n * n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    create_table(spark, root, grid.repartition(8))
+    # zorder mode is rewrite-all (re-clustering), and the tiny byte
+    # target yields enough output files (>=16) that each Morton slab
+    # must box a small region
+    snap, stats = compact_table(
+        spark, root, target_bytes=1 << 10, zorder_cols=["x", "y"]
+    )
+    assert stats["compacted"] and stats["n_rewritten"] == 8
+    assert stats["n_output_files"] >= 16
+    # content is bit-equal
+    got = sorted((r.doc_id, r.x, r.y) for r in read_table(spark, root).collect())
+    assert got == [(i, i % n, i // n) for i in range(n * n)]
+    # Pruning quality is an AGGREGATE property: a z-interval that
+    # straddles a quadrant boundary can box a wide slab (inherent to the
+    # curve), so assert the mean per-file bounding-box area — it must be
+    # a small fraction of the grid, where the random-order binpack
+    # baseline's files each box ~the whole grid.
+    def mean_bbox_area(df):
+        bounds = (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("x").alias("lox"), F.max("x").alias("hix"),
+                 F.min("y").alias("loy"), F.max("y").alias("hiy"))
+            .collect()
+        )
+        return bounds, sum(
+            (r.hix - r.lox + 1) * (r.hiy - r.loy + 1) for r in bounds
+        ) / len(bounds)
+
+    zb, z_area = mean_bbox_area(read_table(spark, root))
+    assert len(zb) == stats["n_output_files"]
+    _, bin_area = mean_bbox_area(read_table(spark, root, snapshot_id=1))
+    assert z_area <= (n * n) / 4, (z_area, n * n)
+    assert z_area < bin_area / 2, (z_area, bin_area)

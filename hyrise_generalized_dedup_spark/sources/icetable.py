@@ -90,6 +90,31 @@ def _read_manifest(spark: SparkSession, root: str, snapshot_id: int) -> dict:
     return json.loads(fsutil.read_text(spark, path))
 
 
+def _merge_schema(prior: dict | None, df_schema) -> dict:
+    """Additive schema evolution (the Iceberg spec's add-column case):
+    the table schema is the prior columns, in order, plus any new
+    columns ``df`` introduces, appended. Dropping columns is not a write
+    side effect (a committed column stays in the table schema; writers
+    that omit it produce NULLs on read), and changing a committed
+    column's type is refused — the spec's promotion lattice is out of
+    scope, and a silent type flip would corrupt every older file."""
+    new_json = json.loads(df_schema.json())
+    if prior is None:
+        return new_json
+    prior_by_name = {f["name"]: f for f in prior["fields"]}
+    merged = list(prior["fields"])
+    for f in new_json["fields"]:
+        old = prior_by_name.get(f["name"])
+        if old is None:
+            merged.append(f)
+        elif old["type"] != f["type"]:
+            raise SnapshotError(
+                f"schema evolution cannot change column '{f['name']}' "
+                f"from {old['type']} to {f['type']}"
+            )
+    return {**prior, "fields": merged}
+
+
 def _commit(
     spark: SparkSession,
     root: str,
@@ -109,6 +134,13 @@ def _commit(
         _read_metadata(spark, root)
         if fsutil.exists(spark, fsutil.urljoin(root, _HINT))
         else {"format_version": 1, "current_snapshot_id": 0, "snapshots": []}
+    )
+    schema = _merge_schema(meta.get("current_schema"), df.schema)
+    # once live files were written under an older schema, readers of this
+    # snapshot must schema-merge footers; an overwrite (no carried files)
+    # resets the table to single-schema reads
+    mixed = bool(prior_files) and (
+        bool(meta.get("mixed_schema")) or schema != meta.get("current_schema")
     )
     snap_id = int(meta["current_snapshot_id"]) + 1
     data_dir = fsutil.urljoin(root, f"data/s{snap_id}")
@@ -130,11 +162,15 @@ def _commit(
         "snapshot_id": snap_id,
         "operation": operation,
         "files": existing + added,
+        "schema": schema,
+        "mixed_schema": mixed,
     }
     fsutil.write_text(
         spark, _manifest_path(root, snap_id), json.dumps(manifest, indent=1)
     )
     meta["current_snapshot_id"] = snap_id
+    meta["current_schema"] = schema
+    meta["mixed_schema"] = mixed
     meta["snapshots"] = list(meta["snapshots"]) + [
         {"snapshot_id": snap_id, "operation": operation, "n_files_added": len(added)}
     ]
@@ -187,20 +223,59 @@ def _live_paths(spark: SparkSession, root: str, snapshot_id: int) -> list[str]:
     return [fsutil.urljoin(root, f["path"]) for f in manifest["files"]]
 
 
+def _manifest_scan(spark: SparkSession, root: str, manifest: dict,
+                   paths: list[str] | None = None) -> DataFrame:
+    """Scan a manifest's files under its recorded schema.
+
+    Plain single-schema tables stay a bare `spark.read.parquet(*files)`
+    (pushdown / pruning / split parallelism all Catalyst's). A manifest
+    whose live files span schema versions (``mixed_schema``) reads with
+    ``mergeSchema`` — the footer-merge cost is paid ONLY on evolved
+    tables, and an overwrite resets it — and every read is projected to
+    the snapshot's recorded column list, so columns a file predates come
+    back as typed NULLs in stable order."""
+    from pyspark.sql.types import StructType
+
+    if paths is None:
+        paths = [fsutil.urljoin(root, f["path"]) for f in manifest["files"]]
+    reader = spark.read
+    if manifest.get("mixed_schema"):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths)
+    schema_json = manifest.get("schema")
+    if schema_json is not None:
+        fields = StructType.fromJson(schema_json)
+        df = df.select(*[
+            F.col(f.name) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in fields
+        ])
+    return df
+
+
+def table_schema(spark: SparkSession, root: str,
+                 snapshot_id: int | None = None):
+    """The recorded table schema as of a snapshot (StructType), or None
+    for tables written before schema tracking."""
+    from pyspark.sql.types import StructType
+
+    meta = _read_metadata(spark, root)
+    snap = int(meta["current_snapshot_id"]) if snapshot_id is None else snapshot_id
+    schema_json = _read_manifest(spark, root, snap).get("schema")
+    return None if schema_json is None else StructType.fromJson(schema_json)
+
+
 def read_table(
     spark: SparkSession, root: str, snapshot_id: int | None = None
 ) -> DataFrame:
-    """The table's rows as of ``snapshot_id`` (default: current).
-
-    One `spark.read.parquet(*files)` over the manifest's live files —
-    pushdown, pruning, and file-split parallelism are all Catalyst's.
-    """
+    """The table's rows as of ``snapshot_id`` (default: current), under
+    that snapshot's recorded schema (see :func:`_manifest_scan`)."""
     meta = _read_metadata(spark, root)
     snap = int(meta["current_snapshot_id"]) if snapshot_id is None else snapshot_id
     known = {s["snapshot_id"] for s in meta["snapshots"]}
     if snap not in known:
         raise SnapshotError(f"unknown snapshot {snap}; committed: {sorted(known)}")
-    return spark.read.parquet(*_live_paths(spark, root, snap))
+    return _manifest_scan(spark, root, _read_manifest(spark, root, snap))
 
 
 def incremental_scan(
@@ -244,7 +319,7 @@ def incremental_scan(
     ]
     if not paths:
         return read_table(spark, root, to_snap).limit(0)
-    return spark.read.parquet(*paths)
+    return _manifest_scan(spark, root, manifest, paths=paths)
 
 
 def snapshot_diff(

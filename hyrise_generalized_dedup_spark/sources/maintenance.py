@@ -146,8 +146,13 @@ def compact_table(
         }
     small_bytes = sum(int(f["bytes"]) for f in small)
     n_out = max(1, math.ceil(small_bytes / target_bytes))
-    merged: DataFrame = spark.read.parquet(
-        *[fsutil.urljoin(root, f["path"]) for f in small]
+    # schema-aware scan: files written before a column was added read as
+    # typed NULLs, so the rewrite also MATERIALIZES schema evolution —
+    # compacted files all carry the current table schema
+    manifest = icetable._read_manifest(spark, root, cur)
+    merged: DataFrame = icetable._manifest_scan(
+        spark, root, manifest,
+        paths=[fsutil.urljoin(root, f["path"]) for f in small],
     )
     if zorder_cols:
         from ..functions.zorder import zorder_layout

@@ -399,3 +399,108 @@ def test_snapshot_diff_digest_is_injective(spark, tmp_path):
         for r in snapshot_diff(spark, root, from_snapshot_id=s1).collect()
     }
     assert got == {1: "modified", 2: "modified", 3: "unchanged"}
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (round-5: the Iceberg spec's add-column case)
+
+
+def _docs3(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("content-"), F.col("id")).alias("text"),
+        (F.col("id") % 7).alias("stars"),
+    )
+
+
+def test_append_with_new_column_backfills_nulls(spark, tmp_path):
+    root = str(tmp_path / "evo")
+    create_table(spark, root, _docs(spark, 0, 5))        # doc_id, text
+    append(spark, root, _docs3(spark, 5, 10))            # + stars
+    cur = read_table(spark, root)
+    assert cur.columns == ["doc_id", "text", "stars"]    # prior order + new
+    rows = {r.doc_id: r.stars for r in cur.collect()}
+    assert all(rows[i] is None for i in range(5))        # typed NULL backfill
+    assert all(rows[i] == i % 7 for i in range(5, 10))
+    # time travel shows the OLD schema at the old snapshot
+    assert read_table(spark, root, snapshot_id=1).columns == ["doc_id", "text"]
+    sch = icetable.table_schema(spark, root)
+    assert [f.name for f in sch.fields] == ["doc_id", "text", "stars"]
+    assert sch["stars"].dataType.simpleString() == "bigint"
+
+
+def test_append_missing_column_reads_as_null(spark, tmp_path):
+    """A writer that predates-or-omits a committed column must not drop
+    it from the table: its rows read as NULL under the table schema."""
+    root = str(tmp_path / "evo2")
+    create_table(spark, root, _docs3(spark, 0, 5))
+    append(spark, root, _docs(spark, 5, 10))             # no stars column
+    cur = read_table(spark, root)
+    assert cur.columns == ["doc_id", "text", "stars"]
+    rows = {r.doc_id: r.stars for r in cur.collect()}
+    assert all(rows[i] == i % 7 for i in range(5))
+    assert all(rows[i] is None for i in range(5, 10))
+
+
+def test_type_change_is_refused(spark, tmp_path):
+    root = str(tmp_path / "evo3")
+    create_table(spark, root, _docs(spark, 0, 5))
+    bad = spark.range(5, 8).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("double").alias("text"),        # text: string -> double
+    )
+    with pytest.raises(SnapshotError, match="cannot change column 'text'"):
+        append(spark, root, bad)
+    # the failed commit left the table readable at the prior state
+    assert len(read_table(spark, root).collect()) == 5
+
+
+def test_overwrite_resets_mixed_schema_but_keeps_columns(spark, tmp_path):
+    root = str(tmp_path / "evo4")
+    create_table(spark, root, _docs(spark, 0, 5))
+    append(spark, root, _docs3(spark, 5, 10))
+    assert icetable._read_manifest(spark, root, 2)["mixed_schema"] is True
+    overwrite(spark, root, _docs(spark, 0, 3))           # single-schema files
+    man = icetable._read_manifest(spark, root, 3)
+    assert man["mixed_schema"] is False                  # footer-merge cost gone
+    cur = read_table(spark, root)
+    assert cur.columns == ["doc_id", "text", "stars"]    # schema never shrinks
+    assert all(r.stars is None for r in cur.collect())
+
+
+def test_incremental_scan_projects_current_schema(spark, tmp_path):
+    root = str(tmp_path / "evo5")
+    create_table(spark, root, _docs(spark, 0, 5))
+    append(spark, root, _docs3(spark, 5, 10))
+    append(spark, root, _docs(spark, 10, 12))
+    inc = incremental_scan(spark, root, from_snapshot_id=1)
+    assert inc.columns == ["doc_id", "text", "stars"]
+    rows = {r.doc_id: r.stars for r in inc.collect()}
+    assert set(rows) == set(range(5, 12))
+    assert rows[6] == 6 % 7 and rows[11] is None
+
+
+def test_unevolved_tables_stay_single_schema_reads(spark, tmp_path):
+    root = str(tmp_path / "evo6")
+    create_table(spark, root, _docs(spark, 0, 5))
+    append(spark, root, _docs(spark, 5, 10))
+    assert icetable._read_manifest(spark, root, 2)["mixed_schema"] is False
+
+
+def test_compaction_materializes_schema_evolution(spark, tmp_path):
+    """Rewriting mixed-schema files normalizes them to the current table
+    schema — the compacted snapshot is single-schema again."""
+    from hyrise_generalized_dedup_spark.sources.maintenance import compact_table
+
+    root = str(tmp_path / "evo7")
+    create_table(spark, root, _docs(spark, 0, 5))
+    append(spark, root, _docs3(spark, 5, 10))
+    before = sorted((r.doc_id, r.text, r.stars)
+                    for r in read_table(spark, root).collect())
+    snap, stats = compact_table(spark, root, target_bytes=1 << 30)
+    assert stats["compacted"]
+    man = icetable._read_manifest(spark, root, snap)
+    assert man["mixed_schema"] is False
+    after = sorted((r.doc_id, r.text, r.stars)
+                   for r in read_table(spark, root).collect())
+    assert after == before

@@ -4255,3 +4255,36 @@ SELECT event_type, CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v
 SELECT p_size, p_brand FROM part WHERE p_size = (SELECT MIN(p_size) FROM part) AND p_brand = (SELECT MIN(p_brand) FROM part WHERE p_size = (SELECT MIN(p_size) FROM part)) ORDER BY p_partkey LIMIT 5;
 SELECT source, CAST(FLOOR(AVG(n_chars)) AS BIGINT) AS avg_chars_floor FROM documents GROUP BY source ORDER BY source;
 SELECT vec_id, label FROM embeddings WHERE label = (SELECT MIN(label) FROM embeddings) ORDER BY vec_id LIMIT 8;
+
+-- tranche r5-r: percentile_disc WITHIN GROUP, bool_and/or,
+-- max_by/min_by unique keys, RECURSIVE CTEs, window frames with
+-- lead/lag defaults, GROUPING SETS + HAVING GROUPING() (validated)
+SELECT o_orderstatus, percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT l_returnflag, bool_and(l_quantity > 0) AS all_pos, bool_or(l_discount > 0.09) AS any_big_disc FROM lineitem WHERE l_orderkey < 500 GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT c_mktsegment, max_by(c_name, c_custkey) AS latest_name, min_by(c_name, c_custkey) AS first_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+WITH RECURSIVE seq(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 10) SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS cnt FROM seq;
+SELECT o_orderkey, o_totalprice, SUM(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win3 FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey;
+SELECT o_orderkey, lead(o_orderstatus, 1, 'none') OVER (ORDER BY o_orderkey) AS nxt, lag(o_orderstatus, 2, 'none') OVER (ORDER BY o_orderkey) AS prv2 FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey;
+SELECT l_orderkey, first_value(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_line FROM lineitem WHERE l_orderkey < 20 ORDER BY l_orderkey, priciest_line;
+SELECT n_name FROM nation WHERE n_regionkey = 0 INTERSECT ALL SELECT n_name FROM nation WHERE n_nationkey < 20 ORDER BY n_name;
+SELECT n_regionkey FROM nation EXCEPT ALL SELECT r_regionkey FROM region ORDER BY n_regionkey LIMIT 10;
+SELECT position('BRASS' IN p_type) AS pos, COUNT(*) AS n FROM part WHERE p_partkey < 300 GROUP BY 1 ORDER BY 1;
+SELECT contains(p_name, 'red') AS has_red, COUNT(*) AS n FROM part GROUP BY 1 ORDER BY 1;
+SELECT abs(c_acctbal) > c_acctbal AS was_negative, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1;
+SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY GROUPING SETS ((c_nationkey), ()) ORDER BY GROUPING(c_nationkey), c_nationkey LIMIT 15;
+SELECT lang, source, COUNT(*) AS n, GROUPING(lang) + GROUPING(source) AS lvl FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), ()) HAVING GROUPING(source) = 1 ORDER BY lvl, lang;
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot' ELSE 'cold' END AS heat, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT s_nationkey, CAST(SUM(CASE WHEN s_acctbal > 5000 THEN 1 WHEN s_acctbal > 0 THEN 0 ELSE -1 END) AS BIGINT) AS score FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 15;
+SELECT user_id, COUNT(*) AS n FROM events WHERE props IS NOT NULL AND user_id < 15 GROUP BY user_id HAVING bool_or(event_type = 'purchase') ORDER BY user_id;
+SELECT t.k, t.n FROM (SELECT nullif(l_returnflag, 'N') AS k, COUNT(*) AS n FROM lineitem WHERE l_orderkey < 800 GROUP BY 1) t ORDER BY t.k NULLS FIRST;
+SELECT coalesce(nullif(o_orderstatus, 'O'), 'open') AS st, COUNT(*) AS n FROM orders WHERE o_orderkey < 2500 GROUP BY 1 ORDER BY 1;
+WITH RECURSIVE fib(a, b, i) AS (SELECT 0, 1, 1 UNION ALL SELECT b, a + b, i + 1 FROM fib WHERE i < 15) SELECT CAST(MAX(b) AS BIGINT) AS fib15 FROM fib;
+SELECT x.lang, x.med_chars FROM (SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med_chars FROM documents GROUP BY lang) x ORDER BY x.lang;
+SELECT r_name, CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS BIGINT) AS nn FROM region ORDER BY r_name;
+SELECT p_brand, min_by(p_name, p_retailprice * 1000 + p_partkey) AS cheapest FROM part WHERE p_partkey < 400 GROUP BY p_brand ORDER BY p_brand LIMIT 10;
+SELECT event_type, COUNT(*) FILTER (WHERE value > 50) AS hi, COUNT(*) FILTER (WHERE value <= 50) AS lo, COUNT(*) FILTER (WHERE value IS NULL) AS missing FROM events GROUP BY event_type ORDER BY event_type;
+SELECT doc_id % 10 AS bucket, bool_and(n_chars > 10) AS all_nontrivial FROM documents GROUP BY 1 ORDER BY 1;
+SELECT o.o_orderpriority, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_supp FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey < 1500 GROUP BY 1 ORDER BY 1;
+SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal = (SELECT max(s_acctbal) FROM supplier) ORDER BY s_suppkey;
+SELECT lang, CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS nonspace_chars FROM documents WHERE doc_id < 60 GROUP BY lang ORDER BY lang;
+SELECT r.r_name, bool_or(s.s_acctbal > 9900) AS has_rich FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY r.r_name ORDER BY r.r_name;

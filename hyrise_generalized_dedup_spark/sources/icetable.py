@@ -115,12 +115,58 @@ def _merge_schema(prior: dict | None, df_schema) -> dict:
     return {**prior, "fields": merged}
 
 
+_STATABLE = ("byte", "short", "int", "bigint", "float", "double", "string",
+             "boolean", "date")
+
+
+def _validate_stat_cols(df: DataFrame, stat_cols: list[str]) -> None:
+    for c in stat_cols:
+        if c not in df.columns:
+            raise SnapshotError(f"stat column '{c}' not in table columns")
+        t = df.schema[c].dataType.simpleString()
+        if t not in _STATABLE:
+            raise SnapshotError(
+                f"stat column '{c}' has type {t}; manifest stats support "
+                f"{_STATABLE} (JSON-representable orderable scalars)"
+            )
+
+
+def _file_stats(spark: SparkSession, data_dir: str,
+                stat_cols: list[str]) -> dict[str, dict]:
+    """Per-file min/max of ``stat_cols`` over a just-written data dir —
+    the Iceberg manifest's lower_bounds/upper_bounds. One map-side agg
+    over ONLY the new files (never a table scan), paid once per commit
+    so every future scan can prune at the manifest level."""
+    import datetime
+
+    def _j(v):
+        return v.isoformat() if isinstance(v, datetime.date) else v
+
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    rows = (
+        spark.read.parquet(data_dir)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    return {
+        r["__f"].rsplit("/", 1)[-1]: {
+            c: [_j(r[f"__lo_{c}"]), _j(r[f"__hi_{c}"])] for c in stat_cols
+        }
+        for r in rows
+    }
+
+
 def _commit(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     operation: str,
     prior_files: list[dict],
+    stat_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot's data files and flip the hint.
 
@@ -142,15 +188,27 @@ def _commit(
     mixed = bool(prior_files) and (
         bool(meta.get("mixed_schema")) or schema != meta.get("current_schema")
     )
+    # stat_cols is table config: set at create (or the first commit that
+    # passes it) — validated strictly there; inherited by every later
+    # commit, where a writer may legitimately omit an evolved column
+    # (its files then carry no stats for it and are never pruned on it)
+    if stat_cols is not None:
+        _validate_stat_cols(df, stat_cols)
+    cols = stat_cols if stat_cols is not None else meta.get("stat_cols")
+    present = [c for c in (cols or []) if c in df.columns]
+    if present and stat_cols is None:
+        _validate_stat_cols(df, present)
     snap_id = int(meta["current_snapshot_id"]) + 1
     data_dir = fsutil.urljoin(root, f"data/s{snap_id}")
     df.write.mode("error").parquet(data_dir)
+    stats = _file_stats(spark, data_dir, present) if present else {}
     added = [
         {
             "path": f"data/s{snap_id}/{name}",
             "status": "added",
             "added_snapshot_id": snap_id,
             "bytes": size,
+            **({"stats": stats[name]} if name in stats else {}),
         }
         for name, size in fsutil.list_files(spark, data_dir)
         if name.endswith(".parquet")
@@ -171,6 +229,8 @@ def _commit(
     meta["current_snapshot_id"] = snap_id
     meta["current_schema"] = schema
     meta["mixed_schema"] = mixed
+    if cols:
+        meta["stat_cols"] = list(cols)
     meta["snapshots"] = list(meta["snapshots"]) + [
         {"snapshot_id": snap_id, "operation": operation, "n_files_added": len(added)}
     ]
@@ -184,11 +244,17 @@ def _commit(
 # public write API
 
 
-def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Create a snapshot table at ``root`` from ``df`` (snapshot 1)."""
+def create_table(spark: SparkSession, root: str, df: DataFrame,
+                 stat_cols: list[str] | None = None) -> int:
+    """Create a snapshot table at ``root`` from ``df`` (snapshot 1).
+
+    ``stat_cols`` opts the table into manifest file statistics: every
+    commit records per-file min/max of these columns in its manifest,
+    and :func:`scan_table` prunes files against them driver-side before
+    Spark ever lists them. Inherited by all later commits."""
     if fsutil.exists(spark, fsutil.urljoin(root, _HINT)):
         raise SnapshotError(f"table already exists at {root}")
-    return _commit(spark, root, df, "append", prior_files=[])
+    return _commit(spark, root, df, "append", prior_files=[], stat_cols=stat_cols)
 
 
 def append(spark: SparkSession, root: str, df: DataFrame) -> int:
@@ -276,6 +342,69 @@ def read_table(
     if snap not in known:
         raise SnapshotError(f"unknown snapshot {snap}; committed: {sorted(known)}")
     return _manifest_scan(spark, root, _read_manifest(spark, root, snap))
+
+
+def _file_intersects(entry: dict, bounds: dict) -> bool:
+    stats = entry.get("stats") or {}
+    for col, (lo, hi) in bounds.items():
+        st = stats.get(col)
+        if st is None:
+            continue  # no stats recorded for this col/file -> must keep
+        mn, mx = st
+        if mn is None or mx is None:
+            continue  # all-NULL file; NULLs never match the residual filter
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
+
+
+def scan_table(
+    spark: SparkSession,
+    root: str,
+    bounds: dict[str, tuple],
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Manifest-pruned range scan: ``bounds`` maps column -> inclusive
+    ``(lo, hi)`` (either end may be None for unbounded). Files whose
+    recorded min/max provably miss any bound are dropped DRIVER-SIDE
+    from the scan — at 10^12-file scale this is the difference between
+    Spark listing/planning every file (footer pruning still enumerates
+    them) and never seeing the pruned ones at all. The residual filter
+    is applied on top, so the result is exactly the filtered table; a
+    file without stats is always kept (pruning is sound, never assumed).
+
+    Composes with :func:`..functions.zorder.zorder_layout` /
+    ``compact_table(zorder_cols=...)``: a Morton-clustered write is what
+    makes per-file bounds tight on several columns at once.
+    """
+    meta = _read_metadata(spark, root)
+    snap = int(meta["current_snapshot_id"]) if snapshot_id is None else snapshot_id
+    known = {s["snapshot_id"] for s in meta["snapshots"]}
+    if snap not in known:
+        raise SnapshotError(f"unknown snapshot {snap}; committed: {sorted(known)}")
+    manifest = _read_manifest(spark, root, snap)
+    schema_cols = (
+        {f["name"] for f in manifest["schema"]["fields"]}
+        if manifest.get("schema") else None
+    )
+    for col in bounds:
+        if schema_cols is not None and col not in schema_cols:
+            raise SnapshotError(f"unknown scan column '{col}'")
+    selected = [
+        fsutil.urljoin(root, f["path"])
+        for f in manifest["files"]
+        if _file_intersects(f, bounds)
+    ]
+    if not selected:
+        base = _manifest_scan(spark, root, manifest).limit(0)
+    else:
+        base = _manifest_scan(spark, root, manifest, paths=selected)
+    for col, (lo, hi) in bounds.items():
+        if lo is not None:
+            base = base.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            base = base.filter(F.col(col) <= F.lit(hi))
+    return base
 
 
 def incremental_scan(

@@ -504,3 +504,96 @@ def test_compaction_materializes_schema_evolution(spark, tmp_path):
     after = sorted((r.doc_id, r.text, r.stars)
                    for r in read_table(spark, root).collect())
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# manifest file statistics + metadata-pruned scans (round-5)
+
+
+def _grid_tbl(spark, root, n=64, parts=8, stat_cols=("x", "y")):
+    grid = spark.range(n * n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    create_table(spark, root, grid.repartition(parts), stat_cols=list(stat_cols))
+    return n
+
+
+def test_manifest_records_per_file_stats(spark, tmp_path):
+    root = str(tmp_path / "st1")
+    _grid_tbl(spark, root)
+    files = icetable._read_manifest(spark, root, 1)["files"]
+    assert all("stats" in f for f in files)
+    for f in files:
+        for c in ("x", "y"):
+            lo, hi = f["stats"][c]
+            assert 0 <= lo <= hi <= 63
+
+
+def test_scan_table_prunes_files_and_matches_brute_filter(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import scan_table
+    from hyrise_generalized_dedup_spark.sources.maintenance import compact_table
+
+    root = str(tmp_path / "st2")
+    n = _grid_tbl(spark, root)
+    # z-cluster so per-file bounds are tight on BOTH dims, then scan a box
+    compact_table(spark, root, target_bytes=1 << 10, zorder_cols=["x", "y"])
+    full = read_table(spark, root)
+    got = scan_table(spark, root, {"x": (0, 7), "y": (8, 15)})
+    want = sorted(
+        (r.doc_id, r.x, r.y)
+        for r in full.filter((F.col("x") <= 7) & F.col("y").between(8, 15)).collect()
+    )
+    assert sorted((r.doc_id, r.x, r.y) for r in got.collect()) == want
+    # the pruning is real: the box scan lists a strict subset of files
+    assert 0 < len(got.inputFiles()) < len(full.inputFiles())
+    # and a z-slab this small touches a small corner of the table
+    assert len(got.inputFiles()) <= len(full.inputFiles()) // 2
+
+
+def test_scan_table_half_open_bounds_and_empty_box(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import scan_table
+
+    root = str(tmp_path / "st3")
+    n = _grid_tbl(spark, root)
+    lo_half = scan_table(spark, root, {"x": (None, 1)})
+    assert sorted(r.x for r in lo_half.collect()) == [0] * n + [1] * n
+    empty = scan_table(spark, root, {"x": (1000, None)})
+    assert empty.columns == ["doc_id", "x", "y"]
+    assert empty.count() == 0 and len(empty.inputFiles()) == 0
+
+
+def test_stats_inherited_by_append_and_absent_cols_stay_safe(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import scan_table
+
+    root = str(tmp_path / "st4")
+    _grid_tbl(spark, root, n=8, parts=2)
+    # an evolved append that LACKS the y stat column: its files carry x
+    # stats only and must survive any y-bounded scan
+    extra = spark.range(64, 80).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 8).alias("x")
+    )
+    append(spark, root, extra)
+    files = icetable._read_manifest(spark, root, 2)["files"]
+    new = [f for f in files if f["added_snapshot_id"] == 2]
+    assert new and all("y" not in f["stats"] and "x" in f["stats"] for f in new)
+    got = scan_table(spark, root, {"y": (0, 0)})
+    # rows from the evolved files have y NULL -> filtered out by the
+    # residual, but the FILES were kept (soundness), x stats still recorded
+    assert sorted(r.doc_id for r in got.collect()) == list(range(8))
+
+
+def test_stat_cols_validation(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import scan_table
+
+    root = str(tmp_path / "st5")
+    df = spark.range(4).select(F.col("id").alias("doc_id"))
+    with pytest.raises(SnapshotError, match="not in table columns"):
+        create_table(spark, root, df, stat_cols=["nope"])
+    df2 = df.select("doc_id", F.array(F.lit(1)).alias("arr"))
+    with pytest.raises(SnapshotError, match="manifest stats support"):
+        create_table(spark, root, df2, stat_cols=["arr"])
+    create_table(spark, root, df, stat_cols=["doc_id"])
+    with pytest.raises(SnapshotError, match="unknown scan column"):
+        scan_table(spark, root, {"ghost": (0, 1)}).collect()

@@ -4288,3 +4288,34 @@ SELECT o.o_orderpriority, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_supp 
 SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal = (SELECT max(s_acctbal) FROM supplier) ORDER BY s_suppkey;
 SELECT lang, CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS nonspace_chars FROM documents WHERE doc_id < 60 GROUP BY lang ORDER BY lang;
 SELECT r.r_name, bool_or(s.s_acctbal > 9900) AS has_rich FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY r.r_name ORDER BY r.r_name;
+
+-- tranche r5-s: levenshtein, regexp_extract, make_date/last_day,
+-- count_if, nth_value, cume_dist, IS DISTINCT FROM, LIMIT..OFFSET,
+-- translate/ascii/chr/concat_ws cross-engine pairs (validated)
+SELECT levenshtein(r_name, 'EUROPE') AS d, r_name FROM region ORDER BY d, r_name;
+SELECT regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word, COUNT(*) AS n FROM part WHERE p_partkey < 200 GROUP BY 1 ORDER BY 1;
+SELECT make_date(2024, CAST(o_orderkey % 12 + 1 AS INTEGER), 15) AS d, COUNT(*) AS n FROM orders WHERE o_orderkey < 600 GROUP BY 1 ORDER BY 1;
+SELECT count_if(c_acctbal > 5000) AS rich, count_if(c_acctbal < 0) AS debt FROM customer;
+SELECT o_orderkey, nth_value(l_linenumber, 2) OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_priciest FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey < 15 ORDER BY o_orderkey, second_priciest;
+SELECT COUNT(*) AS n FROM events e1 JOIN events e2 ON e1.event_id = e2.event_id WHERE e1.props IS DISTINCT FROM e2.props;
+SELECT event_type, COUNT(*) AS n FROM events WHERE props IS NULL GROUP BY event_type ORDER BY event_type;
+SELECT n_name FROM nation ORDER BY n_name LIMIT 5 OFFSET 10;
+SELECT translate(r_name, 'AEIOU', 'aeiou') AS lowered_vowels FROM region ORDER BY r_name;
+SELECT ascii(substr(c_mktsegment, 1, 1)) AS first_byte, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1;
+SELECT chr(65 + CAST(n_nationkey % 26 AS INTEGER)) AS letter, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT t.k, COUNT(*) AS n FROM (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer UNION ALL SELECT s_suppkey AS k FROM supplier) t GROUP BY t.k ORDER BY t.k LIMIT 12;
+SELECT o_orderkey, cume_dist() OVER (ORDER BY o_totalprice) AS cd FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey;
+SELECT c_mktsegment, any_value(seg_len) AS sl FROM (SELECT c_mktsegment, length(c_mktsegment) AS seg_len FROM customer) t GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT last_day(o_orderdate) AS eom, COUNT(*) AS n FROM orders WHERE o_orderkey < 400 GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT p_brand, CAST(SUM(p_size) AS BIGINT) AS ssize FROM part GROUP BY p_brand ORDER BY ssize DESC, p_brand LIMIT 5 OFFSET 3;
+SELECT d1.lang, COUNT(*) AS n FROM documents d1 WHERE d1.n_chars IS DISTINCT FROM (SELECT MAX(n_chars) FROM documents d2 WHERE d2.lang = d1.lang) GROUP BY d1.lang ORDER BY d1.lang;
+SELECT event_type, CAST(MIN(event_id) AS BIGINT) AS first_id, CAST(MAX(event_id) AS BIGINT) AS last_id, count_if(value IS NOT NULL) AS n_valued FROM events GROUP BY event_type ORDER BY event_type;
+SELECT s_nationkey, COUNT(*) AS n FROM supplier GROUP BY s_nationkey ORDER BY n DESC, s_nationkey LIMIT 6 OFFSET 2;
+SELECT regexp_extract(c_name, '([0-9]+)', 1) AS digits, COUNT(*) AS n FROM customer WHERE c_custkey < 50 GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT upper(concat_ws('/', lang, source)) AS tag, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT o_orderstatus, count_if(o_orderpriority LIKE '1%') AS urgent, count_if(o_orderpriority LIKE '5%') AS low FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT x.b, x.mx FROM (SELECT o_orderkey % 4 AS b, MAX(o_totalprice) AS mx FROM orders WHERE o_orderkey < 900 GROUP BY 1) x WHERE x.mx IS DISTINCT FROM NULL ORDER BY x.b;
+SELECT levenshtein(substr(p_name, 1, 8), substr(p_brand, 1, 8)) AS d, COUNT(*) AS n FROM part WHERE p_partkey < 250 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT make_date(2020 + CAST(n_nationkey % 5 AS INTEGER), 6, 1) AS dt, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT t.grp, t.n FROM (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang UNION ALL SELECT 'TOTAL' AS grp, COUNT(*) AS n FROM documents) t ORDER BY t.grp = 'TOTAL', t.grp;
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - count_if(c_acctbal > 0) AS BIGINT) AS nonpos FROM customer GROUP BY c_nationkey HAVING count_if(c_acctbal > 0) < COUNT(*) ORDER BY c_nationkey LIMIT 10;

@@ -4319,3 +4319,33 @@ SELECT levenshtein(substr(p_name, 1, 8), substr(p_brand, 1, 8)) AS d, COUNT(*) A
 SELECT make_date(2020 + CAST(n_nationkey % 5 AS INTEGER), 6, 1) AS dt, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1;
 SELECT t.grp, t.n FROM (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang UNION ALL SELECT 'TOTAL' AS grp, COUNT(*) AS n FROM documents) t ORDER BY t.grp = 'TOTAL', t.grp;
 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - count_if(c_acctbal > 0) AS BIGINT) AS nonpos FROM customer GROUP BY c_nationkey HAVING count_if(c_acctbal > 0) < COUNT(*) ORDER BY c_nationkey LIMIT 10;
+
+-- tranche r5-t: bit_count, left/right, md5 census, EXTRACT(QUARTER),
+-- scalar EXISTS in projection, triple INTERSECT, ROLLUP with explicit
+-- NULLS FIRST ordering, LIKE ESCAPE, negative-dividend modulo (validated)
+SELECT bit_count(o_orderkey) AS bits, COUNT(*) AS n FROM orders WHERE o_orderkey < 4000 GROUP BY 1 ORDER BY 1;
+SELECT left(c_name, 9) AS l9, right(c_name, 2) AS r2, COUNT(*) AS n FROM customer WHERE c_custkey < 40 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 15;
+SELECT substr(md5(text), 1, 1) AS h, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1;
+SELECT EXTRACT(QUARTER FROM o_orderdate) AS q, COUNT(*) AS n FROM orders WHERE o_orderkey < 2000 GROUP BY 1 ORDER BY 1;
+SELECT c_name, EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) AS has_big FROM customer c WHERE c.c_custkey < 12 ORDER BY c_custkey;
+SELECT p_name FROM part WHERE p_name NOT LIKE '%green%' AND p_partkey < 25 ORDER BY p_partkey LIMIT 8;
+SELECT n_name FROM nation WHERE n_nationkey < 15 INTERSECT SELECT n_name FROM nation WHERE n_regionkey < 3 INTERSECT SELECT n_name FROM nation WHERE length(n_name) > 4 ORDER BY n_name;
+SELECT t.o_custkey, t.r FROM (SELECT o_custkey, o_totalprice, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS r FROM orders WHERE o_custkey < 20) t WHERE t.r = 1 ORDER BY t.o_custkey;
+SELECT a.c_mktsegment, b.top_bal, COUNT(*) AS n FROM customer a CROSS JOIN (SELECT MAX(c_acctbal) AS top_bal FROM customer) b WHERE a.c_acctbal > b.top_bal - 500 GROUP BY 1, 2 ORDER BY 1;
+SELECT o_orderstatus, COALESCE(MAX(CASE WHEN o_totalprice > 400000 THEN o_orderkey END), -1) AS big_key FROM orders WHERE o_orderkey < 3000 GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_ord, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_returnflag HAVING COUNT(DISTINCT l_orderkey) > 10 ORDER BY l_returnflag;
+SELECT s_nationkey, CAST(SUM(CAST(s_acctbal > 0 AS INTEGER)) AS BIGINT) AS n_pos FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 12;
+SELECT (0 - o_orderkey) % 7 AS m, COUNT(*) AS n FROM orders WHERE o_orderkey < 1000 GROUP BY 1 ORDER BY 1;
+SELECT x.n_name, y.n_orders FROM nation x JOIN (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c_nationkey ORDER BY n_orders DESC LIMIT 5) y ON y.c_nationkey = x.n_nationkey ORDER BY y.n_orders DESC, x.n_name;
+SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n FROM orders WHERE CAST(o_orderdate AS DATE) IN (DATE '1995-06-15', DATE '1996-01-02') GROUP BY 1 ORDER BY 1;
+SELECT lang FROM documents GROUP BY lang HAVING COUNT(*) BETWEEN 10 AND 10000 ORDER BY lang;
+SELECT user_id, event_type FROM events WHERE user_id < 4 GROUP BY user_id, event_type HAVING COUNT(*) >= 2 ORDER BY user_id, event_type LIMIT 15;
+SELECT r_name, (SELECT MAX(n_name) FROM nation WHERE n_regionkey = r_regionkey) AS max_nation FROM region ORDER BY r_name;
+SELECT doc_id FROM documents WHERE lang = 'en' EXCEPT SELECT doc_id FROM documents WHERE source = 'web' ORDER BY doc_id LIMIT 10;
+SELECT t1.doc_id, t2.lang FROM (SELECT doc_id FROM documents WHERE n_chars > 2000 ORDER BY doc_id LIMIT 5) t1 JOIN documents t2 ON t1.doc_id = t2.doc_id ORDER BY t1.doc_id;
+SELECT p_type, COUNT(*) AS n FROM part WHERE p_type LIKE '%!%%' ESCAPE '!' GROUP BY p_type ORDER BY p_type LIMIT 5;
+SELECT o_orderpriority, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx, CAST(MAX(o_orderkey) - MIN(o_orderkey) AS BIGINT) AS span FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT b.bucket, COUNT(*) AS n FROM (SELECT CASE WHEN value IS NULL THEN 'null' WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid' ELSE 'high' END AS bucket FROM events) b GROUP BY 1 ORDER BY 1;
+SELECT c.c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AND c.c_custkey < 30 ORDER BY c.c_custkey LIMIT 10;
+SELECT CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_cls, p_brand, COUNT(*) AS n FROM part GROUP BY ROLLUP (1, 2) ORDER BY size_cls NULLS FIRST, p_brand NULLS FIRST LIMIT 20;
+SELECT d.lang, d.source, d.n_chars FROM documents d WHERE EXISTS (SELECT 1 FROM documents g WHERE g.lang = d.lang AND g.source = d.source GROUP BY g.lang, g.source HAVING COUNT(*) > 5) AND d.doc_id < 12 ORDER BY d.doc_id;

@@ -160,6 +160,79 @@ def _file_stats(spark: SparkSession, data_dir: str,
     }
 
 
+_BLOOMABLE = ("byte", "short", "int", "bigint", "string")
+BLOOM_BITS_PER_VALUE = 16
+BLOOM_K_HASHES = 4
+BLOOM_MAX_BYTES = 64 * 1024  # per file per column; clamping only raises FP rate
+
+
+def _validate_bloom_cols(df: DataFrame, bloom_cols: list[str]) -> None:
+    for c in bloom_cols:
+        if c not in df.columns:
+            raise SnapshotError(f"bloom column '{c}' not in table columns")
+        t = df.schema[c].dataType.simpleString()
+        if t not in _BLOOMABLE:
+            raise SnapshotError(
+                f"bloom column '{c}' has type {t}; manifest blooms support "
+                f"{_BLOOMABLE} (hashed via their string rendering)"
+            )
+
+
+def _file_blooms(spark: SparkSession, data_dir: str,
+                 bloom_cols: list[str]) -> dict[str, dict]:
+    """Per-file Bloom filters of ``bloom_cols`` over a just-written data
+    dir — equality-lookup skipping where min/max ranges are useless
+    (uniformly distributed keys like content hashes overlap on every
+    file). Values are hashed via CAST(col AS STRING) so a driver-side
+    literal reproduces the probe exactly; bits are built per file by an
+    Arrow grouped kernel (reusing the decontamination bloom's
+    Kirsch-Mitzenmacher construction) and stored base64 in the manifest.
+    Production Iceberg keeps these in sidecar files; JSON manifests cap
+    each filter at BLOOM_MAX_BYTES — clamping m only raises the false-
+    positive rate, never produces a false negative."""
+    import base64
+
+    import pandas as pd
+
+    from ..functions.bloom import _hash_cols, build_bloom_bits
+
+    out: dict[str, dict] = {}
+    df = spark.read.parquet(data_dir)
+    for c in bloom_cols:
+        h1, h2 = _hash_cols(F.col(c).cast("string"))
+        hashed = (
+            df.select(F.input_file_name().alias("__f"),
+                      h1.alias("h1"), h2.alias("h2"))
+            .dropDuplicates(["__f", "h1", "h2"])
+        )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            n = max(len(pdf), 1)
+            target_m = min(n * BLOOM_BITS_PER_VALUE, BLOOM_MAX_BYTES * 8)
+            # build_bloom_bits sizes m = n * bits_per_gram; the probe must
+            # use the SAME m it returns (modulo arithmetic), never len*8
+            packed, m = build_bloom_bits(
+                pdf["h1"].to_numpy(np.int64), pdf["h2"].to_numpy(np.int64),
+                max(target_m // n, 1), BLOOM_K_HASHES,
+            )
+            return pd.DataFrame(
+                {"__f": [pdf["__f"].iloc[0]], "bloom": [packed], "m": [m]}
+            )
+
+        rows = hashed.groupBy("__f").applyInPandas(
+            build, "__f string, bloom binary, m long"
+        ).collect()
+        for r in rows:
+            out.setdefault(r["__f"].rsplit("/", 1)[-1], {})[c] = {
+                "b64": base64.b64encode(bytes(r["bloom"])).decode("ascii"),
+                "m": int(r["m"]),
+                "k": BLOOM_K_HASHES,
+            }
+    return out
+
+
 def _commit(
     spark: SparkSession,
     root: str,
@@ -167,6 +240,7 @@ def _commit(
     operation: str,
     prior_files: list[dict],
     stat_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot's data files and flip the hint.
 
@@ -198,10 +272,17 @@ def _commit(
     present = [c for c in (cols or []) if c in df.columns]
     if present and stat_cols is None:
         _validate_stat_cols(df, present)
+    if bloom_cols is not None:
+        _validate_bloom_cols(df, bloom_cols)
+    bcols = bloom_cols if bloom_cols is not None else meta.get("bloom_cols")
+    bpresent = [c for c in (bcols or []) if c in df.columns]
+    if bpresent and bloom_cols is None:
+        _validate_bloom_cols(df, bpresent)
     snap_id = int(meta["current_snapshot_id"]) + 1
     data_dir = fsutil.urljoin(root, f"data/s{snap_id}")
     df.write.mode("error").parquet(data_dir)
     stats = _file_stats(spark, data_dir, present) if present else {}
+    blooms = _file_blooms(spark, data_dir, bpresent) if bpresent else {}
     added = [
         {
             "path": f"data/s{snap_id}/{name}",
@@ -209,6 +290,7 @@ def _commit(
             "added_snapshot_id": snap_id,
             "bytes": size,
             **({"stats": stats[name]} if name in stats else {}),
+            **({"bloom": blooms[name]} if name in blooms else {}),
         }
         for name, size in fsutil.list_files(spark, data_dir)
         if name.endswith(".parquet")
@@ -231,6 +313,8 @@ def _commit(
     meta["mixed_schema"] = mixed
     if cols:
         meta["stat_cols"] = list(cols)
+    if bcols:
+        meta["bloom_cols"] = list(bcols)
     meta["snapshots"] = list(meta["snapshots"]) + [
         {"snapshot_id": snap_id, "operation": operation, "n_files_added": len(added)}
     ]
@@ -245,16 +329,22 @@ def _commit(
 
 
 def create_table(spark: SparkSession, root: str, df: DataFrame,
-                 stat_cols: list[str] | None = None) -> int:
+                 stat_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None) -> int:
     """Create a snapshot table at ``root`` from ``df`` (snapshot 1).
 
     ``stat_cols`` opts the table into manifest file statistics: every
     commit records per-file min/max of these columns in its manifest,
     and :func:`scan_table` prunes files against them driver-side before
-    Spark ever lists them. Inherited by all later commits."""
+    Spark ever lists them. ``bloom_cols`` does the same for equality
+    lookups (:func:`point_lookup`) via per-file Bloom filters — the
+    skipping tool for uniformly-distributed keys (content hashes) whose
+    min/max ranges overlap on every file. Both inherited by later
+    commits."""
     if fsutil.exists(spark, fsutil.urljoin(root, _HINT)):
         raise SnapshotError(f"table already exists at {root}")
-    return _commit(spark, root, df, "append", prior_files=[], stat_cols=stat_cols)
+    return _commit(spark, root, df, "append", prior_files=[],
+                   stat_cols=stat_cols, bloom_cols=bloom_cols)
 
 
 def append(spark: SparkSession, root: str, df: DataFrame) -> int:
@@ -405,6 +495,67 @@ def scan_table(
         if hi is not None:
             base = base.filter(F.col(col) <= F.lit(hi))
     return base
+
+
+def point_lookup(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Equality lookup pruned by the manifest's per-file Bloom filters:
+    "which rows have ``col == value``" touches only the files whose
+    filter admits the value. This is the 10^12-scale answer to "find
+    the document with content sha X" — content hashes are uniform, so
+    min/max stats never prune them, but a 16-bits-per-key Bloom drops
+    ~99.7% of non-containing files per probe. Sound by construction:
+    Bloom filters have no false negatives, files without a filter are
+    always kept, and the exact equality filter runs on top."""
+    import base64
+
+    import numpy as np
+
+    from ..functions.bloom import _bit_indices, _hash_cols
+
+    if value is None:
+        raise SnapshotError("point_lookup on NULL is not defined; use scan_table")
+    meta = _read_metadata(spark, root)
+    snap = int(meta["current_snapshot_id"]) if snapshot_id is None else snapshot_id
+    known = {s["snapshot_id"] for s in meta["snapshots"]}
+    if snap not in known:
+        raise SnapshotError(f"unknown snapshot {snap}; committed: {sorted(known)}")
+    manifest = _read_manifest(spark, root, snap)
+    schema_cols = (
+        {f["name"] for f in manifest["schema"]["fields"]}
+        if manifest.get("schema") else None
+    )
+    if schema_cols is not None and col not in schema_cols:
+        raise SnapshotError(f"unknown lookup column '{col}'")
+
+    # probe hashes computed by the SAME JVM xxhash64 the build used
+    h1c, h2c = _hash_cols(F.lit(str(value)))
+    row = spark.range(1).select(h1c.alias("h1"), h2c.alias("h2")).collect()[0]
+    h1 = np.array([row["h1"]], dtype=np.int64)
+    h2 = np.array([row["h2"]], dtype=np.int64)
+
+    selected = []
+    for f in manifest["files"]:
+        bl = (f.get("bloom") or {}).get(col)
+        if bl is None:
+            selected.append(fsutil.urljoin(root, f["path"]))  # soundness
+            continue
+        bits = np.unpackbits(
+            np.frombuffer(base64.b64decode(bl["b64"]), dtype=np.uint8)
+        )
+        idx = _bit_indices(h1, h2, int(bl["k"]), int(bl["m"])).ravel()
+        if bits[idx].all():
+            selected.append(fsutil.urljoin(root, f["path"]))
+    if not selected:
+        return _manifest_scan(spark, root, manifest).limit(0)
+    return _manifest_scan(spark, root, manifest, paths=selected).filter(
+        F.col(col) == F.lit(value)
+    )
 
 
 def incremental_scan(

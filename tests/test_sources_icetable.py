@@ -597,3 +597,93 @@ def test_stat_cols_validation(spark, tmp_path):
     create_table(spark, root, df, stat_cols=["doc_id"])
     with pytest.raises(SnapshotError, match="unknown scan column"):
         scan_table(spark, root, {"ghost": (0, 1)}).collect()
+
+
+# ---------------------------------------------------------------------------
+# per-file Bloom filters + point lookups (round-5)
+
+
+def _sha_table(spark, root, n=2048, files=16):
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.lit("content-"), F.col("id").cast("string")), 256).alias("sha"),
+    )
+    create_table(spark, root, docs.repartition(files),
+                 stat_cols=["doc_id"], bloom_cols=["sha", "doc_id"])
+    return docs
+
+
+def test_point_lookup_prunes_files_no_false_negatives(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import point_lookup
+
+    root = str(tmp_path / "bl1")
+    _sha_table(spark, root)
+    files = icetable._read_manifest(spark, root, 1)["files"]
+    assert all("bloom" in f and {"sha", "doc_id"} <= set(f["bloom"]) for f in files)
+    full_files = len(read_table(spark, root).inputFiles())
+    assert full_files == 16
+
+    # no false negatives: every sampled key resolves to exactly its row
+    sample = read_table(spark, root).filter(F.col("doc_id") % 97 == 3).collect()
+    assert len(sample) >= 20
+    pruned_counts = []
+    for r in sample[:20]:
+        got = point_lookup(spark, root, "sha", r.sha)
+        rows = got.collect()
+        assert [(x.doc_id, x.sha) for x in rows] == [(r.doc_id, r.sha)]
+        pruned_counts.append(len(got.inputFiles()))
+    # the pruning is real: a sha lives in ONE file; FP rate at 16 bits/key
+    # is ~0.3%/file, so the average probe should touch ~1 file
+    assert sum(pruned_counts) <= 2 * len(pruned_counts)
+
+    # integer-keyed lookup hashes identically via the string rendering
+    got = point_lookup(spark, root, "doc_id", 1234)
+    assert [x.doc_id for x in got.collect()] == [1234]
+    assert len(got.inputFiles()) <= 4
+
+
+def test_point_lookup_miss_and_statless_soundness(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import point_lookup
+
+    root = str(tmp_path / "bl2")
+    _sha_table(spark, root, n=512, files=8)
+    miss = point_lookup(spark, root, "sha", "f" * 64)
+    assert miss.count() == 0
+    assert len(miss.inputFiles()) <= 2  # ~all files bloom-rejected
+
+    # a bloom-less table still answers correctly (every file kept)
+    root2 = str(tmp_path / "bl3")
+    create_table(spark, root2, spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    ).repartition(4))
+    got = point_lookup(spark, root2, "text", "t7")
+    assert [r.doc_id for r in got.collect()] == [7]
+    assert len(got.inputFiles()) == 4  # nothing to prune with -> scan all
+
+
+def test_bloom_inherited_by_append_and_validated(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import point_lookup
+
+    root = str(tmp_path / "bl4")
+    docs = _sha_table(spark, root, n=256, files=4)
+    extra = spark.range(256, 320).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.lit("content-"), F.col("id").cast("string")), 256).alias("sha"),
+    )
+    append(spark, root, extra.repartition(2))
+    new = [f for f in icetable._read_manifest(spark, root, 2)["files"]
+           if f["added_snapshot_id"] == 2]
+    assert new and all("bloom" in f for f in new)
+    target = extra.filter(F.col("doc_id") == 300).collect()[0]
+    got = point_lookup(spark, root, "sha", target.sha)
+    assert [r.doc_id for r in got.collect()] == [300]
+
+    with pytest.raises(SnapshotError, match="manifest blooms support"):
+        create_table(
+            spark, str(tmp_path / "bl5"),
+            spark.range(4).select(F.col("id").cast("double").alias("v")),
+            bloom_cols=["v"],
+        )
+    with pytest.raises(SnapshotError, match="unknown lookup column"):
+        point_lookup(spark, root, "ghost", "x").collect()

@@ -340,6 +340,14 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(n_docs AS BIGINT) AS n1",
             "CAST(bbox_area AS BIGINT) AS n2",
         ]),
+        # round-5 metadata-pruned reads (sources/icetable.py scan_table /
+        # point_lookup): manifest range scan, bloom sha point-lookup, and
+        # a compound scan, each proven row-lossless vs plain SQL filters
+        ("iceberg_pruned", "iceberg_pruned_reads", [
+            "CAST(read_kind AS BIGINT) AS k",
+            "CAST(n_rows AS BIGINT) AS n1",
+            "CAST(sum_ids AS BIGINT) AS n2",
+        ]),
     ],
 }
 

@@ -235,3 +235,65 @@ FROM documents GROUP BY lang ORDER BY lang
 
 SOURCE_QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
 SOURCE_ORACLES["jsonl_roundtrip"] = _JSONL_ORACLE
+
+
+def q_iceberg_pruned_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-pruned reads end-to-end inside one query.
+
+    Builds a stat+bloom snapshot table from `documents` (8 key-ranged
+    files; per-file min/max on doc_id/n_chars, Bloom filters on the
+    content sha), then reads it three ways — manifest-pruned range scan
+    on n_chars (code 1), Bloom point-lookup of doc 7's content sha
+    (code 2), and a compound range scan on both stat dims (code 3) —
+    summarizing each as (n_rows, sum of doc_id). The DuckDB oracle
+    states the same summaries as plain filters over the parquet table,
+    so a hash-exact match proves the driver-side file pruning loses no
+    rows and the residual filters restore exact semantics
+    (sources/icetable.py scan_table / point_lookup).
+    """
+    from .icetable import create_table, point_lookup, scan_table
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    keyed = docs.select(
+        "doc_id", "n_chars", F.sha2(F.col("text"), 256).alias("sha")
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="gd_icepr_"), "docs_table")
+    create_table(
+        spark, root, keyed.repartitionByRange(8, "doc_id"),
+        stat_cols=["doc_id", "n_chars"], bloom_cols=["sha"],
+    )
+    target_sha = keyed.filter(F.col("doc_id") == 7).collect()[0].sha
+
+    def summarize(df: DataFrame, code: int) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"), F.sum("doc_id").alias("sum_ids")
+        ).select(F.lit(code).cast("long").alias("read_kind"), "n_rows", "sum_ids")
+
+    return (
+        summarize(scan_table(spark, root, {"n_chars": (100, 500)}), 1)
+        .unionByName(summarize(point_lookup(spark, root, "sha", target_sha), 2))
+        .unionByName(summarize(
+            scan_table(spark, root, {"doc_id": (50, 199), "n_chars": (None, 800)}), 3
+        ))
+        .orderBy("read_kind")
+    )
+
+
+# read codes: 1 = range scan on n_chars, 2 = bloom point-lookup by sha,
+# 3 = compound range scan (doc_id x n_chars, half-open upper)
+_ICE_PRUNED_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS read_kind, COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents WHERE n_chars BETWEEN 100 AND 500
+UNION ALL
+SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM documents
+WHERE sha256(text) = (SELECT sha256(text) FROM documents WHERE doc_id = 7)
+UNION ALL
+SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM documents WHERE doc_id BETWEEN 50 AND 199 AND n_chars <= 800
+ORDER BY read_kind
+"""
+
+SOURCE_QUERIES["iceberg_pruned_reads"] = q_iceberg_pruned_reads
+SOURCE_ORACLES["iceberg_pruned_reads"] = _ICE_PRUNED_ORACLE

@@ -69,6 +69,7 @@ def test_golden_merged_gate_shape(spark, sf_tiny):
         "heavy_lines",
         "repo_census",
         "zorder",
+        "iceberg_pruned",
     }
     assert {c for c in rows[0].asDict()} == {"gate_op", "k", "n1", "n2"}
 

@@ -212,9 +212,13 @@ def main() -> None:
                     help="expire all but the newest N snapshots")
     ap.add_argument("--census", action="store_true",
                     help="print the current file-size census")
+    ap.add_argument("--orphans", action="store_true",
+                    help="delete data files no committed snapshot references")
     args = ap.parse_args()
-    if args.compact_target is None and args.expire_keep is None and not args.census:
-        ap.error("nothing to do: pass --compact-target, --expire-keep, or --census")
+    if (args.compact_target is None and args.expire_keep is None
+            and not args.census and not args.orphans):
+        ap.error("nothing to do: pass --compact-target, --expire-keep, "
+                 "--orphans, or --census")
     if args.zorder is not None and args.compact_target is None:
         ap.error("--zorder requires --compact-target")
 
@@ -230,9 +234,74 @@ def main() -> None:
         out["compact"] = {"snapshot_id": snap, **stats}
     if args.expire_keep is not None:
         out["expire"] = expire_snapshots(spark, args.root, args.expire_keep)
+    if args.orphans:
+        out["orphans"] = remove_orphan_files(spark, args.root)
     if args.census:
         out["census"] = table_file_census(spark, args.root)
     print(json.dumps(out))
+
+
+
+
+def remove_orphan_files(spark: SparkSession, root: str,
+                        dry_run: bool = False) -> dict:
+    """Delete data files on disk that no committed snapshot references —
+    the debris of commits that died between writing parquet and flipping
+    the version hint (the commit protocol makes such files invisible but
+    not free). Also removes manifest jsons for snapshot ids absent from
+    the current metadata log (a dead commit's manifest, written before
+    its hint flip) and whole data/s{id} dirs left empty.
+
+    Scale shape: pure metadata + listing work (one listStatus per
+    snapshot data dir; manifests are driver JSON) — never a table scan.
+    Safe by the same argument as expiry: the reachable-file set is
+    computed from the CURRENT metadata log, which single-writer
+    discipline freezes for the duration of the run. ``dry_run`` reports
+    without deleting. Returns ``{n_deleted_files, freed_bytes,
+    n_deleted_manifests, n_live_files}``."""
+    meta = icetable._read_metadata(spark, root)
+    live_ids = {int(s["snapshot_id"]) for s in meta["snapshots"]}
+    referenced: set[str] = set()
+    for sid in live_ids:
+        man = icetable._read_manifest(spark, root, sid)
+        referenced |= {f["path"] for f in man["files"]}
+
+    doomed: list[tuple[str, int]] = []
+    data_root = fsutil.urljoin(root, "data")
+    for d in fsutil.list_dirs(spark, data_root):
+        for name, size in fsutil.list_files(spark, fsutil.urljoin(data_root, d)):
+            rel = f"data/{d}/{name}"
+            # non-parquet write debris (_SUCCESS markers) in dead dirs is
+            # swept with the dir below; live dirs keep theirs
+            if name.endswith(".parquet") and rel not in referenced:
+                doomed.append((rel, size))
+
+    dead_manifests = []
+    for name, _ in fsutil.list_files(spark, fsutil.urljoin(root, "metadata")):
+        if name.startswith("snap-") and name.endswith(".json"):
+            sid = int(name[len("snap-"):-len(".json")])
+            if sid not in live_ids:
+                dead_manifests.append(name)
+
+    out = {
+        "n_deleted_files": len(doomed),
+        "freed_bytes": sum(s for _, s in doomed),
+        "n_deleted_manifests": len(dead_manifests),
+        "n_live_files": len(referenced),
+    }
+    if dry_run:
+        return out
+    for rel, _ in doomed:
+        fsutil.delete(spark, fsutil.urljoin(root, rel), recursive=False)
+    for name in dead_manifests:
+        fsutil.delete(spark, fsutil.urljoin(root, "metadata", name), recursive=False)
+    # sweep data dirs that no longer hold any referenced file (dead
+    # commits' dirs, incl. their _SUCCESS markers)
+    live_dirs = {p.split("/")[1] for p in referenced}
+    for d in fsutil.list_dirs(spark, data_root):
+        if d not in live_dirs:
+            fsutil.delete(spark, fsutil.urljoin(data_root, d), recursive=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -264,3 +264,43 @@ def test_compact_with_zorder_rewrite_prunes_both_dims(spark, root):
     _, bin_area = mean_bbox_area(read_table(spark, root, snapshot_id=1))
     assert z_area <= (n * n) / 4, (z_area, n * n)
     assert z_area < bin_area / 2, (z_area, bin_area)
+
+
+def test_remove_orphan_files_sweeps_dead_commit_debris(spark, root, tmp_path):
+    """A commit that died after writing data but before flipping the
+    hint leaves an invisible data dir + manifest; the orphan sweep must
+    remove exactly that debris and nothing live."""
+    from hyrise_generalized_dedup_spark.sources.maintenance import (
+        remove_orphan_files,
+    )
+    from hyrise_generalized_dedup_spark import fsutil
+
+    create_table(spark, root, _docs(spark, 0, 20, parts=2))
+    append(spark, root, _docs(spark, 20, 30, parts=2))
+    before = _rows(read_table(spark, root))
+
+    # simulate the dead commit: data files + manifest, NO hint flip
+    dead_dir = f"{root}/data/s9"
+    _docs(spark, 100, 110, parts=2).write.parquet(dead_dir)
+    fsutil.write_text(
+        spark, f"{root}/metadata/snap-9.json",
+        '{"snapshot_id": 9, "operation": "append", "files": []}',
+    )
+
+    dry = remove_orphan_files(spark, root, dry_run=True)
+    assert dry["n_deleted_files"] == 2 and dry["n_deleted_manifests"] == 1
+    assert fsutil.exists(spark, f"{root}/metadata/snap-9.json")  # dry run
+
+    out = remove_orphan_files(spark, root)
+    assert out["n_deleted_files"] == 2 and out["freed_bytes"] > 0
+    assert out["n_deleted_manifests"] == 1
+    assert out["n_live_files"] == 4
+    assert not fsutil.exists(spark, dead_dir)  # whole dead dir swept
+    assert not fsutil.exists(spark, f"{root}/metadata/snap-9.json")
+    # table untouched: contents and time travel identical
+    assert _rows(read_table(spark, root)) == before
+    assert len(_rows(read_table(spark, root, snapshot_id=1))) == 20
+
+    # steady state: a second sweep finds nothing
+    again = remove_orphan_files(spark, root)
+    assert again["n_deleted_files"] == 0 and again["n_deleted_manifests"] == 0

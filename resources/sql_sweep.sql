@@ -4349,3 +4349,30 @@ SELECT b.bucket, COUNT(*) AS n FROM (SELECT CASE WHEN value IS NULL THEN 'null' 
 SELECT c.c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AND c.c_custkey < 30 ORDER BY c.c_custkey LIMIT 10;
 SELECT CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_cls, p_brand, COUNT(*) AS n FROM part GROUP BY ROLLUP (1, 2) ORDER BY size_cls NULLS FIRST, p_brand NULLS FIRST LIMIT 20;
 SELECT d.lang, d.source, d.n_chars FROM documents d WHERE EXISTS (SELECT 1 FROM documents g WHERE g.lang = d.lang AND g.source = d.source GROUP BY g.lang, g.source HAVING COUNT(*) > 5) AND d.doc_id < 12 ORDER BY d.doc_id;
+
+-- tranche r5-u: SUM(DISTINCT), partitioned ntile, second-highest
+-- row_number pattern, INTERVAL arithmetic, HAVING on compared
+-- conditional sums, year-over-year lag deltas (validated)
+SELECT l_returnflag, CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sdq FROM lineitem WHERE l_orderkey < 600 GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT o_orderpriority, ntile(3) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS t FROM orders WHERE o_orderkey < 25 ORDER BY o_orderkey;
+SELECT CASE WHEN p_size < 5 THEN 'tiny' ELSE CASE WHEN p_brand LIKE '%4%' THEN 'b4' ELSE 'other' END END AS cls, COUNT(*) AS n FROM part GROUP BY 1 ORDER BY 1;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1995-01-01 00:00:00';
+SELECT n_name, COALESCE(s.cnt, 0) AS suppliers FROM nation n LEFT JOIN (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM supplier GROUP BY s_nationkey) s ON COALESCE(s.s_nationkey, -1) = n.n_nationkey ORDER BY n_name LIMIT 10;
+SELECT r_name FROM region WHERE r_name NOT IN ('EUROPE', 'ASIA') ORDER BY r_name;
+SELECT t.o_custkey, t.o_totalprice FROM (SELECT o_custkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders WHERE o_custkey < 25) t WHERE t.rn = 2 ORDER BY t.o_custkey;
+SELECT p_brand FROM part WHERE p_brand BETWEEN 'Brand#2' AND 'Brand#4' GROUP BY p_brand ORDER BY p_brand LIMIT 10;
+SELECT o_orderstatus, CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) < 1995 THEN 1 ELSE 0 END) AS BIGINT) AS early, CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) >= 1995 THEN 1 ELSE 0 END) AS BIGINT) AS late FROM orders WHERE o_orderkey < 4000 GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT x.seg FROM (SELECT c_mktsegment AS seg FROM customer UNION SELECT 'SYNTH' AS seg) x ORDER BY x.seg;
+SELECT s.s_name FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey WHERE n.n_name IN (SELECT n_name FROM nation WHERE n_regionkey = 2) AND s.s_acctbal > 9500 ORDER BY s.s_name LIMIT 8;
+SELECT trim(TRAILING '5' FROM CAST(o_orderkey AS STRING)) AS stripped, COUNT(*) AS n FROM orders WHERE o_orderkey < 100 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT user_id, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS buys FROM events WHERE user_id < 8 GROUP BY user_id HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) ORDER BY user_id;
+SELECT d.source, CAST(MAX(d.n_chars) - MIN(d.n_chars) AS BIGINT) AS spread FROM documents d GROUP BY d.source ORDER BY d.source;
+SELECT a.n_regionkey, CAST(COUNT(*) AS BIGINT) AS pairs FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey GROUP BY a.n_regionkey ORDER BY a.n_regionkey;
+SELECT o_orderkey FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) = 7) ORDER BY o_orderkey LIMIT 10;
+SELECT lang, CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS even_chars, CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS odd_chars FROM documents GROUP BY lang ORDER BY lang;
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS n FROM customer WHERE c_nationkey IN (0, 5, 10) GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_nationkey)) ORDER BY c_nationkey, c_mktsegment NULLS LAST LIMIT 24;
+SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events WHERE user_id = 3 GROUP BY event_type ORDER BY event_type;
+SELECT p.p_type, CAST(COUNT(l.l_orderkey) AS BIGINT) AS lineitems FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > 45 WHERE p.p_partkey < 60 GROUP BY p.p_type ORDER BY p.p_type LIMIT 12;
+SELECT w.yr, w.n, w.n - lag(w.n, 1) OVER (ORDER BY w.yr) AS delta FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 3000 GROUP BY 1) w ORDER BY w.yr;
+SELECT CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS price_band, COUNT(*) AS n FROM orders WHERE o_orderkey < 2500 GROUP BY 1 ORDER BY 1;
+SELECT s_suppkey FROM supplier WHERE s_suppkey NOT IN (SELECT CAST(r_regionkey AS BIGINT) FROM region) ORDER BY s_suppkey LIMIT 10;

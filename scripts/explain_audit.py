@@ -141,6 +141,15 @@ AUDITS = {
         ["ReadSchema: struct<doc_id:bigint,text:string>", "CODEGEN"],
         ["MapInPandas", "BatchEvalPython", "Exchange"],
     ),
+    # round-5 Z-order census: map-only Morton key math (pruned 2-column
+    # scan, broadcast bounds join, one hash-agg exchange on the bucket,
+    # zero Python)
+    "code_zorder_census": (
+        ["HashAggregate", "ReadSchema: struct<doc_id:bigint,text:string>",
+         "CODEGEN"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct",
+         "Exchange rangepartitioning"],
+    ),
 }
 
 

@@ -4376,3 +4376,31 @@ SELECT p.p_type, CAST(COUNT(l.l_orderkey) AS BIGINT) AS lineitems FROM part p LE
 SELECT w.yr, w.n, w.n - lag(w.n, 1) OVER (ORDER BY w.yr) AS delta FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 3000 GROUP BY 1) w ORDER BY w.yr;
 SELECT CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS price_band, COUNT(*) AS n FROM orders WHERE o_orderkey < 2500 GROUP BY 1 ORDER BY 1;
 SELECT s_suppkey FROM supplier WHERE s_suppkey NOT IN (SELECT CAST(r_regionkey AS BIGINT) FROM region) ORDER BY s_suppkey LIMIT 10;
+
+-- tranche r5-v: pure-SQL sessionization (lag gaps + flag sums),
+-- IQR via percentile_disc, modal value via tie-broken max_by,
+-- adjacency self-joins, bitwise ops, per-group top-k sums (validated)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_session FROM events WHERE user_id < 6) s GROUP BY user_id ORDER BY user_id;
+SELECT lang, percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1, percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3 FROM documents GROUP BY lang ORDER BY lang;
+SELECT o_orderstatus, max_by(o_orderpriority, cnt * 1000000 + CASE o_orderpriority WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2 ELSE 1 END) AS modal_priority FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1, 2) t GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT u.user_id, CAST(u.first_buy > u.first_view AS INTEGER) AS viewed_first FROM (SELECT user_id, MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view FROM events WHERE user_id < 10 GROUP BY user_id) u WHERE u.first_buy IS NOT NULL AND u.first_view IS NOT NULL ORDER BY u.user_id;
+SELECT n_nationkey & 7 AS band, n_nationkey | 16 AS ored, COUNT(*) AS n FROM nation GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 15;
+SELECT hex(n_nationkey) AS h, n_name FROM nation WHERE n_nationkey IN (10, 11, 15, 20) ORDER BY n_nationkey;
+SELECT rpad(r_name, 12, '*') AS padded FROM region ORDER BY padded;
+SELECT greatest(r_name, 'EUROPE') AS g, COUNT(*) AS n FROM region GROUP BY 1 ORDER BY 1;
+SELECT EXTRACT(DAY FROM o_orderdate) AS dom, COUNT(*) AS n FROM orders WHERE o_orderkey < 1200 GROUP BY 1 ORDER BY 1 LIMIT 16;
+SELECT c_mktsegment FROM customer GROUP BY c_mktsegment HAVING COUNT(DISTINCT c_nationkey) >= (SELECT COUNT(*) FROM region) ORDER BY c_mktsegment;
+SELECT t.src, t.k, SUM(t.v) AS sv FROM (SELECT 'o' AS src, o_orderstatus AS k, CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 2 UNION ALL SELECT 'l' AS src, l_linestatus AS k, CAST(COUNT(*) AS BIGINT) AS v FROM lineitem GROUP BY 2 UNION ALL SELECT 'd' AS src, lang AS k, CAST(COUNT(*) AS BIGINT) AS v FROM documents GROUP BY 2) t GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20;
+SELECT e1.user_id, e1.event_type AS a, e2.event_type AS b, COUNT(*) AS n FROM events e1 JOIN events e2 ON e2.user_id = e1.user_id AND e2.event_id = e1.event_id + 1 WHERE e1.user_id < 4 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3 LIMIT 15;
+SELECT src, n FROM (SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source) x ORDER BY n DESC, src LIMIT 3;
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_partkey BETWEEN 10 AND 99 GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 6;
+SELECT lang FROM documents WHERE n_chars > 50 GROUP BY lang EXCEPT SELECT lang FROM documents WHERE n_chars > 100000 GROUP BY lang ORDER BY lang;
+SELECT user_id, MIN(value) AS mn, MAX(value) AS mx FROM events WHERE value IS NOT NULL AND user_id < 6 GROUP BY user_id HAVING MIN(value) < MAX(value) / 2 ORDER BY user_id;
+SELECT a.p_size, b.p_size AS bigger, COUNT(*) AS n FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1 AND b.p_size > a.p_size WHERE a.p_partkey < 150 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 15;
+SELECT s_name FROM supplier WHERE length(s_name) = (SELECT MAX(length(s_name)) FROM supplier) ORDER BY s_name;
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount = 0.0) GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT x.flag, CAST(SUM(x.qty) AS BIGINT) AS total FROM (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem WHERE l_orderkey < 2000) x WHERE x.rn <= 10 GROUP BY x.flag ORDER BY x.flag;
+SELECT c_nationkey, CAST(AVG(length(c_name)) * 100 AS BIGINT) AS avg_len_c100 FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 3 ORDER BY c_nationkey LIMIT 12;
+SELECT CAST(value AS BIGINT) AS vi, COUNT(*) AS n FROM events WHERE value IS NOT NULL AND value = CAST(value AS BIGINT) AND user_id < 40 GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT doc_id, lang FROM documents WHERE doc_id IN (1, 2, 3) UNION ALL SELECT doc_id, lang FROM documents WHERE doc_id IN (3, 4) ORDER BY doc_id, lang;
+SELECT CAST(FLOOR(n_chars / 500) AS BIGINT) AS bucket, lang, COUNT(*) AS n FROM documents WHERE lang IN ('en', 'de') GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20;

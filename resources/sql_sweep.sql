@@ -4404,3 +4404,27 @@ SELECT c_nationkey, CAST(AVG(length(c_name)) * 100 AS BIGINT) AS avg_len_c100 FR
 SELECT CAST(value AS BIGINT) AS vi, COUNT(*) AS n FROM events WHERE value IS NOT NULL AND value = CAST(value AS BIGINT) AND user_id < 40 GROUP BY 1 ORDER BY 1 LIMIT 10;
 SELECT doc_id, lang FROM documents WHERE doc_id IN (1, 2, 3) UNION ALL SELECT doc_id, lang FROM documents WHERE doc_id IN (3, 4) ORDER BY doc_id, lang;
 SELECT CAST(FLOOR(n_chars / 500) AS BIGINT) AS bucket, lang, COUNT(*) AS n FROM documents WHERE lang IN ('en', 'de') GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20;
+
+-- tranche r5-w: scalar-subquery arithmetic, UNION type coercion,
+-- COALESCE/NULLIF chains, LIKE underscore wildcards, correlated
+-- above-group-average, windowed group totals (validated)
+SELECT o_orderkey, o_totalprice - (SELECT MIN(o_totalprice) FROM orders) AS above_min FROM orders WHERE o_orderkey < 12 ORDER BY o_orderkey;
+SELECT k FROM (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation UNION SELECT c_custkey AS k FROM customer WHERE c_custkey < 5) t ORDER BY k LIMIT 12;
+SELECT COALESCE(NULLIF(lang, 'en'), NULLIF(source, 'web'), 'both-default') AS pick, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1;
+SELECT COUNT(*) AS n FROM orders WHERE o_orderdate - INTERVAL 7 DAY > TIMESTAMP '1998-07-01 00:00:00';
+SELECT n_name FROM nation WHERE n_name LIKE '_R%' ORDER BY n_name;
+SELECT p_brand FROM part WHERE p_brand LIKE 'Brand#_3' GROUP BY p_brand ORDER BY p_brand;
+SELECT c.c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F') ORDER BY c.c_custkey LIMIT 10;
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 40 ORDER BY length(o_orderpriority), o_orderkey LIMIT 12;
+SELECT l_orderkey, CAST(SUM(CASE WHEN l_linenumber <= 3 THEN l_quantity ELSE 0 END) AS BIGINT) AS first3_qty FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 12;
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS total FROM events GROUP BY event_type ORDER BY event_type;
+SELECT s_nationkey, s_name, s_acctbal FROM supplier s WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey) ORDER BY s_nationkey, s_name LIMIT 10;
+SELECT doc_id, substr(text, 1, 10) AS head10 FROM documents WHERE doc_id < 6 ORDER BY doc_id;
+SELECT lang, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM documents GROUP BY lang ORDER BY lang;
+SELECT x.priority, x.status, x.n, SUM(x.n) OVER (PARTITION BY x.priority) AS priority_total FROM (SELECT o_orderpriority AS priority, o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 2000 GROUP BY 1, 2) x ORDER BY x.priority, x.status;
+SELECT CAST(l_tax * 100 AS INTEGER) AS tax_pct, COUNT(*) AS n FROM lineitem WHERE l_orderkey < 700 AND l_tax IN (0.0, 0.02, 0.04) GROUP BY 1 ORDER BY 1;
+SELECT r.r_name, n.n_name FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey WHERE n.n_name > r.r_name ORDER BY r.r_name, n.n_name LIMIT 10;
+SELECT user_id, CAST(MAX(event_id) - MIN(event_id) AS BIGINT) AS id_span, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE user_id < 7 GROUP BY user_id HAVING MAX(event_id) - MIN(event_id) + 1 > COUNT(*) ORDER BY user_id;
+SELECT 'total' AS scope, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem UNION ALL SELECT 'filtered' AS scope, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_discount > 0.05 ORDER BY scope;
+SELECT p_size + p_partkey % 10 AS synth_key, COUNT(*) AS n FROM part WHERE p_partkey < 120 GROUP BY 1 ORDER BY 1 LIMIT 15;
+SELECT c_mktsegment, CAST(SUM(length(c_name)) AS BIGINT) AS chars FROM customer WHERE c_custkey % 5 IN (0, 1) GROUP BY c_mktsegment ORDER BY c_mktsegment;

@@ -318,10 +318,22 @@ def _commit(
     meta["snapshots"] = list(meta["snapshots"]) + [
         {"snapshot_id": snap_id, "operation": operation, "n_files_added": len(added)}
     ]
-    version = len(meta["snapshots"])
-    fsutil.write_text(spark, _meta_path(root, version), json.dumps(meta, indent=1))
-    fsutil.write_text(spark, fsutil.urljoin(root, _HINT), str(version))
+    _write_metadata(spark, root, meta)
     return snap_id
+
+
+def _write_metadata(spark: SparkSession, root: str, meta: dict) -> int:
+    """Persist ``meta`` as the next metadata version and flip the hint.
+
+    Version numbers are MONOTONE (prior hint + 1), never derived from
+    the snapshot-log length: after an expiry shrinks the log, a
+    length-derived number would collide with (and overwrite) an older
+    metadata file and move the hint backwards."""
+    hint = fsutil.urljoin(root, _HINT)
+    version = (_current_version(spark, root) + 1) if fsutil.exists(spark, hint) else 1
+    fsutil.write_text(spark, _meta_path(root, version), json.dumps(meta, indent=1))
+    fsutil.write_text(spark, hint, str(version))
+    return version
 
 
 # ---------------------------------------------------------------------------
@@ -422,10 +434,14 @@ def table_schema(spark: SparkSession, root: str,
 
 
 def read_table(
-    spark: SparkSession, root: str, snapshot_id: int | None = None
+    spark: SparkSession, root: str, snapshot_id: int | str | None = None
 ) -> DataFrame:
     """The table's rows as of ``snapshot_id`` (default: current), under
-    that snapshot's recorded schema (see :func:`_manifest_scan`)."""
+    that snapshot's recorded schema (see :func:`_manifest_scan`). A
+    string ``snapshot_id`` is resolved as a tag name (release refs,
+    :func:`create_tag`)."""
+    if isinstance(snapshot_id, str):
+        snapshot_id = resolve_ref(spark, root, snapshot_id)
     meta = _read_metadata(spark, root)
     snap = int(meta["current_snapshot_id"]) if snapshot_id is None else snapshot_id
     known = {s["snapshot_id"] for s in meta["snapshots"]}
@@ -671,5 +687,59 @@ def resolve_input(spark: SparkSession, spec: str) -> DataFrame:
     body = spec[len("iceberg:"):]
     if "@" in body:
         root, _, snap = body.rpartition("@")
-        return read_table(spark, root, int(snap))
+        # numeric -> snapshot id; anything else -> tag name (release ref)
+        return read_table(spark, root, int(snap) if snap.isdigit() else snap)
     return read_table(spark, body)
+
+
+# ---------------------------------------------------------------------------
+# named refs (tags) — corpus release management
+
+
+def _refs(meta: dict) -> dict:
+    return dict(meta.get("refs") or {})
+
+
+def create_tag(spark: SparkSession, root: str, name: str,
+               snapshot_id: int | None = None) -> int:
+    """Pin a name to a snapshot (the Iceberg spec's tag refs): a corpus
+    release like ``train-v1`` stays readable by name forever — and
+    :func:`..maintenance.expire_snapshots` refuses to expire a tagged
+    snapshot, so the release outlives the retention window until the
+    tag is dropped. A metadata-only commit (no data is written)."""
+    if not name or name.strip() != name:
+        raise SnapshotError(f"invalid tag name {name!r}")
+    meta = _read_metadata(spark, root)
+    snap = int(meta["current_snapshot_id"]) if snapshot_id is None else int(snapshot_id)
+    known = {int(s["snapshot_id"]) for s in meta["snapshots"]}
+    if snap not in known:
+        raise SnapshotError(f"unknown snapshot {snap}; committed: {sorted(known)}")
+    refs = _refs(meta)
+    if name in refs:
+        raise SnapshotError(f"tag {name!r} already exists (-> snapshot {refs[name]})")
+    refs[name] = snap
+    meta["refs"] = refs
+    _write_metadata(spark, root, meta)
+    return snap
+
+
+def drop_tag(spark: SparkSession, root: str, name: str) -> None:
+    meta = _read_metadata(spark, root)
+    refs = _refs(meta)
+    if name not in refs:
+        raise SnapshotError(f"no tag {name!r}; tags: {sorted(refs)}")
+    del refs[name]
+    meta["refs"] = refs
+    _write_metadata(spark, root, meta)
+
+
+def list_refs(spark: SparkSession, root: str) -> dict[str, int]:
+    """tag name -> snapshot id."""
+    return {k: int(v) for k, v in _refs(_read_metadata(spark, root)).items()}
+
+
+def resolve_ref(spark: SparkSession, root: str, name: str) -> int:
+    refs = list_refs(spark, root)
+    if name not in refs:
+        raise SnapshotError(f"no tag {name!r}; tags: {sorted(refs)}")
+    return refs[name]

@@ -63,7 +63,15 @@ def expire_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict
     if keep_last >= len(log):
         return {"expired": [], "n_deleted_files": 0, "freed_bytes": 0,
                 "n_live_files": None}
-    retained, expired = log[-keep_last:], log[:-keep_last]
+    # tagged snapshots (release refs) are pinned: retention never expires
+    # them — Iceberg's expireSnapshots has the same tag-protection rule
+    tagged = {int(v) for v in (meta.get("refs") or {}).values()}
+    recent = {int(s["snapshot_id"]) for s in log[-keep_last:]}
+    retained = [s for s in log if int(s["snapshot_id"]) in (recent | tagged)]
+    expired = [s for s in log if int(s["snapshot_id"]) not in (recent | tagged)]
+    if not expired:
+        return {"expired": [], "n_deleted_files": 0, "freed_bytes": 0,
+                "n_live_files": None}
 
     referenced: dict[str, dict] = {}
     for s in retained:

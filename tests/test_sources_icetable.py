@@ -687,3 +687,86 @@ def test_bloom_inherited_by_append_and_validated(spark, tmp_path):
         )
     with pytest.raises(SnapshotError, match="unknown lookup column"):
         point_lookup(spark, root, "ghost", "x").collect()
+
+
+# ---------------------------------------------------------------------------
+# tag refs (release pins) + monotone metadata versions (round-5)
+
+
+def test_tags_pin_read_and_cli_forms(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import (
+        create_tag, drop_tag, list_refs,
+    )
+
+    root = str(tmp_path / "tags")
+    create_table(spark, root, _docs(spark, 0, 10))
+    append(spark, root, _docs(spark, 10, 20))
+    create_tag(spark, root, "train-v1", snapshot_id=1)
+    create_tag(spark, root, "latest")  # default: current snapshot
+    assert list_refs(spark, root) == {"train-v1": 1, "latest": 2}
+
+    assert _ids(read_table(spark, root, snapshot_id="train-v1")) == list(range(10))
+    assert _ids(resolve_input(spark, f"iceberg:{root}@train-v1")) == list(range(10))
+    assert _ids(resolve_input(spark, f"iceberg:{root}@2")) == list(range(20))
+
+    with pytest.raises(SnapshotError, match="already exists"):
+        create_tag(spark, root, "latest")
+    with pytest.raises(SnapshotError, match="unknown snapshot"):
+        create_tag(spark, root, "ghost", snapshot_id=99)
+    with pytest.raises(SnapshotError, match="no tag"):
+        read_table(spark, root, snapshot_id="nope")
+    drop_tag(spark, root, "latest")
+    assert list_refs(spark, root) == {"train-v1": 1}
+
+
+def test_expiry_never_drops_tagged_snapshots(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import (
+        create_tag, drop_tag,
+    )
+    from hyrise_generalized_dedup_spark.sources.maintenance import (
+        expire_snapshots,
+    )
+
+    root = str(tmp_path / "tagexp")
+    create_table(spark, root, _docs(spark, 0, 5))     # s1 <- tagged
+    overwrite(spark, root, _docs(spark, 0, 8))        # s2
+    append(spark, root, _docs(spark, 8, 12))          # s3
+    append(spark, root, _docs(spark, 12, 15))         # s4
+    create_tag(spark, root, "train-v1", snapshot_id=1)
+
+    out = expire_snapshots(spark, root, keep_last=1)
+    assert out["expired"] == [2, 3]                   # s1 pinned, s4 recent
+    assert _ids(read_table(spark, root, snapshot_id="train-v1")) == list(range(5))
+    assert _ids(read_table(spark, root)) == list(range(15))
+    with pytest.raises(SnapshotError):
+        read_table(spark, root, snapshot_id=2)
+
+    # dropping the pin releases the release: next expiry collects s1
+    drop_tag(spark, root, "train-v1")
+    out = expire_snapshots(spark, root, keep_last=1)
+    assert out["expired"] == [1]
+    with pytest.raises(SnapshotError):
+        read_table(spark, root, snapshot_id=1)
+    assert _ids(read_table(spark, root)) == list(range(15))
+
+
+def test_metadata_versions_stay_monotone_after_expiry(spark, tmp_path):
+    """Regression: version numbers derived from the snapshot-log LENGTH
+    collide with older metadata files once an expiry shrinks the log —
+    the hint would move backwards and overwrite history. Versions must
+    be monotone (prior hint + 1) across commits, tags, and expiry."""
+    from hyrise_generalized_dedup_spark.sources.maintenance import (
+        expire_snapshots,
+    )
+
+    root = str(tmp_path / "mono")
+    create_table(spark, root, _docs(spark, 0, 5))
+    append(spark, root, _docs(spark, 5, 10))
+    append(spark, root, _docs(spark, 10, 15))
+    assert icetable._current_version(spark, root) == 3
+    expire_snapshots(spark, root, keep_last=1)
+    assert icetable._current_version(spark, root) == 4
+    append(spark, root, _docs(spark, 15, 20))         # must NOT write v3 again
+    assert icetable._current_version(spark, root) == 5
+    assert _ids(read_table(spark, root)) == list(range(20))
+    assert [s["snapshot_id"] for s in snapshots(spark, root)] == [3, 4]

@@ -57,6 +57,7 @@ HEADLINE = [
     "text_seq_packing",
     "text_dsir_weights",
     "code_zorder_census",
+    "text_bm25_topk",
 ]
 
 

@@ -2752,3 +2752,69 @@ def code_zorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("x1"),
     )
     return zorder_census(pts, ["x0", "x1"], n_buckets=64)
+
+
+@_register(
+    "text_bm25_matches",
+    # Probe set = first 6 tokens of docs 0..7 (the ANN slots' self-probe
+    # convention). Every output column is an exact BIGINT, so the gate is
+    # hash-exact; the float BM25 score is a deterministic scalar function
+    # of exactly these integers (+ N, sum_dl) and is bit-oracled in
+    # tests/test_bm25.py instead (ln() is not bit-portable across engines).
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    ), posts AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS term FROM toks) u
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posts GROUP BY term
+    ), dl AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+    ), q AS (
+      SELECT DISTINCT doc_id AS query_id, term
+      FROM (SELECT doc_id, unnest(list_slice(w, 1, 6)) AS term
+            FROM toks WHERE doc_id < 8) s
+    )
+    SELECT q.query_id, p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_match_terms,
+           CAST(SUM(p.tf) AS BIGINT) AS sum_tf,
+           CAST(SUM(d.df) AS BIGINT) AS sum_df,
+           CAST(MIN(l.dl) AS BIGINT) AS dl
+    FROM q
+    JOIN posts p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    JOIN dl l ON l.doc_id = p.doc_id
+    GROUP BY q.query_id, p.doc_id
+    """,
+)
+def text_bm25_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval match surface (functions/bm25.py): per (query, doc)
+    the exact-integer inputs of the BM25 score — distinct matched terms,
+    tf/df sums, doc length — for the 8-doc x 6-term self-probe set.
+    Postings are built once (one term-partitioned shuffle), the probe
+    terms broadcast; no corpus-side re-shuffle. The score/ranking twin
+    is text_bm25_topk."""
+    from .bm25 import bm25_match_stats, probe_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_match_stats(docs, probe_queries(docs, n_queries=8, n_terms=6))
+
+
+@_register("text_bm25_topk", None)  # float ln() score -> bit-oracled in pytest
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per probe query (functions/bm25.py): Robertson-
+    Zaragoza scoring with contributions folded in sorted term order so
+    the double score is bit-stable under any partitioning. No SQL
+    oracle: JVM Math.log and DuckDB ln() differ by 1 ulp on ~3% of
+    arguments (measured), so the score is bit-oracled against a numpy
+    refold of the JVM's own ln values in tests/test_bm25.py, and the
+    integer match surface is hash-exact via text_bm25_matches."""
+    from .bm25 import bm25_topk, probe_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, probe_queries(docs, n_queries=8, n_terms=6), k=5)

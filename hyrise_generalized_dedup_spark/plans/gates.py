@@ -261,6 +261,17 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(NULL AS BIGINT) AS n2",
             "CAST(NULL AS BIGINT) AS n3",
         ]),
+        # round-5 BM25 lexical retrieval (functions/bm25.py): the exact-
+        # integer match surface per (probe query, doc) — tf/df sums over
+        # matched terms + doc length. The float score/ranking twin
+        # (text_bm25_topk) is bit-oracled in tests/test_bm25.py (ln() is
+        # not bit-portable across engines).
+        ("bm25", "text_bm25_matches", [
+            "CAST(query_id * 1000000 + doc_id AS BIGINT) AS k",
+            "CAST(sum_tf * 100 + n_match_terms AS BIGINT) AS n1",
+            "CAST(sum_df AS BIGINT) AS n2",
+            "CAST(dl AS BIGINT) AS n3",
+        ]),
     ],
     # Windowed streaming jobs (both REAL readStream->sink runs with a
     # batch-recomputed DuckDB oracle): event-window aggregation + the

@@ -278,7 +278,19 @@ def _commit(
     bpresent = [c for c in (bcols or []) if c in df.columns]
     if bpresent and bloom_cols is None:
         _validate_bloom_cols(df, bpresent)
-    snap_id = int(meta["current_snapshot_id"]) + 1
+    # allocate past every id ever assigned, not current+1: after a
+    # rollback the current snapshot is older than the newest committed
+    # one, and reusing its successor id would collide with a live
+    # manifest/data dir (last_assigned_snapshot_id is absent on tables
+    # written before rollback existed — current is the max there)
+    snap_id = (
+        max(
+            int(meta["current_snapshot_id"]),
+            int(meta.get("last_assigned_snapshot_id", 0)),
+            max((int(s["snapshot_id"]) for s in meta["snapshots"]), default=0),
+        )
+        + 1
+    )
     data_dir = fsutil.urljoin(root, f"data/s{snap_id}")
     df.write.mode("error").parquet(data_dir)
     stats = _file_stats(spark, data_dir, present) if present else {}
@@ -309,6 +321,7 @@ def _commit(
         spark, _manifest_path(root, snap_id), json.dumps(manifest, indent=1)
     )
     meta["current_snapshot_id"] = snap_id
+    meta["last_assigned_snapshot_id"] = snap_id
     meta["current_schema"] = schema
     meta["mixed_schema"] = mixed
     if cols:
@@ -743,3 +756,44 @@ def resolve_ref(spark: SparkSession, root: str, name: str) -> int:
     if name not in refs:
         raise SnapshotError(f"no tag {name!r}; tags: {sorted(refs)}")
     return refs[name]
+
+
+# ---------------------------------------------------------------------------
+# rollback — undo bad commits without rewriting data
+
+
+def rollback_table(spark: SparkSession, root: str, to: int | str) -> int:
+    """Make an earlier snapshot current again (Iceberg's
+    ``rollback_to_snapshot`` / ``rollback_to_ref``): a bad commit — a
+    botched compaction, a dedup pass with the wrong threshold — is
+    undone by one metadata-only commit; no data is rewritten or
+    deleted, and the newer snapshots stay in the log (re-rollback
+    "forward" works until :func:`..maintenance.expire_snapshots`
+    reclaims them — expiry pins the CURRENT snapshot and every tagged
+    one, so a rollback target never expires out from under the table).
+
+    ``to`` is a snapshot id or a tag name. The table's schema and
+    mixed-schema flag revert to the target manifest's; table config
+    (stat_cols / bloom_cols / refs) is untouched. Snapshot ids keep
+    allocating past the newest ever assigned, so a commit after a
+    rollback never collides with a rolled-off manifest."""
+    if isinstance(to, str):
+        to = resolve_ref(spark, root, to)
+    to = int(to)
+    meta = _read_metadata(spark, root)
+    known = {int(s["snapshot_id"]) for s in meta["snapshots"]}
+    if to not in known:
+        raise SnapshotError(f"unknown snapshot {to}; committed: {sorted(known)}")
+    if to == int(meta["current_snapshot_id"]):
+        return to  # already current: no metadata churn
+    manifest = _read_manifest(spark, root, to)
+    meta["last_assigned_snapshot_id"] = max(
+        int(meta["current_snapshot_id"]),
+        int(meta.get("last_assigned_snapshot_id", 0)),
+        max(known, default=0),
+    )
+    meta["current_snapshot_id"] = to
+    meta["current_schema"] = manifest.get("schema")
+    meta["mixed_schema"] = bool(manifest.get("mixed_schema"))
+    _write_metadata(spark, root, meta)
+    return to

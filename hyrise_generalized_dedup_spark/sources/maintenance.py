@@ -64,8 +64,12 @@ def expire_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict
         return {"expired": [], "n_deleted_files": 0, "freed_bytes": 0,
                 "n_live_files": None}
     # tagged snapshots (release refs) are pinned: retention never expires
-    # them — Iceberg's expireSnapshots has the same tag-protection rule
+    # them — Iceberg's expireSnapshots has the same tag-protection rule.
+    # The CURRENT snapshot is pinned too: after a rollback it is older
+    # than the newest log entries, and "keep the last K" must never
+    # delete the state the table is serving.
     tagged = {int(v) for v in (meta.get("refs") or {}).values()}
+    tagged.add(int(meta["current_snapshot_id"]))
     recent = {int(s["snapshot_id"]) for s in log[-keep_last:]}
     retained = [s for s in log if int(s["snapshot_id"]) in (recent | tagged)]
     expired = [s for s in log if int(s["snapshot_id"]) not in (recent | tagged)]

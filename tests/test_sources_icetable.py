@@ -770,3 +770,92 @@ def test_metadata_versions_stay_monotone_after_expiry(spark, tmp_path):
     assert icetable._current_version(spark, root) == 5
     assert _ids(read_table(spark, root)) == list(range(20))
     assert [s["snapshot_id"] for s in snapshots(spark, root)] == [3, 4]
+
+
+# ---------------------------------------------------------------------------
+# rollback
+
+
+def test_rollback_restores_earlier_state_and_schema(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import rollback_table
+
+    root = str(tmp_path / "tbl")
+    create_table(spark, root, _docs(spark, 0, 10))
+    append(spark, root, _docs(spark, 10, 15))
+    # evolve the schema in the bad commit so rollback must revert it too
+    bad = _docs(spark, 15, 20).withColumn("lang", F.lit("py"))
+    s3 = append(spark, root, bad)
+    assert set(read_table(spark, root).columns) == {"doc_id", "text", "lang"}
+
+    assert rollback_table(spark, root, 2) == 2
+    assert current_snapshot_id(spark, root) == 2
+    assert _ids(read_table(spark, root)) == list(range(15))
+    assert set(read_table(spark, root).columns) == {"doc_id", "text"}
+    # the rolled-off snapshot stays readable (roll FORWARD works)
+    assert _ids(read_table(spark, root, s3)) == list(range(20))
+    assert rollback_table(spark, root, s3) == s3
+    assert _ids(read_table(spark, root)) == list(range(20))
+
+
+def test_rollback_validation_and_noop(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import rollback_table
+
+    root = str(tmp_path / "tbl")
+    create_table(spark, root, _docs(spark, 0, 5))
+    append(spark, root, _docs(spark, 5, 8))
+    with pytest.raises(SnapshotError, match="unknown snapshot"):
+        rollback_table(spark, root, 99)
+    v_before = icetable._current_version(spark, root)
+    assert rollback_table(spark, root, 2) == 2  # already current: no-op
+    assert icetable._current_version(spark, root) == v_before
+
+
+def test_rollback_by_tag_name(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import (
+        create_tag,
+        rollback_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    create_table(spark, root, _docs(spark, 0, 5))
+    create_tag(spark, root, "train-v1")
+    append(spark, root, _docs(spark, 5, 9))
+    assert rollback_table(spark, root, "train-v1") == 1
+    assert _ids(read_table(spark, root)) == list(range(5))
+    with pytest.raises(SnapshotError, match="no tag"):
+        rollback_table(spark, root, "nope")
+
+
+def test_commit_after_rollback_never_reuses_snapshot_ids(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import rollback_table
+
+    root = str(tmp_path / "tbl")
+    create_table(spark, root, _docs(spark, 0, 5))
+    append(spark, root, _docs(spark, 5, 8))   # snap 2
+    append(spark, root, _docs(spark, 8, 11))  # snap 3
+    rollback_table(spark, root, 1)
+    s4 = append(spark, root, _docs(spark, 11, 13))
+    assert s4 == 4  # NOT 2: ids allocate past the newest ever assigned
+    # the new lineage is 1 -> 4; snapshots 2 and 3 are rolled off but intact
+    assert _ids(read_table(spark, root)) == list(range(5)) + [11, 12]
+    assert _ids(read_table(spark, root, 3)) == list(range(11))
+    assert [s["snapshot_id"] for s in snapshots(spark, root)] == [1, 2, 3, 4]
+
+
+def test_expiry_pins_the_current_snapshot_after_rollback(spark, tmp_path):
+    from hyrise_generalized_dedup_spark.sources.icetable import rollback_table
+    from hyrise_generalized_dedup_spark.sources.maintenance import (
+        expire_snapshots,
+    )
+
+    root = str(tmp_path / "tbl")
+    create_table(spark, root, _docs(spark, 0, 5))
+    append(spark, root, _docs(spark, 5, 8))
+    append(spark, root, _docs(spark, 8, 11))
+    rollback_table(spark, root, 1)
+    rep = expire_snapshots(spark, root, keep_last=1)
+    # snapshot 1 is current -> pinned even though only "the last 1" is kept
+    assert 1 not in rep["expired"]
+    assert _ids(read_table(spark, root)) == list(range(5))
+    # snapshot 1's data files survived the sweep
+    assert _ids(read_table(spark, root, 1)) == list(range(5))

@@ -226,11 +226,15 @@ def main() -> None:
                     help="print the current file-size census")
     ap.add_argument("--orphans", action="store_true",
                     help="delete data files no committed snapshot references")
+    ap.add_argument("--rollback", default=None, metavar="ID|TAG",
+                    help="make an earlier snapshot current again "
+                         "(metadata-only; runs before compact/expire)")
     args = ap.parse_args()
     if (args.compact_target is None and args.expire_keep is None
-            and not args.census and not args.orphans):
-        ap.error("nothing to do: pass --compact-target, --expire-keep, "
-                 "--orphans, or --census")
+            and not args.census and not args.orphans
+            and args.rollback is None):
+        ap.error("nothing to do: pass --rollback, --compact-target, "
+                 "--expire-keep, --orphans, or --census")
     if args.zorder is not None and args.compact_target is None:
         ap.error("--zorder requires --compact-target")
 
@@ -238,6 +242,11 @@ def main() -> None:
 
     spark = get_spark(app_name="gd-maintenance", master=args.master)
     out: dict = {"root": args.root}
+    if args.rollback is not None:
+        from .icetable import rollback_table
+
+        to = int(args.rollback) if args.rollback.isdigit() else args.rollback
+        out["rollback"] = {"snapshot_id": rollback_table(spark, args.root, to)}
     if args.compact_target is not None:
         zcols = args.zorder.split(",") if args.zorder else None
         snap, stats = compact_table(

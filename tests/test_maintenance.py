@@ -304,3 +304,38 @@ def test_remove_orphan_files_sweeps_dead_commit_debris(spark, root, tmp_path):
     # steady state: a second sweep finds nothing
     again = remove_orphan_files(spark, root)
     assert again["n_deleted_files"] == 0 and again["n_deleted_manifests"] == 0
+
+
+def test_maintenance_cli_rollback_then_expire(spark, tmp_path):
+    """--rollback runs before expiry in one invocation: the table serves
+    the rolled-back state and the sweep keeps it (current is pinned)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "rb_tbl")
+    create_table(spark, root, _docs(spark, 0, 10))
+    append(spark, root, _docs(spark, 10, 20))
+    append(spark, root, _docs(spark, 20, 30))
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m",
+            "hyrise_generalized_dedup_spark.sources.maintenance",
+            root,
+            "--rollback", "1",
+            "--expire-keep", "1",
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["rollback"]["snapshot_id"] == 1
+    # keep_last=1 keeps snapshot 3 (newest); current snapshot 1 is pinned
+    assert out["expire"]["expired"] == [2]
+    assert _rows(read_table(spark, root)) == [
+        (i, f"content-{i}") for i in range(10)
+    ]

@@ -58,6 +58,7 @@ HEADLINE = [
     "text_dsir_weights",
     "code_zorder_census",
     "text_bm25_topk",
+    "text_dup_spans",
 ]
 
 

@@ -439,3 +439,18 @@ def cdc_chunk_census_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunk_census(docs, text_col="text")
+
+
+from .spans import span_stats_oracle_sql  # noqa: E402
+
+
+@_register("text_dup_spans", span_stats_oracle_sql())
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span census (dedup/spans.py, Lee et al.
+    2021): per doc, corpus-wide duplicated L-char windows merged into
+    maximal spans. The rewrite twin (remove_duplicated_spans) shares the
+    island logic and is brute-force-oracled in tests/test_spans.py."""
+    from .spans import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs)

@@ -521,6 +521,14 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
             "doc_id", "dsir_n_grams", "dsir_sum_tc", "dsir_sum_rc",
             "dsir_n_lean", "dsir_keep",
         ]),
+        # round-5 ExactSubstr census (dedup/spans.py, Lee et al. 2021):
+        # corpus-wide duplicated L-char windows merged into maximal
+        # spans per doc; the rewrite twin is brute-force-oracled in
+        # tests/test_spans.py
+        ("text_dup_spans", [
+            "doc_id", "n_windows", "n_dup_windows", "n_dup_spans",
+            "dup_chars", "max_span_chars",
+        ]),
     ],
 }
 

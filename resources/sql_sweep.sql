@@ -4428,3 +4428,89 @@ SELECT user_id, CAST(MAX(event_id) - MIN(event_id) AS BIGINT) AS id_span, CAST(C
 SELECT 'total' AS scope, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem UNION ALL SELECT 'filtered' AS scope, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_discount > 0.05 ORDER BY scope;
 SELECT p_size + p_partkey % 10 AS synth_key, COUNT(*) AS n FROM part WHERE p_partkey < 120 GROUP BY 1 ORDER BY 1 LIMIT 15;
 SELECT c_mktsegment, CAST(SUM(length(c_name)) AS BIGINT) AS chars FROM customer WHERE c_custkey % 5 IN (0, 1) GROUP BY c_mktsegment ORDER BY c_mktsegment;
+-- tranche r5-x: exact-median/mode folds, EXISTS/subquery-in-CASE,
+-- multi-distinct aggregates, window-over-derived, GROUPING SETS/ROLLUP
+-- with HAVING, correlated MAX-guards, FILTER+DISTINCT combos (validated)
+SELECT l_returnflag, CAST(FLOOR(median(CAST(l_quantity AS BIGINT)) * 2) AS BIGINT) AS med2 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT o_orderstatus, CAST(FLOOR(median(o_custkey % 100) * 2) AS BIGINT) AS med2, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT c_mktsegment, CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nations, CAST(COUNT(DISTINCT c_custkey % 7) AS BIGINT) AS mods FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT n_regionkey, CAST(COUNT(DISTINCT n_name) FILTER (WHERE n_nationkey % 2 = 0) AS BIGINT) AS even_names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey;
+SELECT o_orderkey, CASE WHEN EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) THEN 'bulk' ELSE 'small' END AS kind FROM orders o WHERE o_orderkey < 30 ORDER BY o_orderkey;
+SELECT p_brand, CAST(SUM(CASE WHEN p_size > (SELECT AVG(p_size) FROM part) THEN 1 ELSE 0 END) AS BIGINT) AS above_avg FROM part GROUP BY p_brand ORDER BY p_brand LIMIT 12;
+SELECT t.lang, t.rnk, t.doc_id FROM (SELECT lang, doc_id, dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk FROM documents) t WHERE t.rnk = 1 ORDER BY t.lang, t.doc_id;
+SELECT u.user_id, u.n, rank() OVER (ORDER BY u.n DESC, u.user_id) AS r FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE user_id < 25 GROUP BY user_id) u ORDER BY r, u.user_id LIMIT 15;
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM supplier GROUP BY s_nationkey HAVING COUNT(*) > (SELECT COUNT(*) FROM supplier) / 50 ORDER BY s_nationkey;
+SELECT a.n_name AS lo, b.n_name AS hi FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name WHERE a.n_regionkey = 2 ORDER BY lo, hi;
+SELECT l_linestatus, CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dq FROM lineitem WHERE l_orderkey < 400 GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT o_orderpriority, CAST(AVG(DISTINCT o_orderkey % 10) AS BIGINT) AS avg_dm FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT doc_id, n_chars, CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3 FROM documents WHERE doc_id < 12 ORDER BY doc_id;
+SELECT event_type, CAST(MAX(user_id) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS max_u_div3 FROM events GROUP BY event_type ORDER BY event_type;
+SELECT x.seg, x.cnt FROM (SELECT c_mktsegment AS seg, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment) x WHERE x.cnt = (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment) y) ORDER BY x.seg;
+SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) = COUNT(*) AND COUNT(*) > 3 ORDER BY l_orderkey LIMIT 12;
+SELECT n.n_name, coalesce(s.n, 0) AS suppliers FROM nation n LEFT JOIN (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM supplier GROUP BY s_nationkey) s ON s.s_nationkey = n.n_nationkey ORDER BY suppliers DESC, n.n_name LIMIT 10;
+SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket, CAST(FLOOR(min(o_totalprice) * 100) AS BIGINT) AS min_cents FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1;
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY ROLLUP (lang, source) HAVING lang IS NOT NULL ORDER BY lang, source NULLS FIRST;
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_brand IN (SELECT p_brand FROM part WHERE p_size > 40) GROUP BY p_brand ORDER BY p_brand LIMIT 12;
+SELECT c_custkey FROM customer c WHERE c_acctbal > (SELECT COALESCE(MAX(o_totalprice / 1000), -1e9) FROM orders o WHERE o.o_custkey = c.c_custkey) AND c_custkey < 40 ORDER BY c_custkey;
+SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND c.c_acctbal < o.o_totalprice) AND c_custkey < 25 ORDER BY c_custkey;
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(FLOOR(100.0 * COUNT(*) / SUM(COUNT(*)) OVER ()) AS BIGINT) AS pct FROM events GROUP BY event_type ORDER BY event_type;
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus)) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST;
+SELECT l_returnflag, CAST(FLOOR(var_pop(l_linenumber)) AS BIGINT) AS vp FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT upper(substr(n_name, 1, 1)) AS initial, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT doc_id FROM documents WHERE length(trim(text)) < length(text) AND doc_id < 200 ORDER BY doc_id LIMIT 12;
+SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49) ORDER BY s_suppkey LIMIT 10;
+SELECT r_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS n_nations FROM region r ORDER BY r_name;
+SELECT CAST(FLOOR(AVG(cnt)) AS BIGINT) AS avg_lines_per_order FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) t;
+SELECT lang, CAST(COUNT(CASE WHEN n_chars BETWEEN 100 AND 999 THEN 1 END) AS BIGINT) AS mid, CAST(COUNT(CASE WHEN n_chars >= 1000 THEN 1 END) AS BIGINT) AS big FROM documents GROUP BY lang ORDER BY lang;
+SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders) ORDER BY o_orderkey LIMIT 10;
+SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_shipdate > (SELECT MIN(o_orderdate) FROM orders) + INTERVAL 30 DAY GROUP BY l_orderkey ORDER BY n DESC, l_orderkey LIMIT 10;
+SELECT user_id, event_id, CAST(lag(event_id, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS lag2 FROM events WHERE user_id < 4 ORDER BY user_id, event_id LIMIT 20;
+SELECT user_id, event_id, CAST(nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS second_seen FROM events WHERE user_id < 3 ORDER BY user_id, event_id LIMIT 18;
+SELECT substr(p_type, 1, instr(p_type, ' ') - 1) AS type_head, CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE instr(p_type, ' ') > 1 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE ascii(c_name) BETWEEN 65 AND 90 GROUP BY c_nationkey ORDER BY c_nationkey LIMIT 12;
+SELECT doc_id, CAST(instr(text, 'def ') AS BIGINT) AS first_def FROM documents WHERE instr(text, 'def ') > 0 AND doc_id < 300 ORDER BY doc_id LIMIT 15;
+SELECT o_orderpriority, CAST(SUM(length(o_orderstatus) + length(o_orderpriority)) AS BIGINT) AS chars FROM orders WHERE o_orderkey < 500 GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT lang, CAST(FLOOR(mode() WITHIN GROUP (ORDER BY n_chars)) AS BIGINT) AS modal_len FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang ORDER BY lang;
+-- tranche r5-y: ntile/percent_rank/cume_dist integer folds,
+-- first/last_value frames, least/greatest, lpad/rpad/translate, 4-way
+-- joins, LEFT-JOIN-IS-NULL anti, tuple IN, date_trunc casts (validated)
+SELECT user_id, event_id, ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS quartile FROM events WHERE user_id < 3 ORDER BY user_id, event_id LIMIT 24;
+SELECT doc_id, CAST(FLOOR(percent_rank() OVER (ORDER BY n_chars, doc_id) * 1000) AS BIGINT) AS pr1000 FROM documents WHERE doc_id < 20 ORDER BY doc_id;
+SELECT doc_id, CAST(FLOOR(cume_dist() OVER (ORDER BY n_chars, doc_id) * 100) AS BIGINT) AS cd100 FROM documents WHERE doc_id < 15 ORDER BY doc_id;
+SELECT lang, doc_id, first_value(doc_id) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS biggest FROM documents WHERE doc_id < 30 ORDER BY lang, doc_id;
+SELECT lang, doc_id, last_value(doc_id) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_doc FROM documents WHERE doc_id < 25 ORDER BY lang, doc_id;
+SELECT n_name, least(n_nationkey, n_regionkey * 3) AS lo, greatest(n_nationkey, n_regionkey * 3) AS hi FROM nation ORDER BY n_name LIMIT 15;
+SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR(6)), 6, '0') AS padded FROM customer WHERE c_custkey < 12 ORDER BY c_custkey;
+SELECT s_suppkey, rpad(substr(s_name, 1, 8), 12, '.') AS tag FROM supplier WHERE s_suppkey < 10 ORDER BY s_suppkey;
+SELECT n_name, translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels FROM nation ORDER BY n_name LIMIT 12;
+SELECT r.r_name, n.n_name, CAST(COUNT(s.s_suppkey) AS BIGINT) AS suppliers, CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS customers FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name LIMIT 15;
+SELECT c.c_custkey FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey WHERE o.o_orderkey IS NULL ORDER BY c.c_custkey LIMIT 12;
+SELECT CASE WHEN o_totalprice < 50000 THEN 'lo' WHEN o_totalprice < 150000 THEN 'mid' ELSE 'hi' END AS band, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 2000 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(date_trunc('year', l_shipdate) AS DATE) AS yr, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY 1 ORDER BY 1;
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_returnflag, l_linestatus) IN (('R', 'F'), ('A', 'F')) AND l_orderkey < 100 ORDER BY l_orderkey, l_linenumber LIMIT 15;
+SELECT o_orderstatus, CAST(SUM(CASE WHEN o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS in_1995 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT x.lang, x.total - x.mx AS rest FROM (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total, CAST(MAX(n_chars) AS BIGINT) AS mx FROM documents GROUP BY lang) x ORDER BY x.lang;
+SELECT reverse(n_name) AS rev FROM nation WHERE n_nationkey < 8 ORDER BY rev;
+SELECT repeat(substr(r_name, 1, 2), 3) AS tri FROM region ORDER BY tri;
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE replace(p_type, ' ', '_') LIKE '%BRUSHED%' GROUP BY p_brand ORDER BY p_brand LIMIT 10;
+SELECT event_type, user_id FROM events WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) > 50) AND event_id < 100 ORDER BY event_type, user_id LIMIT 15;
+SELECT t.mon, t.n, CAST(SUM(t.n) OVER (ORDER BY t.mon ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1) t ORDER BY t.mon LIMIT 15;
+SELECT c_mktsegment, CAST(MIN(length(c_name)) AS BIGINT) AS shortest, CAST(MAX(length(c_name)) AS BIGINT) AS longest FROM customer GROUP BY c_mktsegment HAVING MIN(length(c_name)) < MAX(length(c_name)) ORDER BY c_mktsegment;
+SELECT COALESCE(CAST(NULLIF(n_regionkey, 0) AS VARCHAR(4)), 'zero') AS rk, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 50 AND 120 AND NOT (o_orderstatus = 'F' OR o_totalprice > 200000) ORDER BY o_orderkey;
+SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0) GROUP BY l_suppkey ORDER BY n DESC, l_suppkey LIMIT 10;
+SELECT d.lang, e.event_type, CAST(COUNT(*) AS BIGINT) AS n FROM documents d CROSS JOIN (SELECT DISTINCT event_type FROM events) e WHERE d.doc_id < 10 GROUP BY d.lang, e.event_type ORDER BY d.lang, e.event_type LIMIT 20;
+SELECT s_nationkey, min(s_name) || '>' || max(s_name) AS name_span, CAST(COUNT(*) AS BIGINT) AS n FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 12;
+SELECT lang, CAST(SUM(n_chars % 10) AS BIGINT) AS lastdigit_sum FROM documents GROUP BY lang HAVING SUM(n_chars % 10) > 0 ORDER BY lang;
+SELECT user_id, CAST(MAX(event_id) FILTER (WHERE event_type = 'click') AS BIGINT) AS last_click, CAST(MAX(event_id) FILTER (WHERE event_type <> 'click') AS BIGINT) AS last_other FROM events WHERE user_id < 8 GROUP BY user_id ORDER BY user_id;
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_nationkey ORDER BY n DESC, c_nationkey LIMIT 5;
+SELECT q.b, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS b FROM orders) q GROUP BY q.b ORDER BY q.b;
+SELECT n_name FROM nation WHERE n_nationkey = (SELECT MAX(n_nationkey) FROM nation WHERE n_regionkey = 1) ORDER BY n_name;
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT doc_id, n_chars FROM documents WHERE n_chars = (SELECT MAX(n_chars) FROM documents d2 WHERE d2.lang = documents.lang) ORDER BY doc_id LIMIT 12;
+SELECT event_type, CAST(FLOOR(AVG(user_id) * 100) AS BIGINT) AS avg_u100 FROM events WHERE event_id % 2 = 0 GROUP BY event_type ORDER BY event_type;
+SELECT a.r_name FROM region a JOIN region b ON a.r_regionkey <> b.r_regionkey GROUP BY a.r_name HAVING COUNT(*) = 4 ORDER BY a.r_name;
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS orders, CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS extra_lines FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT upper(trim(substr(p_name, 1, 5))) AS head, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY n DESC, head LIMIT 8;
+SELECT user_id, event_id FROM events WHERE user_id < 2 AND event_id > (SELECT -1) ORDER BY user_id, event_id LIMIT 5;

@@ -4514,3 +4514,48 @@ SELECT a.r_name FROM region a JOIN region b ON a.r_regionkey <> b.r_regionkey GR
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS orders, CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS extra_lines FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
 SELECT upper(trim(substr(p_name, 1, 5))) AS head, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY n DESC, head LIMIT 8;
 SELECT user_id, event_id FROM events WHERE user_id < 2 AND event_id > (SELECT -1) ORDER BY user_id, event_id LIMIT 5;
+-- tranche r5-z: shared-regexp shapes, RANGE frames on int keys,
+-- 3-deep nesting, CTE self-joins, EXTRACT combos, NULL-typed UNION
+-- branches, CASE-keyed sorts, percentile_cont folds, DECIMAL cents
+-- (validated; traps: regexp_matches/regexp_like/width_bucket/octet_length
+-- are single-engine, DuckDB regexp_replace is first-match-only)
+SELECT doc_id, regexp_extract(text, '([A-Za-z]+)', 1) AS first_word FROM documents WHERE doc_id < 10 ORDER BY doc_id;
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE regexp_extract(text, '[a-z]{4} [a-z]{4}', 0) <> '' GROUP BY lang ORDER BY lang;
+SELECT n_name, regexp_replace(n_name, '^[AEIOU]', '*') AS starred FROM nation ORDER BY n_name LIMIT 10;
+SELECT o_orderkey, position('3' IN CAST(o_orderkey AS VARCHAR(12))) AS pos3 FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey;
+SELECT doc_id, length(rtrim(ltrim(text))) AS trimmed_len, CAST(length(text) AS BIGINT) AS chars FROM documents WHERE doc_id < 8 ORDER BY doc_id;
+SELECT user_id, event_id, CAST(SUM(event_id) OVER (PARTITION BY user_id ORDER BY event_id RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_sum FROM events WHERE user_id < 3 ORDER BY user_id, event_id LIMIT 20;
+SELECT z.lang, z.n FROM (SELECT y.lang, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT x.lang FROM (SELECT lang, n_chars FROM documents WHERE n_chars > 50) x WHERE x.n_chars < 5000) y GROUP BY y.lang) z ORDER BY z.lang;
+WITH base AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY l_orderkey) SELECT a.qty AS q1, CAST(COUNT(*) AS BIGINT) AS n FROM base a JOIN base b ON a.qty = b.qty AND a.l_orderkey < b.l_orderkey GROUP BY a.qty ORDER BY n DESC, q1 LIMIT 10;
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), total AS (SELECT SUM(n) AS t FROM counts) SELECT c.lang, CAST(c.n AS BIGINT) AS n, CAST(FLOOR(1000.0 * c.n / t.t) AS BIGINT) AS permille FROM counts c CROSS JOIN total t ORDER BY c.lang;
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(MONTH FROM o_orderdate) AS mon, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 1500 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 15;
+SELECT EXTRACT(DAY FROM l_shipdate) AS dom, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_orderkey < 300 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT lang, NULL AS marker FROM documents WHERE doc_id = 1 UNION ALL SELECT 'sentinel' AS lang, 'yes' AS marker ORDER BY lang;
+SELECT o_orderstatus FROM orders WHERE o_orderkey < 200 GROUP BY o_orderstatus ORDER BY CASE o_orderstatus WHEN 'P' THEN 0 WHEN 'O' THEN 1 ELSE 2 END;
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_mktsegment ORDER BY CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END, c_mktsegment;
+SELECT n_regionkey * 2 AS k FROM nation EXCEPT SELECT r_regionkey AS k FROM region ORDER BY k;
+SELECT CAST(l_linenumber AS BIGINT) AS k FROM lineitem WHERE l_orderkey < 50 INTERSECT SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation ORDER BY k;
+SELECT s.s_name FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R' AND l.l_quantity > 40) ORDER BY s.s_name LIMIT 10;
+SELECT o_orderpriority, CAST(SUM(CASE WHEN o_totalprice BETWEEN 10000 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS mid_range FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT p_brand, CAST(FLOOR(percentile_cont(0.25) WITHIN GROUP (ORDER BY p_size) * 4) AS BIGINT) AS q1x4 FROM part GROUP BY p_brand ORDER BY p_brand LIMIT 12;
+SELECT event_type, CAST(FLOOR(percentile_cont(0.5) WITHIN GROUP (ORDER BY user_id) * 2) AS BIGINT) AS medx2 FROM events GROUP BY event_type ORDER BY event_type;
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_shipdate >= DATE '1994-01-01' + INTERVAL 60 DAY AND l_shipdate < DATE '1998-01-01' - INTERVAL 90 DAY GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT t.k, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(c_custkey % 3 AS BIGINT) AS k, c_acctbal FROM customer) t WHERE t.c_acctbal > 0 GROUP BY t.k HAVING COUNT(*) > 10 ORDER BY t.k;
+SELECT d1.lang, CAST(COUNT(*) AS BIGINT) AS pairs FROM documents d1 JOIN documents d2 ON d1.lang = d2.lang AND d1.doc_id + 1 = d2.doc_id GROUP BY d1.lang ORDER BY d1.lang;
+SELECT o.o_orderstatus, CAST(SUM(sub.qty) AS BIGINT) AS qty FROM orders o JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY l_orderkey) sub ON sub.l_orderkey = o.o_orderkey WHERE o.o_orderkey < 800 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus;
+SELECT c_nationkey, CAST(SUM(CAST(c_acctbal * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents FROM customer GROUP BY c_nationkey ORDER BY c_nationkey LIMIT 12;
+SELECT lang, CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS spread FROM documents GROUP BY lang HAVING MAX(n_chars) > 2 * MIN(n_chars) ORDER BY lang;
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS kinds FROM events GROUP BY user_id HAVING COUNT(DISTINCT event_type) >= 3 ORDER BY user_id LIMIT 12;
+SELECT x.flag, x.mx FROM (SELECT l_returnflag AS flag, MAX(l_shipdate) AS mx FROM lineitem GROUP BY l_returnflag) x WHERE x.mx > DATE '1998-11-01' ORDER BY x.flag;
+SELECT r_regionkey, r_name FROM region WHERE r_regionkey NOT IN (SELECT n_regionkey FROM nation WHERE n_nationkey < 3) ORDER BY r_regionkey;
+SELECT doc_id, CASE WHEN lang IN ('en', 'de', 'fr') THEN 'euro' WHEN lang IN ('ja', 'zh') THEN 'cjk' ELSE 'other' END AS family FROM documents WHERE doc_id < 16 ORDER BY doc_id;
+SELECT f.family, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN lang IN ('en', 'de', 'fr') THEN 'euro' ELSE 'other' END AS family FROM documents) f GROUP BY f.family ORDER BY f.family;
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice = (SELECT MIN(o_totalprice) FROM orders WHERE o_orderkey < 500) ORDER BY o_orderkey;
+SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem) ORDER BY l_linenumber;
+SELECT CAST(SUM(sq.cnt * sq.cnt) AS BIGINT) AS sum_sq FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id) sq;
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n, CAST(FLOOR(MIN(s_acctbal)) AS BIGINT) AS min_bal FROM supplier WHERE s_acctbal BETWEEN -500 AND 9999 GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 10;
+SELECT t.yr, t.n, lag(t.n) OVER (ORDER BY t.yr) AS prev_n FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) t ORDER BY t.yr;
+SELECT event_type, CAST(MIN(event_id) AS BIGINT) AS first_id FROM events WHERE event_id IN (SELECT MIN(event_id) FROM events GROUP BY user_id) GROUP BY event_type ORDER BY event_type;
+SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE upper(p_type) = p_type GROUP BY p_type ORDER BY p_type LIMIT 8;
+SELECT c.c_mktsegment, o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey WHERE c.c_custkey % 10 = 0 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 18;
+SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(FLOOR(n_chars / 2000) AS BIGINT) + CASE WHEN n_chars % 2000 = 0 AND n_chars > 0 THEN 0 ELSE 0 END AS bucket FROM documents) b GROUP BY b.bucket ORDER BY b.bucket;

@@ -4559,3 +4559,47 @@ SELECT event_type, CAST(MIN(event_id) AS BIGINT) AS first_id FROM events WHERE e
 SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE upper(p_type) = p_type GROUP BY p_type ORDER BY p_type LIMIT 8;
 SELECT c.c_mktsegment, o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey WHERE c.c_custkey % 10 = 0 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 18;
 SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(FLOOR(n_chars / 2000) AS BIGINT) + CASE WHEN n_chars % 2000 = 0 AND n_chars > 0 THEN 0 ELSE 0 END AS bucket FROM documents) b GROUP BY b.bucket ORDER BY b.bucket;
+
+-- tranche r5-aa: multi-window single-SELECT, EXISTS in HAVING
+-- position, lead-delta sequences, 3-branch UNION ALL rollups, correlated
+-- SELECT-list aggregates over joins, nested CASE ladders (validated)
+SELECT user_id, event_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total, CAST(SUM(event_id) OVER (ORDER BY event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS tri_sum FROM events WHERE user_id < 3 ORDER BY user_id, event_id LIMIT 20;
+SELECT user_id, event_id, CAST(lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) - event_id AS BIGINT) AS gap FROM events WHERE user_id < 4 ORDER BY user_id, event_id LIMIT 20;
+SELECT t.src, CAST(SUM(t.n) AS BIGINT) AS total FROM (SELECT 'small' AS src, COUNT(*) AS n FROM orders WHERE o_totalprice < 20000 UNION ALL SELECT 'mid' AS src, COUNT(*) AS n FROM orders WHERE o_totalprice >= 20000 AND o_totalprice < 150000 UNION ALL SELECT 'big' AS src, COUNT(*) AS n FROM orders WHERE o_totalprice >= 150000) t GROUP BY t.src ORDER BY t.src;
+SELECT n.n_name, (SELECT CAST(COALESCE(SUM(length(s.s_name)), 0) AS BIGINT) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS name_chars FROM nation n WHERE n.n_regionkey < 2 ORDER BY n.n_name;
+SELECT c_mktsegment FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 5 AND MAX(c_acctbal) > 1000 AND MIN(length(c_name)) > 5 ORDER BY c_mktsegment;
+SELECT o_orderstatus, CASE WHEN COUNT(*) > 500 THEN 'many' WHEN COUNT(*) > 100 THEN 'some' ELSE 'few' END AS volume FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+SELECT doc_id, CASE WHEN n_chars < 100 THEN 'xs' WHEN n_chars < 500 THEN CASE WHEN lang = 'en' THEN 's-en' ELSE 's-other' END ELSE 'l' END AS size_class FROM documents WHERE doc_id < 14 ORDER BY doc_id;
+SELECT p_brand, CAST(SUM(p_size) AS BIGINT) AS sz FROM part GROUP BY p_brand HAVING SUM(p_size) > (SELECT CAST(AVG(p_size) AS BIGINT) * 3 FROM part) ORDER BY p_brand LIMIT 10;
+SELECT l_returnflag, CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10) AS BIGINT) AS rev10 FROM lineitem WHERE l_orderkey < 600 GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT u.user_id FROM (SELECT user_id, MIN(event_id) AS first_ev, MAX(event_id) AS last_ev FROM events GROUP BY user_id) u WHERE u.last_ev - u.first_ev > 400 ORDER BY u.user_id LIMIT 12;
+SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders, CAST(COALESCE(FLOOR(SUM(o.o_totalprice)), 0) AS BIGINT) AS spend FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey WHERE c.c_custkey < 20 GROUP BY c.c_custkey ORDER BY c.c_custkey;
+SELECT x.b, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(FLOOR(CAST(l_quantity AS BIGINT) / 10) AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 900) x GROUP BY x.b ORDER BY x.b;
+SELECT s_name FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE'))) ORDER BY s_name LIMIT 12;
+SELECT e.event_type, CAST(SUM(CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS parity_balance FROM events e GROUP BY e.event_type ORDER BY e.event_type;
+SELECT o_orderkey, CAST(length(o_orderpriority) * 2 + length(o_orderstatus) AS BIGINT) AS weird_len FROM orders WHERE o_orderkey BETWEEN 20 AND 45 ORDER BY weird_len DESC, o_orderkey LIMIT 12;
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n, CAST(dense_rank() OVER (ORDER BY COUNT(*) DESC) AS BIGINT) AS freq_rank FROM documents GROUP BY lang, source ORDER BY freq_rank, lang, source LIMIT 12;
+SELECT l_linestatus, CAST(COUNT(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS no_disc, CAST(COUNT(*) FILTER (WHERE l_discount > 0.08) AS BIGINT) AS deep_disc, CAST(COUNT(*) AS BIGINT) AS total FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus;
+SELECT a.n_name, b.n_name AS partner FROM nation a CROSS JOIN nation b WHERE a.n_nationkey = 24 - b.n_nationkey AND a.n_nationkey < b.n_nationkey ORDER BY a.n_name LIMIT 12;
+SELECT doc_id FROM documents WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT doc_id FROM documents WHERE n_chars < 200) ORDER BY doc_id LIMIT 12;
+SELECT t.lang, t.mid FROM (SELECT lang, CAST(FLOOR(AVG(n_chars)) AS BIGINT) AS mid, COUNT(*) AS n FROM documents GROUP BY lang) t WHERE t.n > 3 ORDER BY t.mid DESC, t.lang LIMIT 10;
+SELECT o_orderpriority, CAST(MIN(o_orderkey) AS BIGINT) AS first_key FROM orders WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = orders.o_custkey AND c.c_mktsegment = 'MACHINERY') GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS nations, CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS sups FROM region r LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY r.r_name ORDER BY r.r_name;
+SELECT CAST(q.dk AS BIGINT) AS dk, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT EXTRACT(MONTH FROM o_orderdate) + EXTRACT(DAY FROM o_orderdate) AS dk FROM orders WHERE o_orderkey < 1200) q GROUP BY 1 ORDER BY 1 LIMIT 15;
+SELECT p_name FROM part WHERE length(p_name) = (SELECT MAX(length(p_name)) FROM part) ORDER BY p_name LIMIT 5;
+SELECT user_id, CAST(SUM(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 10 ELSE 100 END) AS BIGINT) AS weighted FROM events WHERE user_id < 6 GROUP BY user_id ORDER BY user_id;
+SELECT v.seg, v.cnt, CAST(v.cnt - lag(v.cnt) OVER (ORDER BY v.seg) AS BIGINT) AS delta FROM (SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt FROM customer GROUP BY c_mktsegment) v ORDER BY v.seg;
+SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = COUNT(*) ORDER BY l_orderkey LIMIT 12;
+SELECT n_regionkey, CAST(SUM(length(n_name)) AS BIGINT) AS chars, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY n_regionkey HAVING COUNT(*) = 5 ORDER BY n_regionkey;
+SELECT 'exists' AS probe FROM region WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = region.r_regionkey AND n_nationkey > 20) ORDER BY r_regionkey LIMIT 3;
+SELECT doc_id, substr(text, length(text) - 4, 5) AS tail5 FROM documents WHERE length(text) > 10 AND doc_id < 9 ORDER BY doc_id;
+SELECT o.o_orderstatus, CAST(FLOOR(AVG(o.o_totalprice - sub.avg_price)) AS BIGINT) AS avg_dev FROM orders o CROSS JOIN (SELECT AVG(o_totalprice) AS avg_price FROM orders) sub GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus;
+SELECT c_nationkey, CAST(MAX(c_acctbal) - MIN(c_acctbal) AS DECIMAL(18,2)) AS bal_spread FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 3 ORDER BY c_nationkey LIMIT 12;
+SELECT t1.event_type, t2.event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n FROM events t1 JOIN events t2 ON t2.user_id = t1.user_id AND t2.event_id = t1.event_id + 1 WHERE t1.user_id < 5 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 16;
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE text LIKE '%the%' OR text LIKE '%und%' GROUP BY lang ORDER BY lang;
+SELECT s_suppkey, s_acctbal FROM supplier WHERE s_acctbal > 0 AND s_suppkey < 15 ORDER BY s_acctbal DESC, s_suppkey LIMIT 8;
+SELECT q.k, CAST(SUM(q.v) AS BIGINT) AS total FROM (SELECT o_orderkey % 4 AS k, o_orderkey AS v FROM orders WHERE o_orderkey < 100 UNION ALL SELECT l_orderkey % 4 AS k, l_linenumber AS v FROM lineitem WHERE l_orderkey < 100) q GROUP BY q.k ORDER BY q.k;
+SELECT p_type, p_brand FROM part WHERE p_size IN (1, 50) ORDER BY p_type, p_brand LIMIT 14;
+SELECT user_id, CAST(MIN(event_id) AS BIGINT) AS first_ev FROM events GROUP BY user_id HAVING MIN(event_id) = user_id * 100 ORDER BY user_id LIMIT 10;
+SELECT x.lang, x.n_chars, x.pct_of_lang FROM (SELECT lang, n_chars, CAST(FLOOR(100.0 * n_chars / SUM(n_chars) OVER (PARTITION BY lang)) AS BIGINT) AS pct_of_lang, row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) x WHERE x.rn = 1 ORDER BY x.lang;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM supplier s1 JOIN supplier s2 ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey;

@@ -59,6 +59,7 @@ HEADLINE = [
     "code_zorder_census",
     "text_bm25_topk",
     "text_dup_spans",
+    "text_fuzzy_decontaminate",
 ]
 
 

@@ -454,3 +454,58 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_span_stats(docs)
+
+
+_FUZZY_DECON_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, substring(text, CAST(i + 1 AS BIGINT), 8) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(CAST(greatest(length(text) - 7, 1) AS BIGINT))) AS i
+    FROM documents
+  )
+  GROUP BY doc_id, substring(text, CAST(i + 1 AS BIGINT), 8)
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh t JOIN sh e ON t.g = e.g
+  WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0
+  GROUP BY 1, 2
+)
+SELECT inter.train_id, inter.eval_id,
+       inter.i AS inter_shingles,
+       st.n + se.n - inter.i AS union_shingles,
+       CAST((1000 * inter.i) // (st.n + se.n - inter.i) AS BIGINT) AS jaccard_pm
+FROM inter
+JOIN sizes st ON st.doc_id = inter.train_id
+JOIN sizes se ON se.doc_id = inter.eval_id
+WHERE 1000 * inter.i >= 850 * (st.n + se.n - inter.i)
+"""
+
+
+@_register("text_fuzzy_decontaminate", _FUZZY_DECON_ORACLE)
+def text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level FUZZY decontamination (dedup/xcorpus.py): train docs
+    (doc_id % 20 <> 0) whose exact distinct-shingle Jaccard against any
+    eval doc (doc_id % 20 = 0) is >= 0.85, discovered via MinHash-LSH
+    band collisions with the eval band index broadcast, then verified
+    exactly. The DuckDB twin brute-forces all train x eval pairs over
+    distinct character 8-grams — hash-exact because the surface is
+    integer-only (counts + per-mille integer division) and the corpus is
+    ASCII (byte shingles == char shingles, the minhash_shingle_stats
+    precedent)."""
+    from .xcorpus import fuzzy_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("train_id"), "text"
+    )
+    ev = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return fuzzy_pairs(
+        train, ev, CANON_CFG,
+        train_key="train_id", eval_key="eval_id",
+        text_col="text", threshold_pm=850,
+    )

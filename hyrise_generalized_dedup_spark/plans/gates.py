@@ -272,6 +272,16 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(sum_df AS BIGINT) AS n2",
             "CAST(dl AS BIGINT) AS n3",
         ]),
+        # round-5 cross-corpus fuzzy decontamination (dedup/xcorpus.py):
+        # train/eval doc pairs at exact shingle Jaccard >= 0.85, found via
+        # LSH with the eval band index broadcast, verified exactly. The
+        # DuckDB twin brute-forces all pairs; the surface is integer-only.
+        ("fuzzy_decon", "text_fuzzy_decontaminate", [
+            "CAST(train_id * 1000000 + eval_id AS BIGINT) AS k",
+            "CAST(inter_shingles AS BIGINT) AS n1",
+            "CAST(union_shingles AS BIGINT) AS n2",
+            "CAST(jaccard_pm AS BIGINT) AS n3",
+        ]),
     ],
     # Windowed streaming jobs (both REAL readStream->sink runs with a
     # batch-recomputed DuckDB oracle): event-window aggregation + the

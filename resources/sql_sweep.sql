@@ -4603,3 +4603,46 @@ SELECT p_type, p_brand FROM part WHERE p_size IN (1, 50) ORDER BY p_type, p_bran
 SELECT user_id, CAST(MIN(event_id) AS BIGINT) AS first_ev FROM events GROUP BY user_id HAVING MIN(event_id) = user_id * 100 ORDER BY user_id LIMIT 10;
 SELECT x.lang, x.n_chars, x.pct_of_lang FROM (SELECT lang, n_chars, CAST(FLOOR(100.0 * n_chars / SUM(n_chars) OVER (PARTITION BY lang)) AS BIGINT) AS pct_of_lang, row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) x WHERE x.rn = 1 ORDER BY x.lang;
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM supplier s1 JOIN supplier s2 ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey;
+-- tranche r5-ab: anti-join symmetry, conditional window frames,
+-- correlated aggregates in CASE, per-group-min correlation, sequential
+-- event self-joins, first-event-per-user rollups (validated)
+SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) AND c_custkey < 60 ORDER BY c_custkey;
+SELECT COUNT(*) AS n_lonely FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey);
+SELECT user_id, event_id, CAST(CASE WHEN event_type = 'click' THEN SUM(event_id) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) ELSE 0 END AS BIGINT) AS click_roll FROM events WHERE user_id < 3 ORDER BY user_id, event_id LIMIT 18;
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus HAVING COUNT(*) > 2 AND o_orderstatus <> 'X' ORDER BY o_orderstatus;
+SELECT n_name, CASE WHEN (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) > 2 THEN 'dense' ELSE 'sparse' END AS density FROM nation n ORDER BY n_name LIMIT 15;
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 5) AND l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber LIMIT 15;
+SELECT CAST(FLOOR(EXTRACT(YEAR FROM o_orderdate) / 2) * 2 AS BIGINT) AS biennium, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT lower(c_mktsegment) AS seg, upper(lower(c_mktsegment)) AS seg_round, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_mktsegment ORDER BY seg;
+SELECT doc_id, concat(lang, ':', source) AS tag FROM documents WHERE doc_id < 10 ORDER BY doc_id;
+SELECT t.tag, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT concat(lang, '/', source) AS tag FROM documents) t GROUP BY t.tag ORDER BY t.tag LIMIT 15;
+SELECT s_nationkey, CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS in_debt, CAST(SUM(CASE WHEN s_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS solvent FROM supplier GROUP BY s_nationkey HAVING SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) > 0 ORDER BY s_nationkey LIMIT 12;
+SELECT x.k, x.n FROM (SELECT l_returnflag || l_linestatus AS k, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) x WHERE x.n > 100 ORDER BY x.k;
+SELECT o_orderkey FROM orders o WHERE (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) = 7 ORDER BY o_orderkey LIMIT 12;
+SELECT c.c_nationkey, CAST(MAX(cnt.n) AS BIGINT) AS busiest FROM customer c JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) cnt ON cnt.o_custkey = c.c_custkey GROUP BY c.c_nationkey ORDER BY c.c_nationkey LIMIT 12;
+SELECT event_type, CAST(MIN(user_id) AS BIGINT) AS min_u, CAST(MAX(user_id) AS BIGINT) AS max_u FROM events WHERE event_id BETWEEN 100 AND 900 GROUP BY event_type ORDER BY event_type;
+SELECT p_brand, p_size FROM part WHERE p_size = (SELECT MIN(p_size) FROM part p2 WHERE p2.p_brand = part.p_brand) ORDER BY p_brand, p_size LIMIT 15;
+SELECT doc_id, n_chars FROM documents d WHERE n_chars > (SELECT AVG(n_chars) FROM documents d2 WHERE d2.lang = d.lang) * 1.5 ORDER BY doc_id LIMIT 12;
+SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS weighted_qty FROM lineitem WHERE l_orderkey < 400 GROUP BY l_returnflag ORDER BY l_returnflag;
+SELECT r_name FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nation GROUP BY n_regionkey HAVING COUNT(*) = (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM nation GROUP BY n_regionkey) m)) ORDER BY r_name;
+SELECT u.user_id, u.span FROM (SELECT user_id, CAST(MAX(event_id) - MIN(event_id) AS BIGINT) AS span FROM events GROUP BY user_id) u WHERE u.span BETWEEN 100 AND 800 ORDER BY u.user_id LIMIT 12;
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS buyers, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT) AS repeats FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+SELECT substr(n_name, 2, 3) AS mid3, n_nationkey FROM nation WHERE length(n_name) >= 5 ORDER BY mid3, n_nationkey LIMIT 12;
+SELECT t.grp, CAST(SUM(t.v) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS grp, CAST(l_quantity AS BIGINT) AS v FROM lineitem WHERE l_orderkey < 500) t GROUP BY t.grp ORDER BY t.grp;
+SELECT c_mktsegment, CAST(FLOOR(SUM(c_acctbal * c_acctbal)) AS BIGINT) AS sumsq FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment ORDER BY c_mktsegment;
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE substr(text, 1, 1) BETWEEN 'a' AND 'm' GROUP BY lang ORDER BY lang;
+SELECT e1.user_id, CAST(COUNT(*) AS BIGINT) AS n_click_then_view FROM events e1 JOIN events e2 ON e2.user_id = e1.user_id AND e2.event_id > e1.event_id AND e2.event_id <= e1.event_id + 3 WHERE e1.event_type = 'click' AND e2.event_type = 'view' AND e1.user_id < 6 GROUP BY e1.user_id ORDER BY e1.user_id;
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY COUNT(*) DESC, o_orderpriority) AS BIGINT) AS rnk FROM orders GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, rnk LIMIT 15;
+SELECT p_type FROM part GROUP BY p_type HAVING COUNT(DISTINCT p_brand) >= 3 ORDER BY p_type LIMIT 10;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey WHERE o.o_orderdate > l.l_shipdate;
+SELECT n.n_name FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey WHERE r.r_name = 'AMERICA' AND n.n_nationkey % 2 = 1 ORDER BY n.n_name;
+SELECT user_id, CAST(FLOOR(AVG(CAST(event_id AS BIGINT) - user_id * 100)) AS BIGINT) AS avg_off FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id;
+SELECT x.seg, x.mx - x.mn AS spread FROM (SELECT c_mktsegment AS seg, CAST(FLOOR(MAX(c_acctbal)) AS BIGINT) AS mx, CAST(FLOOR(MIN(c_acctbal)) AS BIGINT) AS mn FROM customer GROUP BY c_mktsegment) x ORDER BY x.seg;
+SELECT l_returnflag, l_tax, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_returnflag, l_tax ORDER BY l_returnflag, l_tax LIMIT 14;
+SELECT doc_id FROM documents WHERE lang = 'en' AND source = 'web' AND n_chars > 500 ORDER BY doc_id LIMIT 12;
+SELECT o_orderkey, CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS k_price FROM orders WHERE o_orderkey IN (1, 7, 32, 33, 34, 96) ORDER BY o_orderkey;
+SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_orderkey < 300) t;
+SELECT first.event_type AS first_type, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events) first WHERE first.rn = 1 GROUP BY first.event_type ORDER BY first.event_type;
+SELECT s_name, length(s_name) - length(replace(s_name, 'e', '')) AS n_e FROM supplier WHERE s_suppkey < 12 ORDER BY s_name;
+SELECT lang, MIN(text) AS lexic_first FROM documents WHERE doc_id < 100 GROUP BY lang ORDER BY lang;
+SELECT CAST(SUM(CASE WHEN t.rn % 2 = 1 THEN t.v ELSE -t.v END) AS BIGINT) AS alt_sum FROM (SELECT CAST(l_quantity AS BIGINT) AS v, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem WHERE l_orderkey < 120) t;

@@ -150,6 +150,14 @@ AUDITS = {
         ["MapInPandas", "BatchEvalPython", "CartesianProduct",
          "Exchange rangepartitioning"],
     ),
+    # cross-corpus fuzzy decontamination (dedup/xcorpus.py): Arrow kernels
+    # for signatures + exact verify, every join broadcast (eval band index,
+    # candidates, eval texts) — the train side must never cartesian or
+    # nested-loop
+    "text_fuzzy_decontaminate": (
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
 }
 
 

@@ -4646,3 +4646,47 @@ SELECT first.event_type AS first_type, CAST(COUNT(*) AS BIGINT) AS n FROM (SELEC
 SELECT s_name, length(s_name) - length(replace(s_name, 'e', '')) AS n_e FROM supplier WHERE s_suppkey < 12 ORDER BY s_name;
 SELECT lang, MIN(text) AS lexic_first FROM documents WHERE doc_id < 100 GROUP BY lang ORDER BY lang;
 SELECT CAST(SUM(CASE WHEN t.rn % 2 = 1 THEN t.v ELSE -t.v END) AS BIGINT) AS alt_sum FROM (SELECT CAST(l_quantity AS BIGINT) AS v, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem WHERE l_orderkey < 120) t;
+
+-- tranche r5-ac: NULL semantics over events.value — COUNT(col) vs
+-- COUNT(*), IS [NOT] DISTINCT FROM joins, NULLS FIRST/LAST orderings,
+-- null bucketing, aggregate NULL-skipping, FILTER + NULLIF (validated)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS all_rows, CAST(COUNT(value) AS BIGINT) AS with_value, CAST(COUNT(*) - COUNT(value) AS BIGINT) AS nulls FROM events GROUP BY event_type ORDER BY event_type;
+SELECT event_type, CAST(FLOOR(SUM(value)) AS BIGINT) AS sum_v, CAST(FLOOR(AVG(value) * 100) AS BIGINT) AS avg_v100 FROM events GROUP BY event_type ORDER BY event_type;
+SELECT user_id, event_id FROM events WHERE value IS NULL AND user_id < 6 ORDER BY user_id, event_id LIMIT 15;
+SELECT CASE WHEN value IS NULL THEN 'missing' WHEN value < 50 THEN 'low' ELSE 'high' END AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1;
+SELECT event_id, value FROM events WHERE user_id = 1 ORDER BY value NULLS FIRST, event_id LIMIT 12;
+SELECT event_id, value FROM events WHERE user_id = 1 ORDER BY value DESC NULLS LAST, event_id LIMIT 12;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events a JOIN events b ON a.event_id + 1 = b.event_id AND a.value IS NOT DISTINCT FROM b.value WHERE a.user_id < 4 AND b.user_id < 4;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_rows FROM events a JOIN events b ON a.event_id + 1 = b.event_id WHERE a.value IS DISTINCT FROM b.value AND a.user_id < 3;
+SELECT user_id, CAST(FLOOR(MAX(COALESCE(value, -1))) AS BIGINT) AS max_or_neg1 FROM events WHERE user_id < 8 GROUP BY user_id ORDER BY user_id;
+SELECT user_id, CAST(COUNT(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS valued, CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS unvalued FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id;
+SELECT event_type, CAST(FLOOR(MIN(value)) AS BIGINT) AS min_v, CAST(FLOOR(MAX(value)) AS BIGINT) AS max_v FROM events GROUP BY event_type ORDER BY event_type;
+SELECT CAST(FLOOR(SUM(COALESCE(value, 0))) AS BIGINT) AS total_with_default, CAST(FLOOR(SUM(value)) AS BIGINT) AS total_skipping FROM events;
+SELECT user_id, event_id, CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_v, CAST(SUM(CASE WHEN value IS NULL THEN 0 ELSE 1 END) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS valued_so_far FROM events WHERE user_id < 3 ORDER BY user_id, event_id LIMIT 18;
+SELECT t.has_value, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT value IS NOT NULL AS has_value FROM events) t GROUP BY t.has_value ORDER BY t.has_value;
+SELECT event_type, CAST(COUNT(DISTINCT CAST(FLOOR(value / 10) AS BIGINT)) AS BIGINT) AS v_buckets FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type;
+SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events a WHERE NOT EXISTS (SELECT 1 FROM events b WHERE b.event_id = a.event_id + 1 AND b.value IS NULL) AND a.user_id < 5 GROUP BY a.event_type ORDER BY a.event_type;
+SELECT user_id, CAST(FLOOR(AVG(value) - MIN(value)) AS BIGINT) AS spread_lo FROM events WHERE user_id < 12 GROUP BY user_id HAVING COUNT(value) > 3 ORDER BY user_id;
+SELECT e.event_type, CAST(FLOOR(SUM(e.value * e.user_id)) AS BIGINT) AS weighted FROM events e WHERE e.value IS NOT NULL AND e.user_id < 15 GROUP BY e.event_type ORDER BY e.event_type;
+SELECT COALESCE(NULLIF(event_type, 'click'), 'was-click') AS t2, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1;
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE COALESCE(value, 999) > 90 AND user_id < 10 GROUP BY user_id ORDER BY user_id;
+SELECT event_id, user_id, value FROM events WHERE value = (SELECT MAX(value) FROM events) ORDER BY event_id LIMIT 5;
+SELECT user_id, event_id, CAST(FLOOR(COALESCE(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), -1)) AS BIGINT) AS prev_v FROM events WHERE user_id < 2 ORDER BY user_id, event_id LIMIT 15;
+SELECT event_type, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(FLOOR(100.0 * SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS pct_null FROM events GROUP BY event_type ORDER BY event_type;
+SELECT x.v10, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS v10 FROM events WHERE user_id < 30) x GROUP BY x.v10 ORDER BY x.v10 NULLS FIRST LIMIT 14;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE value IS NULL AND event_type IN ('click', 'purchase');
+SELECT user_id, CAST(MAX(event_id) FILTER (WHERE value IS NULL) AS BIGINT) AS last_null_ev FROM events WHERE user_id < 7 GROUP BY user_id ORDER BY user_id;
+SELECT t.k, CAST(SUM(t.c) AS BIGINT) AS n FROM (SELECT COALESCE(CAST(FLOOR(value / 25) AS BIGINT), -1) AS k, 1 AS c FROM events WHERE user_id BETWEEN 5 AND 20) t GROUP BY t.k ORDER BY t.k;
+SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS both_valued FROM events a JOIN events b ON b.user_id = a.user_id AND b.event_id = a.event_id + 1 WHERE a.value IS NOT NULL AND b.value IS NOT NULL AND a.user_id < 8 GROUP BY a.user_id ORDER BY a.user_id;
+SELECT event_type, CAST(FLOOR(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) * 10) AS BIGINT) AS med10 FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_all_null_users FROM (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(value) = 0) t;
+SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_v FROM events GROUP BY user_id HAVING COUNT(value) < COUNT(*) AND COUNT(*) > 10 ORDER BY user_id LIMIT 12;
+SELECT event_type, CAST(FLOOR(stddev_pop(value) * 100) AS BIGINT) AS sd100 FROM events WHERE value IS NOT NULL GROUP BY event_type HAVING COUNT(*) > 50 ORDER BY event_type;
+SELECT value IS NULL AS missing, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE user_id < 40 GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT e.event_id, e.value FROM events e WHERE e.value IS NOT NULL AND NOT EXISTS (SELECT 1 FROM events e2 WHERE e2.value IS NOT NULL AND e2.value > e.value) ORDER BY e.event_id LIMIT 5;
+SELECT user_id, event_id FROM events WHERE CASE WHEN value IS NULL THEN user_id % 2 = 0 ELSE value > 95 END AND user_id < 6 ORDER BY user_id, event_id LIMIT 15;
+SELECT CAST(FLOOR(SUM(value) FILTER (WHERE event_type = 'click')) AS BIGINT) AS click_v, CAST(FLOOR(SUM(value) FILTER (WHERE event_type <> 'click')) AS BIGINT) AS other_v FROM events WHERE user_id < 50;
+SELECT x.ut, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT user_id, COALESCE(CAST(FLOOR(MIN(value)) AS BIGINT), -99) AS ut FROM events WHERE user_id < 25 GROUP BY user_id) x GROUP BY x.ut ORDER BY x.ut;
+SELECT event_type, CAST(COUNT(NULLIF(value, 0)) AS BIGINT) AS nonzero_valued FROM events GROUP BY event_type ORDER BY event_type;
+SELECT user_id, CAST(FLOOR(SUM(value * value)) AS BIGINT) AS sumsq FROM events WHERE value IS NOT NULL AND user_id < 12 GROUP BY user_id ORDER BY user_id;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events a LEFT JOIN events b ON b.event_id = a.event_id + 100000 WHERE b.event_id IS NULL AND a.user_id < 3;

@@ -479,6 +479,24 @@ def main() -> None:
         "--fresh when toggling on an existing output dir",
     )
     ap.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="INPUT_SPEC",
+        help="drop source docs fuzzy-matching any doc in this eval corpus "
+        "(same spec grammar as --input) before the pipeline runs — "
+        "doc-level MinHash-LSH with exact Jaccard verify "
+        "(dedup/xcorpus.py). Changes the pipeline INPUT, which "
+        "checkpoints do not key on: pair with --fresh when toggling "
+        "on an existing output dir",
+    )
+    ap.add_argument(
+        "--decon-threshold-pm",
+        type=int,
+        default=800,
+        help="per-mille exact-Jaccard threshold for --decontaminate "
+        "(default 800 = 0.8)",
+    )
+    ap.add_argument(
         "--license-policy",
         choices=("any", "no-copyleft", "permissive"),
         default="any",
@@ -590,6 +608,17 @@ def main() -> None:
         source = source.join(keepers, "repo", "left_semi")
         repo_summary = {"n_repos_total": n_repos, "n_repos_kept": n_kept}
         keyed.unpersist()
+    decon_summary = None
+    if args.decontaminate:
+        from .xcorpus import decontaminate_source
+
+        source, decon_summary = decontaminate_source(
+            source,
+            _load_input(spark, args.decontaminate),
+            cfg,
+            threshold_pm=args.decon_threshold_pm,
+        )
+        decon_summary["eval_input"] = args.decontaminate
     source = source.cache()
     n_in = source.count()  # materialize input outside the timed window
     # warm the Python/Arrow worker pool so per-worker interpreter+pandas
@@ -619,6 +648,8 @@ def main() -> None:
     summary["files_per_sec"] = round(n_in / (time.time() - t0), 2)
     if repo_summary is not None:
         summary["repo_dedup"] = repo_summary
+    if decon_summary is not None:
+        summary["decontamination"] = decon_summary
     if license_summary is not None:
         license_summary.setdefault("n_files_kept", n_in)
         summary["license_filter"] = license_summary

@@ -166,3 +166,44 @@ def contamination_flags(
         F.count("*").alias("n_eval_matches"),
         F.max("jaccard_pm").alias("max_jaccard_pm"),
     )
+
+
+def decontaminate_source(
+    source: DataFrame,
+    eval_df: DataFrame,
+    cfg: GDConfig,
+    *,
+    text_col: str = "content",
+    threshold_pm: int = 800,
+) -> tuple[DataFrame, dict]:
+    """Pipeline pre-filter: drop every source doc whose fuzzy Jaccard
+    against ANY eval doc is >= threshold_pm/1000 (the Stack/StarCoder
+    release order — decontaminate before spending compute on the corpus).
+
+    Both frames carry the north-rule lineage columns (repo, path, commit);
+    the join key is their concatenation, so the filter is an anti-join on
+    the (small, broadcast) contaminated key set and the source scan stays
+    map-side. Returns (filtered_source, summary_dict)."""
+    lineage = ("repo", "path", "commit")
+    keyed = source.withColumn("__train_key", F.concat_ws("|", *lineage))
+    ev = eval_df.select(
+        F.concat_ws("|", *lineage).alias("__eval_key"),
+        F.col(text_col),
+    )
+    n_eval = ev.count()
+    pairs = fuzzy_pairs(
+        keyed, ev, cfg,
+        train_key="__train_key", eval_key="__eval_key",
+        text_col=text_col, threshold_pm=threshold_pm,
+    )
+    dirty = contamination_flags(pairs, train_key="__train_key")
+    n_dirty = dirty.count()
+    filtered = keyed.join(
+        F.broadcast(dirty.select("__train_key")), "__train_key", "left_anti"
+    ).drop("__train_key")
+    summary = {
+        "n_eval_docs": n_eval,
+        "threshold_pm": threshold_pm,
+        "n_contaminated_dropped": n_dirty,
+    }
+    return filtered, summary

@@ -164,3 +164,26 @@ def test_registered_query_matches_duckdb(spark, sf_tiny):
         df, DEDUP_ORACLES["text_fuzzy_decontaminate"], sf_tiny
     )
     assert ok, msg
+
+
+def test_decontaminate_source_on_synth(spark):
+    """Pipeline pre-filter: eval = a subset of the synth corpus, so every
+    eval doc's source twin (exact copy, J=1000) must be dropped, along
+    with its byte-identical dup-group members; clean docs survive."""
+    from hyrise_generalized_dedup_spark.dedup.xcorpus import decontaminate_source
+    from hyrise_generalized_dedup_spark.synth import generate, to_spark
+
+    corpus = generate(n_rows=300)
+    source = to_spark(spark, corpus)
+    ev = source.limit(40)
+    filtered, summary = decontaminate_source(source, ev, CFG, threshold_pm=800)
+    kept = filtered.count()
+    assert summary["n_eval_docs"] == 40
+    assert summary["n_contaminated_dropped"] >= 40  # the 40 twins at least
+    assert kept == 300 - summary["n_contaminated_dropped"]
+    # no eval twin survives: anti-join the kept set against eval commits
+    ev_commits = {r.commit for r in ev.collect()}
+    survivors = {r.commit for r in filtered.collect()}
+    assert not (ev_commits & survivors)
+    # schema is unchanged (the helper's key column must not leak)
+    assert filtered.columns == source.columns

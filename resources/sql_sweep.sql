@@ -4690,3 +4690,48 @@ SELECT x.ut, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT user_id, COALESCE(CAST(F
 SELECT event_type, CAST(COUNT(NULLIF(value, 0)) AS BIGINT) AS nonzero_valued FROM events GROUP BY event_type ORDER BY event_type;
 SELECT user_id, CAST(FLOOR(SUM(value * value)) AS BIGINT) AS sumsq FROM events WHERE value IS NOT NULL AND user_id < 12 GROUP BY user_id ORDER BY user_id;
 SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events a LEFT JOIN events b ON b.event_id = a.event_id + 100000 WHERE b.event_id IS NULL AND a.user_id < 3;
+
+-- tranche r5-ad: ORDER BY ordinals, LIMIT OFFSET pagination,
+-- EXTRACT(QUARTER), negative-operand modulo/abs/sign, TRIM BOTH/LEADING,
+-- concat_ws, CASE without ELSE (NULL groups), chained scalar-subquery
+-- range bounds (validated)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderstatus ORDER BY 2 DESC, 1;
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c_nationkey) AS BIGINT) AS sk FROM customer GROUP BY 1 ORDER BY 3 DESC, 1 LIMIT 4;
+SELECT o_orderkey FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey LIMIT 10 OFFSET 5;
+SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 7 OFFSET 13;
+SELECT EXTRACT(QUARTER FROM o_orderdate) AS q, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT EXTRACT(QUARTER FROM l_shipdate) AS q, EXTRACT(YEAR FROM l_shipdate) AS yr, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_orderkey < 800 GROUP BY 1, 2 ORDER BY 2, 1 LIMIT 16;
+SELECT CAST((0 - n_nationkey) % 7 AS BIGINT) AS neg_mod, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT CAST(abs(10 - c_nationkey) AS BIGINT) AS dist10, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(sign(s_acctbal) AS BIGINT) AS sgn, CAST(COUNT(*) AS BIGINT) AS n FROM supplier GROUP BY 1 ORDER BY 1;
+SELECT trim(BOTH 'A' FROM n_name) AS trimmed, n_nationkey FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey;
+SELECT trim(LEADING 'B' FROM p_brand) AS debranded, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT concat_ws('-', r_name, CAST(r_regionkey AS VARCHAR(4))) AS tag FROM region ORDER BY tag;
+SELECT concat_ws('/', lang, source, CAST(doc_id AS VARCHAR(10))) AS path FROM documents WHERE doc_id < 8 ORDER BY doc_id;
+SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'jumbo' END AS jumbo_tag FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey;
+SELECT t.jumbo_tag, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN o_totalprice > 150000 THEN 'big' END AS jumbo_tag FROM orders) t GROUP BY 1 ORDER BY 1 NULLS FIRST;
+SELECT s_suppkey FROM supplier WHERE s_acctbal > (SELECT CAST(FLOOR(AVG(s_acctbal)) AS BIGINT) FROM supplier) AND s_acctbal < (SELECT MAX(s_acctbal) FROM supplier) ORDER BY s_suppkey LIMIT 12;
+SELECT COUNT(*) AS n FROM customer WHERE c_acctbal BETWEEN (SELECT CAST(FLOOR(MIN(c_acctbal)) AS BIGINT) FROM customer) + 100 AND (SELECT CAST(FLOOR(MAX(c_acctbal)) AS BIGINT) FROM customer) - 100;
+SELECT CAST(n_nationkey % 5 AS BIGINT) AS m5, CAST(SUM(abs(n_regionkey - 2)) AS BIGINT) AS sum_dist FROM nation GROUP BY 1 ORDER BY 1;
+SELECT user_id, event_id FROM events WHERE user_id < 3 ORDER BY event_id DESC LIMIT 6 OFFSET 2;
+SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS qty_mod FROM lineitem GROUP BY l_returnflag ORDER BY 2, 1;
+SELECT greatest(n_nationkey, n_regionkey * 4, 7) AS g3, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT least(p_size, p_partkey % 20, 15) AS l3, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY 1 LIMIT 14;
+SELECT doc_id, CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 END AS lang_code FROM documents WHERE doc_id < 12 ORDER BY doc_id;
+SELECT x.lc, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 END AS lc FROM documents) x GROUP BY 1 ORDER BY 1 NULLS LAST;
+SELECT o_orderpriority FROM orders GROUP BY o_orderpriority HAVING COUNT(*) BETWEEN 100 AND 100000 ORDER BY o_orderpriority;
+SELECT CAST(FLOOR(SUM(o_totalprice) / COUNT(*)) AS BIGINT) AS manual_avg, CAST(FLOOR(AVG(o_totalprice)) AS BIGINT) AS builtin_avg FROM orders WHERE o_orderkey < 2000;
+SELECT r_regionkey, upper(substr(r_name, 1, 3)) AS abbrev FROM region ORDER BY 1;
+SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2 ORDER BY 1, 2;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_both FROM part WHERE p_size > 10 AND p_size < 20 AND p_brand IN (SELECT p_brand FROM part WHERE p_size >= 45);
+SELECT p_brand, CAST(MIN(p_retailprice * 100) AS DECIMAL(18,0)) AS min_cents FROM part GROUP BY p_brand ORDER BY p_brand LIMIT 10;
+SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) % 10 = 0 ORDER BY l_orderkey LIMIT 12;
+SELECT n1.n_name, CAST(COUNT(*) AS BIGINT) AS n_lower FROM nation n1 JOIN nation n2 ON n2.n_nationkey < n1.n_nationkey GROUP BY n1.n_name HAVING COUNT(*) >= 20 ORDER BY n1.n_name;
+SELECT doc_id, repeat('#', CAST(n_chars / 2000 AS INTEGER)) AS bar FROM documents WHERE n_chars >= 2000 AND doc_id < 200 ORDER BY doc_id LIMIT 10;
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_name LIKE '%0%' GROUP BY c_nationkey ORDER BY 1 LIMIT 12;
+SELECT t.b, CAST(MAX(t.price) AS DECIMAL(18,2)) AS mx FROM (SELECT CAST(o_orderkey % 3 AS BIGINT) AS b, o_totalprice AS price FROM orders WHERE o_orderkey < 400) t GROUP BY t.b ORDER BY t.b;
+SELECT user_id FROM events GROUP BY user_id HAVING MIN(event_id) % 2 = 0 AND MAX(event_id) % 2 = 1 ORDER BY user_id LIMIT 12;
+SELECT lang, CAST(SUM(CASE WHEN source = 'web' THEN n_chars END) AS BIGINT) AS web_chars FROM documents GROUP BY lang ORDER BY lang;
+SELECT o_orderdate, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31' GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 15;
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS yyyymm, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey < 50 GROUP BY 1 ORDER BY 1 LIMIT 15;
+SELECT CAST(SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS q_mid_disc FROM lineitem WHERE l_orderkey < 1500;

@@ -4719,7 +4719,7 @@ SELECT greatest(n_nationkey, n_regionkey * 4, 7) AS g3, CAST(COUNT(*) AS BIGINT)
 SELECT least(p_size, p_partkey % 20, 15) AS l3, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY 1 LIMIT 14;
 SELECT doc_id, CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 END AS lang_code FROM documents WHERE doc_id < 12 ORDER BY doc_id;
 SELECT x.lc, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 END AS lc FROM documents) x GROUP BY 1 ORDER BY 1 NULLS LAST;
-SELECT o_orderpriority FROM orders GROUP BY o_orderpriority HAVING COUNT(*) BETWEEN 100 AND 100000 ORDER BY o_orderpriority;
+SELECT o_orderpriority, CAST(MAX(o_orderkey) - MIN(o_orderkey) AS BIGINT) AS key_span FROM orders GROUP BY o_orderpriority HAVING COUNT(*) BETWEEN 100 AND 100000 ORDER BY o_orderpriority;
 SELECT CAST(FLOOR(SUM(o_totalprice) / COUNT(*)) AS BIGINT) AS manual_avg, CAST(FLOOR(AVG(o_totalprice)) AS BIGINT) AS builtin_avg FROM orders WHERE o_orderkey < 2000;
 SELECT r_regionkey, upper(substr(r_name, 1, 3)) AS abbrev FROM region ORDER BY 1;
 SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2 ORDER BY 1, 2;

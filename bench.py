@@ -60,6 +60,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_dup_spans",
     "text_fuzzy_decontaminate",
+    "text_quality_classifier",
 ]
 
 

@@ -223,6 +223,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_quality_classifier",
+    # Iterative quantized-GD training is not SQL-expressible, so the
+    # oracle is a COMMITTED GOLDEN parquet (scripts/gen_goldens.py).
+    # Soundness: training is bit-deterministic under any partitioning
+    # (exact int64/DECIMAL gradient sums — probed by
+    # scripts/probe_golden_determinism.py); the strong oracles (numpy
+    # twin bit-parity, planted separation, accuracy >= 0.95 on the real
+    # labeled slice) live in tests/test_classifier.py.
+    """
+    SELECT doc_id, label, margin_fp, pred
+    FROM read_parquet('/root/repo/resources/goldens/text_quality_classifier.sf0_01.parquet')
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed logistic regression (functions/classifier.py,
+    Joulin et al. 2016) trained in-Spark with fixed-point integer gradient
+    aggregation: wide-margin stopword-density weak labels (the C4/Gopher
+    threshold recipe) train the model; every document is scored. Output:
+    (doc_id, label 1/0/-1, margin_fp = rint(z*1e6), pred)."""
+    from .classifier import classify_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classify_quality(docs)
+
+
+@_register(
     "text_gopher_quality",
     """
     WITH base AS (

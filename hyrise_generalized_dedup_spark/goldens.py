@@ -30,6 +30,9 @@ GOLDENS: dict[str, tuple[str, str, list[str]]] = {
     "text_fingerprint": (
         "hyrise_generalized_dedup_spark.functions.queries", "TEXT_QUERIES", ["doc_id"],
     ),
+    "text_quality_classifier": (
+        "hyrise_generalized_dedup_spark.functions.queries", "TEXT_QUERIES", ["doc_id"],
+    ),
     "ann_lsh_buckets": (
         "hyrise_generalized_dedup_spark.ann.queries", "ANN_QUERIES", ["table_id"],
     ),

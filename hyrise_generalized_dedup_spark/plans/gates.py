@@ -282,6 +282,18 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(union_shingles AS BIGINT) AS n2",
             "CAST(jaccard_pm AS BIGINT) AS n3",
         ]),
+        # round-5 trained quality classifier (functions/classifier.py):
+        # hashed logistic regression trained in-Spark with fixed-point
+        # integer gradient aggregation (bit-deterministic under any
+        # partitioning — probed), scored surface value-checked against a
+        # committed golden parquet; numpy-twin/accuracy oracles in
+        # tests/test_classifier.py.
+        ("quality_clf", "text_quality_classifier", [
+            "CAST(doc_id AS BIGINT) AS k",
+            "CAST(label AS BIGINT) AS n1",
+            "CAST(margin_fp AS BIGINT) AS n2",
+            "CAST(pred AS BIGINT) AS n3",
+        ]),
     ],
     # Windowed streaming jobs (both REAL readStream->sink runs with a
     # batch-recomputed DuckDB oracle): event-window aggregation + the

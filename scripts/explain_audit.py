@@ -158,6 +158,13 @@ AUDITS = {
         ["MapInPandas", "BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # round-5 trained quality classifier: scoring is one map-only Arrow
+    # pass over the packed feature cache (training already ran eagerly —
+    # its per-iteration jobs are the same shape); no joins anywhere.
+    "text_quality_classifier": (
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

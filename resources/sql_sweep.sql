@@ -4735,3 +4735,51 @@ SELECT lang, CAST(SUM(CASE WHEN source = 'web' THEN n_chars END) AS BIGINT) AS w
 SELECT o_orderdate, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31' GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 15;
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS yyyymm, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey < 50 GROUP BY 1 ORDER BY 1 LIMIT 15;
 SELECT CAST(SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS q_mid_disc FROM lineitem WHERE l_orderkey < 1500;
+-- r5-ae: VALUES inline tables, split_part/lpad/rpad, RANGE frames over
+-- numerics, nth_value/cume_dist, multi-col DISTINCT aggs, date_trunc/
+-- last_day/quarter/week, FILTER aggregates, negative-digit rounding,
+-- correlated HAVING subqueries, CASE-over-subquery, EXCEPT/INTERSECT.
+-- Traps hit while validating (recorded per protocol): QUALIFY is
+-- DuckDB-only; part/orders testdata has no p_container/o_comment;
+-- non-ASCII aliases parse in DuckDB but not in this harness's reader.
+SELECT t.a, t.b FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, b) ORDER BY t.a;
+SELECT v.k, CAST(COUNT(*) AS BIGINT) AS n FROM (VALUES (0), (1), (0), (2)) v(k) GROUP BY v.k ORDER BY v.k;
+SELECT n_name FROM nation JOIN (VALUES (0), (2)) v(rk) ON n_regionkey = v.rk ORDER BY n_name LIMIT 8;
+SELECT split_part(c_name, '#', 2) AS tail, CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey <= 20 GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT s_suppkey, split_part(s_name, '#', 1) AS head FROM supplier WHERE s_suppkey < 8 ORDER BY s_suppkey;
+SELECT lpad(CAST(n_nationkey AS VARCHAR(4)), 4, '0') AS padded FROM nation ORDER BY padded LIMIT 10;
+SELECT rpad(r_name, 12, '.') AS dotted FROM region ORDER BY r_regionkey;
+SELECT p_partkey, repeat(substr(p_brand, 1, 2), 3) AS b3 FROM part WHERE p_partkey < 8 ORDER BY p_partkey;
+SELECT o_orderkey, o_totalprice, CAST(SUM(o_totalprice) OVER (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS near_sum FROM orders WHERE o_orderkey < 80 ORDER BY o_totalprice, o_orderkey LIMIT 12;
+SELECT c_custkey, CAST(COUNT(*) OVER (ORDER BY c_acctbal RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS BIGINT) AS peers FROM customer WHERE c_custkey < 40 ORDER BY c_custkey;
+SELECT n_nationkey, nth_value(n_name, 2) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_name FROM nation ORDER BY n_nationkey LIMIT 15;
+SELECT s_suppkey, CAST(FLOOR(cume_dist() OVER (ORDER BY s_acctbal) * 100) AS BIGINT) AS cd_pct FROM supplier WHERE s_suppkey <= 12 ORDER BY s_suppkey;
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custs, CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS days FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1;
+SELECT CAST(SUM(DISTINCT p_size) AS BIGINT) AS sum_distinct_sizes FROM part WHERE p_partkey < 300;
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 800 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(last_day(o_orderdate) AS DATE) AS eom, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey < 25 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(round(o_totalprice, -3) AS DECIMAL(18,0)) AS k_bucket, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 500 GROUP BY 1 ORDER BY 1 LIMIT 15;
+SELECT p_brand FROM part GROUP BY p_brand HAVING COUNT(*) > (SELECT COUNT(*) FROM part) / 30 ORDER BY p_brand;
+SELECT n_name FROM nation n WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey GROUP BY s.s_nationkey HAVING COUNT(*) >= 2) ORDER BY n_name LIMIT 10;
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_mktsegment HAVING MAX(c_acctbal) > (SELECT AVG(c_acctbal) FROM customer) ORDER BY c_mktsegment;
+SELECT o_orderkey, CASE WHEN o_totalprice > (SELECT AVG(o_totalprice) FROM orders) THEN 'above' ELSE 'at-or-below' END AS rel FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey;
+SELECT x.rel, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN s_acctbal < 0 THEN 'neg' WHEN s_acctbal < (SELECT AVG(s_acctbal) FROM supplier) THEN 'low' ELSE 'high' END AS rel FROM supplier) x GROUP BY 1 ORDER BY 1;
+SELECT l_linestatus, CAST(MIN(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4)) AS min_net FROM lineitem WHERE l_orderkey < 600 GROUP BY 1 ORDER BY 1;
+SELECT n_regionkey, CAST(COUNT(*) FILTER (WHERE n_nationkey % 2 = 0) AS BIGINT) AS evens, CAST(COUNT(*) FILTER (WHERE n_nationkey % 2 = 1) AS BIGINT) AS odds FROM nation GROUP BY 1 ORDER BY 1;
+SELECT CAST(SUM(l_quantity) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS returned_qty FROM lineitem WHERE l_orderkey < 900;
+SELECT user_id, CAST(MAX(event_id) FILTER (WHERE event_type = 'click') AS BIGINT) AS last_click FROM events WHERE user_id < 6 GROUP BY user_id ORDER BY user_id;
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM supplier WHERE s_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT d1.lang, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM documents d1 JOIN documents d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id WHERE d1.doc_id < 30 AND d2.doc_id < 30 GROUP BY 1 ORDER BY 1;
+SELECT t.g, CAST(SUM(t.n) AS BIGINT) AS total FROM (SELECT n_regionkey AS g, COUNT(*) AS n FROM nation GROUP BY 1 UNION ALL SELECT r_regionkey AS g, 1 AS n FROM region) t GROUP BY t.g ORDER BY t.g;
+SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus, o_orderpriority EXCEPT SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey < 50 GROUP BY o_orderstatus, o_orderpriority ORDER BY 1, 2 LIMIT 12;
+SELECT lang FROM documents WHERE doc_id < 100 INTERSECT SELECT lang FROM documents WHERE doc_id >= 400 ORDER BY lang;
+SELECT position('#' IN s_name) AS hash_pos, CAST(COUNT(*) AS BIGINT) AS n FROM supplier GROUP BY 1 ORDER BY 1;
+SELECT c_custkey, translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels FROM customer WHERE c_custkey < 8 ORDER BY c_custkey;
+SELECT CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 1200 GROUP BY 1 ORDER BY 1;
+SELECT CAST(EXTRACT(WEEK FROM DATE '1995-07-04') AS BIGINT) AS wk;
+SELECT ascii(substr(r_name, 1, 1)) AS first_code FROM region ORDER BY first_code;
+SELECT chr(65 + n_nationkey % 5) AS letter, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS bits, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT p_size, CAST(SUM(CASE WHEN p_retailprice >= 1500 THEN 1 ELSE 0 END) AS BIGINT) AS pricey FROM part WHERE p_size IN (SELECT p_size FROM part GROUP BY p_size HAVING COUNT(*) >= 8) GROUP BY p_size ORDER BY p_size LIMIT 12;
+SELECT MIN(x.mn) AS overall_min FROM (SELECT MIN(l_extendedprice) AS mn FROM lineitem GROUP BY l_suppkey) x;
+SELECT c_nationkey, CAST(median(c_acctbal) AS DECIMAL(18,2)) AS med FROM customer WHERE c_custkey < 200 GROUP BY 1 ORDER BY 1 LIMIT 10;

@@ -61,6 +61,7 @@ HEADLINE = [
     "text_dup_spans",
     "text_fuzzy_decontaminate",
     "text_quality_classifier",
+    "graph_pagerank_entities",
 ]
 
 

@@ -248,6 +248,24 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify_quality(docs)
 
 
+from .graph import pagerank_oracle_sql as _pagerank_oracle_sql  # noqa: E402
+
+
+@_register("graph_pagerank_entities", _pagerank_oracle_sql())
+def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (functions/graph.py) over the customer<->
+    supplier interaction graph from lineitem JOIN orders: 8 iterations
+    of an all-BIGINT recurrence (div/sums bit-identical across engines),
+    so the iterative graph algorithm is ORACLE-BACKED — the DuckDB twin
+    replays the trajectory as a generated CTE chain."""
+    from .graph import pagerank_entities
+
+    return pagerank_entities(
+        spark, load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 @_register(
     "text_gopher_quality",
     """

@@ -294,6 +294,16 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(margin_fp AS BIGINT) AS n2",
             "CAST(pred AS BIGINT) AS n3",
         ]),
+        # round-5 exact-integer PageRank (functions/graph.py): iterative
+        # graph analytics with a LIVE DuckDB oracle (generated CTE chain
+        # replays the all-BIGINT recurrence bit-for-bit).
+        ("pagerank", "graph_pagerank_entities", [
+            "CAST(entity_id * 2 + CASE WHEN node_kind = 'supplier' "
+            "THEN 1 ELSE 0 END AS BIGINT) AS k",
+            "CAST(degree AS BIGINT) AS n1",
+            "CAST(rank AS BIGINT) AS n2",
+            "CAST(NULL AS BIGINT) AS n3",
+        ]),
     ],
     # Windowed streaming jobs (both REAL readStream->sink runs with a
     # batch-recomputed DuckDB oracle): event-window aggregation + the

@@ -165,6 +165,13 @@ AUDITS = {
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
     ),
+    # round-5 exact-integer PageRank: rank tables broadcast per iteration
+    # (node-bounded), the distinct-pair edge build and inflow sums are
+    # hash aggregates; zero Python, no cartesian joins.
+    "graph_pagerank_entities": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    ),
 }
 
 

@@ -40,6 +40,7 @@ def _full_registries() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         ("hyrise_generalized_dedup_spark.ann.queries", "ANN_QUERIES", "ANN_ORACLES"),
         ("hyrise_generalized_dedup_spark.streaming.queries", "STREAM_QUERIES", "STREAM_ORACLES"),
         ("hyrise_generalized_dedup_spark.sources.queries", "SOURCE_QUERIES", "SOURCE_ORACLES"),
+        ("hyrise_generalized_dedup_spark.stats.queries", "STATS_QUERIES", "STATS_ORACLES"),
     ]:
         try:
             mod = __import__(modpath, fromlist=[qname, oname])

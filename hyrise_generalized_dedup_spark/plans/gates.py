@@ -48,6 +48,19 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(n AS BIGINT) AS n1",
             "CAST(NULL AS BIGINT) AS n2",
         ]),
+        # round-5 statistics subsystem: EqualDistinctCountHistogram bins
+        # over int/string/double domains, LIVE-oracled (stats/queries.py —
+        # the DuckDB twin replays census + ROW_NUMBER rank + the exact
+        # integer bin formula of equal_distinct_count_histogram.cpp:114)
+        ("edc_histogram", "table_edc_histogram", [
+            "CAST(concat(col_name, ':', CAST(bin_id AS STRING), ':', "
+            "coalesce(bin_min_str, ''), ':', coalesce(bin_max_str, '')) "
+            "AS STRING) AS grp",
+            "CAST(bin_min_num AS DOUBLE) AS v1",
+            "CAST(bin_max_num AS DOUBLE) AS v2",
+            "CAST(height AS BIGINT) AS n1",
+            "CAST(distinct_count AS BIGINT) AS n2",
+        ]),
     ],
     # LIKE / IS NULL + OR / IN-list scan impls (table_scan.cpp:374-455)
     "g_scan_predicates": [

@@ -4783,3 +4783,53 @@ SELECT CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS bits, CAST(COUN
 SELECT p_size, CAST(SUM(CASE WHEN p_retailprice >= 1500 THEN 1 ELSE 0 END) AS BIGINT) AS pricey FROM part WHERE p_size IN (SELECT p_size FROM part GROUP BY p_size HAVING COUNT(*) >= 8) GROUP BY p_size ORDER BY p_size LIMIT 12;
 SELECT MIN(x.mn) AS overall_min FROM (SELECT MIN(l_extendedprice) AS mn FROM lineitem GROUP BY l_suppkey) x;
 SELECT c_nationkey, CAST(median(c_acctbal) AS DECIMAL(18,2)) AS med FROM customer WHERE c_custkey < 200 GROUP BY 1 ORDER BY 1 LIMIT 10;
+
+-- tranche r5-af: value-range window frames, INTERSECT/EXCEPT ALL, LATERAL
+-- derived tables, VALUES inline tables, boolean aggregates, scalar-function
+-- edges (split_part/lpad/md5/make_date/power), correlated scalar subqueries
+SELECT o_custkey, o_orderkey, CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rng_sum FROM orders WHERE o_custkey < 8 ORDER BY o_custkey, o_orderkey LIMIT 20;
+SELECT l_orderkey, l_linenumber, CAST(COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY CAST(l_quantity AS BIGINT) RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS near_qty FROM lineitem WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber LIMIT 25;
+SELECT s_nationkey, s_suppkey, CAST(MIN(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS DECIMAL(18,2)) AS fwd_min FROM supplier WHERE s_suppkey <= 20 ORDER BY s_nationkey, s_suppkey;
+SELECT c_nationkey FROM customer WHERE c_custkey < 60 INTERSECT ALL SELECT c_nationkey FROM customer WHERE c_custkey BETWEEN 30 AND 90 ORDER BY c_nationkey LIMIT 15;
+SELECT n_regionkey FROM nation EXCEPT ALL SELECT r_regionkey FROM region ORDER BY n_regionkey;
+SELECT o_orderstatus FROM orders WHERE o_orderkey < 200 EXCEPT ALL SELECT o_orderstatus FROM orders WHERE o_orderkey < 60 ORDER BY o_orderstatus LIMIT 10;
+SELECT n.n_name, x.n_sup FROM nation n, LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n_sup FROM supplier s WHERE s.s_nationkey = n.n_nationkey) x WHERE n.n_nationkey < 6 ORDER BY n.n_name;
+SELECT r.r_name, x.best FROM region r, LATERAL (SELECT CAST(MAX(n_nationkey) AS BIGINT) AS best FROM nation WHERE n_regionkey = r.r_regionkey) x ORDER BY r.r_name;
+SELECT t.a + 10 AS a10, upper(t.b) AS bu FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, b) ORDER BY a10;
+SELECT v.k, CAST(COUNT(*) AS BIGINT) AS n FROM nation JOIN (VALUES (0), (2), (4)) v(k) ON n_regionkey = v.k GROUP BY v.k ORDER BY v.k;
+SELECT CAST(bool_and(s_acctbal > -1000) AS BOOLEAN) AS all_above, CAST(bool_or(s_acctbal < 0) AS BOOLEAN) AS any_neg FROM supplier;
+SELECT c_mktsegment, CAST(bool_and(c_acctbal > 0) AS BOOLEAN) AS all_pos FROM customer WHERE c_custkey < 120 GROUP BY 1 ORDER BY 1;
+SELECT p_brand, split_part(p_type, ' ', 1) AS type_head, CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_partkey < 120 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 15;
+SELECT s_suppkey, left(s_name, 5) AS name5, substr(s_name, 3, 4) AS tail4 FROM supplier WHERE s_suppkey <= 10 ORDER BY s_suppkey;
+SELECT c_custkey, lpad(CAST(c_nationkey AS VARCHAR(8)), 4, '0') AS nk_pad, rpad(c_mktsegment, 12, '.') AS seg_pad FROM customer WHERE c_custkey < 7 ORDER BY c_custkey;
+SELECT r_regionkey, repeat('-', CAST(r_regionkey AS INT) + 1) AS dashes FROM region ORDER BY r_regionkey;
+SELECT n_name, reverse(n_name) AS rev FROM nation WHERE n_nationkey < 6 ORDER BY n_name;
+SELECT o_orderkey, md5(o_orderstatus) AS status_md5 FROM orders WHERE o_orderkey < 8 ORDER BY o_orderkey;
+SELECT make_date(1996, CAST(1 + n_nationkey % 12 AS INT), 15) AS d, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(greatest(l_tax, l_discount) AS DECIMAL(8,2)) AS g, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_orderkey < 300 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT nullif(o_orderstatus, 'O') AS st_or_null, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 400 GROUP BY 1 ORDER BY 1 NULLS FIRST;
+SELECT CAST(sign(c_acctbal) AS BIGINT) AS sgn, CAST(MIN(c_custkey) AS BIGINT) AS first_cust FROM customer GROUP BY 1 ORDER BY 1;
+SELECT CAST(floor(-1.5 * p_size) AS BIGINT) AS f, CAST(ceil(-1.5 * p_size) AS BIGINT) AS c FROM part WHERE p_partkey < 5 ORDER BY f, c;
+SELECT CAST(power(2, n_nationkey % 10) AS BIGINT) AS pow2, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT o_orderpriority, CAST(corr(o_totalprice, CAST(o_orderkey % 97 AS DOUBLE)) IS NOT NULL AS BOOLEAN) AS has_corr FROM orders WHERE o_orderkey < 2000 GROUP BY 1 ORDER BY 1;
+SELECT CAST(covar_pop(CAST(p_size AS DOUBLE), p_retailprice) AS DECIMAL(18,2)) AS cv FROM part WHERE p_partkey < 200;
+WITH base AS (SELECT n_regionkey AS rk, COUNT(*) AS n FROM nation GROUP BY 1), twice AS (SELECT rk, n FROM base UNION ALL SELECT rk, n FROM base) SELECT rk, CAST(SUM(n) AS BIGINT) AS total FROM twice GROUP BY rk ORDER BY rk;
+WITH a AS (SELECT o_custkey, COUNT(*) AS n FROM orders WHERE o_orderkey < 900 GROUP BY 1), b AS (SELECT CAST(AVG(n) AS DOUBLE) AS avg_n FROM a) SELECT CAST(COUNT(*) AS BIGINT) AS heavy FROM a, b WHERE a.n > b.avg_n;
+SELECT c_custkey, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders FROM customer c WHERE c.c_custkey < 12 ORDER BY c_custkey;
+SELECT s.s_suppkey, (SELECT n_name FROM nation n WHERE n.n_nationkey = s.s_nationkey) AS nat FROM supplier s WHERE s.s_suppkey <= 8 ORDER BY s.s_suppkey;
+SELECT x.g, CAST(SUM(x.v) AS DOUBLE) AS total FROM (SELECT n_nationkey % 3 AS g, CAST(n_regionkey AS DOUBLE) AS v FROM nation UNION ALL SELECT r_regionkey % 3 AS g, 0.5 AS v FROM region) x GROUP BY x.g ORDER BY x.g;
+SELECT l_returnflag, CAST(ntile(4) OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS q FROM lineitem WHERE l_orderkey < 12 ORDER BY l_orderkey, l_linenumber LIMIT 16;
+SELECT o_orderkey, CAST(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2)) AS second_price FROM orders WHERE o_custkey < 5 ORDER BY o_orderkey LIMIT 15;
+SELECT s_suppkey, CAST(lag(s_acctbal, 2, 0.0) OVER (ORDER BY s_suppkey) AS DECIMAL(18,2)) AS lag2 FROM supplier WHERE s_suppkey <= 10 ORDER BY s_suppkey;
+SELECT user_id, event_id, CAST(lead(event_id, 1, -1) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS next_ev FROM events WHERE user_id < 4 ORDER BY user_id, event_id LIMIT 20;
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(length(d.text)) AS BIGINT) AS n_chars FROM documents d WHERE d.doc_id < 150 GROUP BY d.lang ORDER BY d.lang;
+SELECT e.event_type, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users FROM events e WHERE e.event_id < 500 GROUP BY 1 HAVING COUNT(DISTINCT e.user_id) > 1 ORDER BY 1;
+SELECT p_type, CAST(MAX(length(p_name)) AS BIGINT) AS max_name_len FROM part WHERE p_partkey < 250 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-01-01' + INTERVAL 10 DAY GROUP BY 1 ORDER BY 1;
+SELECT CAST(EXTRACT(DOY FROM DATE '1996-02-29') AS BIGINT) AS doy_leap;
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_nationkey HAVING COUNT(*) BETWEEN 2 AND 50 ORDER BY c_nationkey LIMIT 12;
+SELECT a.n_name, b.n_name AS peer FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey WHERE a.n_regionkey = 2 ORDER BY a.n_name, peer;
+SELECT o1.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey WHERE o1.o_custkey < 6 GROUP BY 1 ORDER BY 1;
+SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l_orderkey AND (o.o_orderstatus = 'F' OR o.o_totalprice > 100000));
+SELECT n_name FROM nation n WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < -900) ORDER BY n_name LIMIT 12;
+SELECT CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS tot FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49);

@@ -21,8 +21,24 @@ from .histogram import (
     edc_histogram_bins,
 )
 from .pruning import MinMaxFilter, RangeFilter, file_pruning_stats, prune_files
+from .estimator import (
+    estimate_cross_join,
+    estimate_inner_equi_join,
+    estimate_inner_equi_join_of_bins,
+    estimate_inner_equi_join_with_histograms,
+    estimate_semi_join,
+    scaled,
+    split_at_bin_bounds,
+)
 
 __all__ = [
+    "estimate_cross_join",
+    "estimate_inner_equi_join",
+    "estimate_inner_equi_join_of_bins",
+    "estimate_inner_equi_join_with_histograms",
+    "estimate_semi_join",
+    "scaled",
+    "split_at_bin_bounds",
     "StringHistogramDomain",
     "EqualDistinctCountHistogram",
     "GenericHistogram",

@@ -4833,3 +4833,48 @@ SELECT o1.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM orders o1 JOIN ord
 SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l_orderkey AND (o.o_orderstatus = 'F' OR o.o_totalprice > 100000));
 SELECT n_name FROM nation n WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < -900) ORDER BY n_name LIMIT 12;
 SELECT CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS tot FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49);
+
+-- tranche r5-ag: GROUPING SETS/CUBE/ROLLUP shapes, window-dedup
+-- first-per-group, nested set-ops, scalar subquery arithmetic, string/date
+-- composition, negative-modulo edges, grouped percentile_cont
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 600 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST;
+SELECT c_mktsegment, c_nationkey, CAST(grouping(c_nationkey) AS BIGINT) AS g_nat, CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey < 150 GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment)) ORDER BY 1, 2 NULLS FIRST;
+SELECT n_regionkey, CAST(SUM(n_nationkey) AS BIGINT) AS s FROM nation GROUP BY CUBE (n_regionkey) ORDER BY 1 NULLS FIRST;
+SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q FROM lineitem WHERE l_orderkey < 300 GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST;
+SELECT x.o_custkey, x.o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders WHERE o_custkey < 10) x WHERE x.rn = 1 ORDER BY x.o_custkey;
+SELECT y.lang, y.doc_id FROM (SELECT lang, doc_id, rank() OVER (PARTITION BY lang ORDER BY length(text) DESC, doc_id) AS r FROM documents WHERE doc_id < 200) y WHERE y.r <= 2 ORDER BY y.lang, y.doc_id;
+SELECT z.sha, z.n FROM (SELECT substr(md5(text), 1, 8) AS sha, COUNT(*) AS n FROM documents WHERE doc_id < 120 GROUP BY 1) z WHERE z.n > 1 ORDER BY z.sha LIMIT 10;
+SELECT (SELECT COUNT(*) FROM region) * 100 + (SELECT COUNT(*) FROM nation) AS combo;
+SELECT CAST(a.total - b.total AS BIGINT) AS diff FROM (SELECT COUNT(*) AS total FROM orders WHERE o_orderkey < 500) a, (SELECT COUNT(*) AS total FROM orders WHERE o_orderkey < 100) b;
+SELECT t.k, CAST(COUNT(*) AS BIGINT) AS n FROM ((SELECT n_regionkey AS k FROM nation) UNION ALL (SELECT r_regionkey AS k FROM region) UNION ALL (SELECT CAST(s_nationkey % 5 AS BIGINT) AS k FROM supplier)) t GROUP BY t.k ORDER BY t.k;
+SELECT u.k FROM (SELECT o_orderstatus AS k FROM orders WHERE o_orderkey < 100 UNION SELECT l_returnflag AS k FROM lineitem WHERE l_orderkey < 100) u ORDER BY u.k;
+SELECT CAST(concat_ws('-', r_name, CAST(r_regionkey AS VARCHAR(4))) AS VARCHAR(40)) AS tag FROM region ORDER BY tag;
+SELECT c_custkey, replace(lower(c_mktsegment), 'a', '@') AS seg FROM customer WHERE c_custkey < 6 ORDER BY c_custkey;
+SELECT p_partkey, trim(concat('  ', p_brand, '  ')) AS b FROM part WHERE p_partkey < 5 ORDER BY p_partkey;
+SELECT ltrim(rtrim('  pad  ')) AS bare, length(ltrim(rtrim('  pad  '))) AS n;
+SELECT s_suppkey, instr(s_name, '1') AS pos1 FROM supplier WHERE s_suppkey <= 8 ORDER BY s_suppkey;
+SELECT o_orderkey, date_part('day', o_orderdate) AS dom FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey;
+SELECT CAST(date_trunc('quarter', DATE '1995-08-17') AS DATE) AS q_start;
+SELECT CAST(EXTRACT(HOUR FROM TIMESTAMP '1997-03-05 14:30:00') AS BIGINT) AS hr, CAST(EXTRACT(MINUTE FROM TIMESTAMP '1997-03-05 14:30:00') AS BIGINT) AS mi;
+SELECT e.event_type, CAST(MIN(date_part('hour', e.ts)) AS BIGINT) AS first_hr FROM events e WHERE e.event_id < 300 GROUP BY 1 ORDER BY 1;
+SELECT CAST(-7 % 3 AS BIGINT) AS m1, CAST(7 % -3 AS BIGINT) AS m2, CAST(((-7 % 3) + 3) % 3 AS BIGINT) AS pm;
+SELECT CAST(abs(t0.n) AS BIGINT) AS a, CAST(-t0.n AS BIGINT) AS neg FROM (SELECT -5 AS n) t0;
+SELECT l_linenumber, CAST(SUM(l_extendedprice * l_discount * (1 + l_tax)) AS DECIMAL(18,4)) AS adj FROM lineitem WHERE l_orderkey < 200 GROUP BY 1 ORDER BY 1;
+SELECT CAST(MAX(o_totalprice) - MIN(o_totalprice) AS DECIMAL(18,2)) AS price_range FROM orders WHERE o_custkey < 40;
+SELECT c_nationkey, CAST(AVG(length(c_name)) AS DECIMAL(10,4)) AS avg_name_len FROM customer WHERE c_custkey < 300 GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT p_brand, CAST(MIN(p_retailprice) AS DECIMAL(18,2)) AS lo, CAST(MAX(p_retailprice) AS DECIMAL(18,2)) AS hi FROM part GROUP BY p_brand HAVING MIN(p_retailprice) < MAX(p_retailprice) ORDER BY p_brand LIMIT 10;
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS statuses, CAST(MAX(o_orderkey) AS BIGINT) AS max_k FROM orders WHERE o_orderkey < 1500 GROUP BY 1 ORDER BY 1;
+SELECT d.lang, CAST(COUNT(*) FILTER (WHERE length(d.text) > 100) AS BIGINT) AS longs, CAST(COUNT(*) FILTER (WHERE length(d.text) <= 100) AS BIGINT) AS shorts FROM documents d WHERE d.doc_id < 250 GROUP BY 1 ORDER BY 1;
+SELECT s.s_nationkey, CAST(SUM(CASE WHEN s.s_acctbal > c.avg_bal THEN 1 ELSE 0 END) AS BIGINT) AS above FROM supplier s JOIN (SELECT s_nationkey AS nk, AVG(s_acctbal) AS avg_bal FROM supplier GROUP BY 1) c ON s.s_nationkey = c.nk GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT o.o_orderkey FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45 WHERE l.l_orderkey IS NULL AND o.o_orderkey < 120 ORDER BY o.o_orderkey LIMIT 15;
+SELECT n.n_name, COALESCE(x.cnt, 0) AS suppliers FROM nation n LEFT JOIN (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM supplier GROUP BY 1) x ON n.n_nationkey = x.s_nationkey WHERE n.n_nationkey < 8 ORDER BY n.n_name;
+SELECT r.r_name, n.n_name, s.s_suppkey FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey JOIN supplier s ON n.n_nationkey = s.s_nationkey WHERE s.s_suppkey <= 6 ORDER BY r.r_name, n.n_name, s.s_suppkey;
+SELECT w.event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT event_type, value, avg(value) OVER (PARTITION BY event_type) AS m FROM events WHERE event_id < 400 AND value IS NOT NULL) w WHERE w.value > w.m GROUP BY 1 ORDER BY 1;
+SELECT p.p_type, CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY p.p_retailprice) AS DECIMAL(18,2)) AS med_price FROM part p WHERE p.p_partkey < 160 GROUP BY 1 ORDER BY 1 LIMIT 8;
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31' AND l_orderkey < 4000 GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_discount BETWEEN 0.02 AND 0.04 AND l_orderkey < 2500;
+SELECT c.c_mktsegment, CAST(COUNT(DISTINCT o.o_orderdate) AS BIGINT) AS active_days FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_orderkey < 700 GROUP BY 1 ORDER BY 1;
+SELECT t.decade_key, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) / 10 * 10 AS decade_key FROM orders WHERE o_orderkey < 900) t GROUP BY 1 ORDER BY 1;
+SELECT CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'mid' ELSE 'large' END AS bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(l_extendedprice) AS DECIMAL(18,2)) AS rev FROM lineitem WHERE l_orderkey < 350 GROUP BY 1 ORDER BY 1;
+SELECT d.is_dup_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN COUNT(*) OVER (PARTITION BY lang) > 100 THEN 1 ELSE 0 END AS is_dup_lang FROM documents WHERE doc_id < 500) d GROUP BY 1 ORDER BY 1;
+SELECT o_orderstatus, CAST(MIN(o_orderkey) AS BIGINT) AS first_key, CAST(MAX(o_orderkey) AS BIGINT) AS last_key, CAST(MAX(o_orderkey) - MIN(o_orderkey) AS BIGINT) AS span FROM orders WHERE o_custkey < 30 GROUP BY 1 ORDER BY 1;

@@ -62,6 +62,7 @@ HEADLINE = [
     "text_fuzzy_decontaminate",
     "text_quality_classifier",
     "graph_pagerank_entities",
+    "table_edc_histogram",
 ]
 
 

@@ -30,8 +30,22 @@ from .estimator import (
     scaled,
     split_at_bin_bounds,
 )
+from .table import (
+    AttributeStatistics,
+    TableStatistics,
+    analyze_table,
+    estimate_join_cardinality,
+    estimate_scan_cardinality,
+    estimate_scan_selectivity,
+)
 
 __all__ = [
+    "AttributeStatistics",
+    "TableStatistics",
+    "analyze_table",
+    "estimate_join_cardinality",
+    "estimate_scan_cardinality",
+    "estimate_scan_selectivity",
     "estimate_cross_join",
     "estimate_inner_equi_join",
     "estimate_inner_equi_join_of_bins",

@@ -4878,3 +4878,39 @@ SELECT t.decade_key, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(EXTRACT(YEA
 SELECT CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'mid' ELSE 'large' END AS bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(l_extendedprice) AS DECIMAL(18,2)) AS rev FROM lineitem WHERE l_orderkey < 350 GROUP BY 1 ORDER BY 1;
 SELECT d.is_dup_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN COUNT(*) OVER (PARTITION BY lang) > 100 THEN 1 ELSE 0 END AS is_dup_lang FROM documents WHERE doc_id < 500) d GROUP BY 1 ORDER BY 1;
 SELECT o_orderstatus, CAST(MIN(o_orderkey) AS BIGINT) AS first_key, CAST(MAX(o_orderkey) AS BIGINT) AS last_key, CAST(MAX(o_orderkey) - MIN(o_orderkey) AS BIGINT) AS span FROM orders WHERE o_custkey < 30 GROUP BY 1 ORDER BY 1;
+
+-- tranche r5-ah: multi-level window nesting, nested EXISTS, type-coercion
+-- arithmetic, CASE-in-join shapes, percent-of-total windows, stddev subqueries
+SELECT q.k, CAST(SUM(q.rn) AS BIGINT) AS rn_sum FROM (SELECT o_custkey AS k, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders WHERE o_custkey < 12) q GROUP BY q.k ORDER BY q.k;
+SELECT w.seg, CAST(MAX(w.d) AS DECIMAL(18,2)) AS max_jump FROM (SELECT c_mktsegment AS seg, c_acctbal - lag(c_acctbal, 1, c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS d FROM customer WHERE c_custkey < 120) w GROUP BY 1 ORDER BY 1;
+SELECT v.flag, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN dense_rank() OVER (ORDER BY s_acctbal DESC) <= 5 THEN 'top5' ELSE 'rest' END AS flag FROM supplier) v GROUP BY 1 ORDER BY 1;
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 1000 AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05) GROUP BY 1 ORDER BY 1;
+SELECT n_name FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000) AND n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < -500) ORDER BY n_name LIMIT 10;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_size > 40)) AND o.o_orderkey < 900;
+SELECT CAST(1 + 2 * 3 - 10 / 4 AS DOUBLE) AS prec1, CAST((1 + 2) * (3 - 10) / 4 AS DOUBLE) AS prec2;
+SELECT CAST(CAST(7 AS DECIMAL(10,3)) / CAST(2 AS DECIMAL(10,3)) AS DECIMAL(12,4)) AS dec_div;
+SELECT l_orderkey, CAST(SUM(l_quantity * 1.0) AS DOUBLE) AS qsum FROM lineitem WHERE l_orderkey < 60 GROUP BY 1 ORDER BY 1;
+SELECT CAST(SUM(CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 10 ELSE 100 END) AS BIGINT) AS weighted FROM orders WHERE o_orderkey < 400;
+SELECT x.b, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN length(text) % 3 = 0 THEN 'z' WHEN length(text) % 3 = 1 THEN 'o' ELSE 't' END AS b FROM documents WHERE doc_id < 300) x GROUP BY 1 ORDER BY 1;
+SELECT c.seg, CAST(SUM(c.flag) AS BIGINT) AS n_high FROM (SELECT c_mktsegment AS seg, CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS flag FROM customer) c GROUP BY 1 ORDER BY 1;
+SELECT s.s_nationkey, n.grp, CAST(COUNT(*) AS BIGINT) AS n FROM supplier s JOIN (SELECT n_nationkey, CASE WHEN n_regionkey < 2 THEN 'west' ELSE 'east' END AS grp FROM nation) n ON s.s_nationkey = n.n_nationkey GROUP BY 1, 2 ORDER BY 1 LIMIT 12;
+SELECT e.user_id, CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS kinds, CAST(COUNT(*) AS BIGINT) AS total FROM events e WHERE e.user_id < 8 GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1;
+SELECT t.event_type, CAST(SUM(t.v) AS DOUBLE) AS v_sum FROM (SELECT event_type, COALESCE(value, 0.0) AS v FROM events WHERE event_id < 600) t GROUP BY 1 ORDER BY 1;
+SELECT d1.doc_id, d2.doc_id AS peer FROM documents d1 JOIN documents d2 ON length(d1.text) = length(d2.text) AND d1.doc_id < d2.doc_id WHERE d1.doc_id < 15 AND d2.doc_id < 15 ORDER BY 1, 2 LIMIT 20;
+SELECT l.l_returnflag, CAST(AVG(CAST(o.o_totalprice AS DOUBLE)) AS DECIMAL(18,2)) AS avg_order FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey < 250 GROUP BY 1 ORDER BY 1;
+SELECT p.sz_grp, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT p_size - p_size % 10 AS sz_grp FROM part) p GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM nation a JOIN nation b ON a.n_nationkey <> b.n_nationkey AND a.n_regionkey = b.n_regionkey;
+SELECT r_name, (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) * 2 AS dbl FROM region ORDER BY r_name;
+SELECT o_orderstatus, CAST(VAR_POP(o_totalprice) IS NOT NULL AS BOOLEAN) AS has_var, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 700 GROUP BY 1 ORDER BY 1;
+SELECT CAST(STDDEV_POP(CAST(n_nationkey AS DOUBLE)) AS DECIMAL(12,4)) AS sd FROM nation;
+SELECT k.lang, k.mx - k.mn AS span FROM (SELECT lang, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents GROUP BY lang) k ORDER BY k.lang;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders WHERE o_orderkey < 500) d;
+SELECT u.k, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT DISTINCT l_orderkey % 7 AS k FROM lineitem WHERE l_orderkey < 450 UNION ALL SELECT DISTINCT o_orderkey % 7 AS k FROM orders WHERE o_orderkey < 450) u GROUP BY 1 ORDER BY 1;
+SELECT CAST(MIN(x.mn) AS DATE) AS first_day FROM (SELECT CAST(MIN(o_orderdate) AS DATE) AS mn FROM orders GROUP BY o_orderstatus) x;
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n, CAST(RANK() OVER (ORDER BY COUNT(*) DESC, c_nationkey) AS BIGINT) AS rnk FROM customer GROUP BY c_nationkey ORDER BY rnk LIMIT 8;
+SELECT z.status, z.share FROM (SELECT o_orderstatus AS status, CAST(COUNT(*) * 100 / SUM(COUNT(*)) OVER () AS DECIMAL(10,4)) AS share FROM orders WHERE o_orderkey < 1200 GROUP BY 1) z ORDER BY z.status;
+SELECT l_linestatus, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gross, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS net FROM lineitem WHERE l_orderkey < 150 GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS big_orders FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) + (SELECT STDDEV_POP(o_totalprice) FROM orders) FROM orders);
+SELECT f.ftype, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN o_totalprice < 50000 THEN 'S' WHEN o_totalprice < 150000 THEN 'M' ELSE 'L' END AS ftype FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) f GROUP BY 1 ORDER BY 1;
+SELECT g.gk, CAST(SUM(g.cnt) AS BIGINT) AS total FROM (SELECT p_brand AS gk, COUNT(*) AS cnt FROM part GROUP BY p_brand HAVING COUNT(*) > 2 UNION ALL SELECT p_type AS gk, COUNT(*) AS cnt FROM part GROUP BY p_type HAVING COUNT(*) > 6) g GROUP BY 1 ORDER BY 1 LIMIT 15;
+SELECT CAST(SUM(len_mod) AS BIGINT) AS checksum FROM (SELECT (length(text) * 31 + doc_id) % 1000003 AS len_mod FROM documents) t;

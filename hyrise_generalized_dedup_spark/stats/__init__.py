@@ -38,8 +38,20 @@ from .table import (
     estimate_scan_cardinality,
     estimate_scan_selectivity,
 )
+from .ordering import (
+    JoinEdge,
+    dp_ccp,
+    execute_plan,
+    greedy_operator_ordering,
+    join_table_statistics,
+)
 
 __all__ = [
+    "JoinEdge",
+    "dp_ccp",
+    "execute_plan",
+    "greedy_operator_ordering",
+    "join_table_statistics",
     "AttributeStatistics",
     "TableStatistics",
     "analyze_table",

@@ -4914,3 +4914,33 @@ SELECT CAST(COUNT(*) AS BIGINT) AS big_orders FROM orders WHERE o_totalprice > (
 SELECT f.ftype, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN o_totalprice < 50000 THEN 'S' WHEN o_totalprice < 150000 THEN 'M' ELSE 'L' END AS ftype FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) f GROUP BY 1 ORDER BY 1;
 SELECT g.gk, CAST(SUM(g.cnt) AS BIGINT) AS total FROM (SELECT p_brand AS gk, COUNT(*) AS cnt FROM part GROUP BY p_brand HAVING COUNT(*) > 2 UNION ALL SELECT p_type AS gk, COUNT(*) AS cnt FROM part GROUP BY p_type HAVING COUNT(*) > 6) g GROUP BY 1 ORDER BY 1 LIMIT 15;
 SELECT CAST(SUM(len_mod) AS BIGINT) AS checksum FROM (SELECT (length(text) * 31 + doc_id) % 1000003 AS len_mod FROM documents) t;
+
+-- tranche r5-ai: anti-join over aggregates, argmax-via-HAVING, left-join
+-- miss counting, running totals over grouped counts, EXISTS-in-CASE routing
+SELECT t.nk, t.n FROM (SELECT s_nationkey AS nk, COUNT(*) AS n FROM supplier GROUP BY 1) t WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = t.nk AND c.c_acctbal > 9000) ORDER BY t.nk LIMIT 10;
+SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) = (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey) m) ORDER BY o_custkey LIMIT 5;
+SELECT q.g, q.total FROM (SELECT l_returnflag AS g, SUM(CAST(l_quantity AS BIGINT)) AS total FROM lineitem GROUP BY 1) q JOIN (SELECT SUM(CAST(l_quantity AS BIGINT)) AS grand FROM lineitem) w ON q.total * 4 > w.grand ORDER BY q.g;
+SELECT u.b, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN o_orderkey % 100 < 50 THEN 'lo' ELSE 'hi' END AS b FROM orders WHERE o_orderkey < 3000 AND o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')) u GROUP BY 1 ORDER BY 1;
+SELECT c_mktsegment, CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_order_rows, CAST(COUNT(*) AS BIGINT) AS total FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000 GROUP BY 1 ORDER BY 1;
+SELECT x.dmod, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) % 7 AS dmod FROM orders WHERE o_orderkey < 2600) x GROUP BY 1 ORDER BY 1;
+SELECT y.yr, CAST(SUM(y.rev) AS DECIMAL(18,2)) AS annual FROM (SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr, l_extendedprice * (1 - l_discount) AS rev FROM lineitem WHERE l_orderkey < 1200) y GROUP BY 1 ORDER BY 1;
+SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(COUNT(*)) OVER (ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running FROM part WHERE p_size <= 12 GROUP BY p_size ORDER BY p_size;
+SELECT w.k, CAST(w.v - w.prior AS DECIMAL(18,2)) AS delta FROM (SELECT o_orderstatus AS k, SUM(o_totalprice) AS v, lag(SUM(o_totalprice), 1, 0.0) OVER (ORDER BY o_orderstatus) AS prior FROM orders WHERE o_orderkey < 500 GROUP BY 1) w ORDER BY w.k;
+SELECT z.seg, z.r FROM (SELECT c_mktsegment AS seg, percent_rank() OVER (ORDER BY COUNT(*)) AS r FROM customer GROUP BY c_mktsegment) z ORDER BY z.seg;
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) = 5 AS BOOLEAN) AS is_five FROM nation GROUP BY 1 ORDER BY 1;
+SELECT b.bucket3, CAST(AVG(b.tp) AS DECIMAL(18,4)) AS avg_price FROM (SELECT o_orderkey % 3 AS bucket3, o_totalprice AS tp FROM orders WHERE o_orderkey < 1700) b GROUP BY 1 ORDER BY 1;
+SELECT p1.p_brand, CAST(COUNT(DISTINCT p2.p_partkey) AS BIGINT) AS same_size_peers FROM part p1 JOIN part p2 ON p1.p_size = p2.p_size AND p1.p_partkey <> p2.p_partkey WHERE p1.p_partkey < 40 GROUP BY 1 ORDER BY 1;
+SELECT v.seg FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) v WHERE v.seg LIKE '%I%' ORDER BY v.seg;
+SELECT CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS nonspace_chars FROM documents WHERE doc_id < 80;
+SELECT k.flag2, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT l_returnflag || l_linestatus AS flag2 FROM lineitem WHERE l_orderkey < 800) k GROUP BY 1 ORDER BY 1;
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderdate = (SELECT MIN(o_orderdate) FROM orders) GROUP BY 1 ORDER BY 1;
+SELECT g.grp, CAST(SUM(g.bal) AS DECIMAL(18,2)) AS bal_sum FROM (SELECT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS grp, c_acctbal AS bal FROM customer UNION ALL SELECT CASE WHEN s_acctbal < 0 THEN 'neg' ELSE 'pos' END AS grp, s_acctbal AS bal FROM supplier) g GROUP BY 1 ORDER BY 1;
+SELECT h.hour_bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) / 6 AS hour_bucket FROM events WHERE event_id < 700) h GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_with_comment_marker FROM documents WHERE text LIKE '%//%' OR text LIKE '%#%';
+SELECT t.tail, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT substr(c_name, length(c_name), 1) AS tail FROM customer WHERE c_custkey < 400) t GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(SUM(CAST(substr(CAST(o_orderkey AS VARCHAR(12)), 1, 1) AS BIGINT)) AS BIGINT) AS benford_digit_sum FROM orders WHERE o_orderkey < 1000;
+SELECT j.size_band, CAST(MAX(j.cnt) AS BIGINT) AS peak FROM (SELECT p_size / 5 AS size_band, p_brand, COUNT(*) AS cnt FROM part GROUP BY 1, 2) j GROUP BY 1 ORDER BY 1;
+SELECT q.flag, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') THEN 'ret' ELSE 'clean' END AS flag FROM orders o WHERE o.o_orderkey < 1400) q GROUP BY 1 ORDER BY 1;
+SELECT s.s_name FROM supplier s WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey) AND s.s_suppkey <= 30 ORDER BY s.s_name LIMIT 12;
+SELECT d.parity, CAST(SUM(d.len) AS BIGINT) AS chars FROM (SELECT doc_id % 2 AS parity, length(text) AS len FROM documents) d GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_line FROM documents WHERE length(text) - length(replace(text, chr(10), '')) >= 2;

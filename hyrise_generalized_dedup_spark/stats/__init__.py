@@ -28,12 +28,14 @@ from .estimator import (
     estimate_inner_equi_join_with_histograms,
     estimate_semi_join,
     scaled,
+    sliced,
     split_at_bin_bounds,
 )
 from .table import (
     AttributeStatistics,
     TableStatistics,
     analyze_table,
+    apply_scan,
     estimate_join_cardinality,
     estimate_scan_cardinality,
     estimate_scan_selectivity,
@@ -55,6 +57,8 @@ __all__ = [
     "AttributeStatistics",
     "TableStatistics",
     "analyze_table",
+    "apply_scan",
+    "sliced",
     "estimate_join_cardinality",
     "estimate_scan_cardinality",
     "estimate_scan_selectivity",

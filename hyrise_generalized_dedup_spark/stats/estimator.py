@@ -28,7 +28,7 @@ from __future__ import annotations
 import math
 
 from .domain import next_value_clamped, previous_value_clamped
-from .histogram import GenericHistogram
+from .histogram import INVALID_BIN, GenericHistogram
 
 
 def _builder_to_histogram(
@@ -105,6 +105,107 @@ def split_at_bin_bounds(
             continue
         bins.append((lo, hi, card, distinct))
     return _builder_to_histogram(bins, hist.kind)
+
+
+def sliced(
+    hist: GenericHistogram, cond: str, v, v2=None
+) -> GenericHistogram | None:
+    """`abstract_histogram.cpp` sliced(): restrict the histogram to the
+    value range a predicate admits — bin bounds trimmed at the value,
+    heights/distincts scaled by the sliced bin ratio. None when the
+    predicate matches nothing. The sliced total equals
+    estimate_cardinality for every supported condition."""
+    if hist.kind == "str" and isinstance(v, str):
+        v = hist.domain.string_to_domain(v)
+    if hist.does_not_contain(cond, v, v2):
+        return None
+
+    def _slice_bin(b: int, lo, hi) -> tuple:
+        ratio = hist.bin_ratio_less_than_equals(b, hi) - hist.bin_ratio_less_than(
+            b, lo
+        )
+        return (lo, hi, hist.heights[b] * ratio, hist.distinct_counts[b] * ratio)
+
+    if cond == "=":
+        card = hist.estimate_cardinality("=", v)
+        return _builder_to_histogram([(v, v, card, 1.0)], hist.kind)
+
+    if cond == "!=":
+        b = hist._bin_for_value(v)
+        if b == INVALID_BIN:
+            return GenericHistogram(
+                list(hist.minima), list(hist.maxima), list(hist.heights),
+                list(hist.distinct_counts), kind=hist.kind, domain=hist.domain,
+            )
+        bins = [
+            (hist.minima[i], hist.maxima[i], hist.heights[i], hist.distinct_counts[i])
+            for i in range(b)
+        ]
+        lo, hi = hist.minima[b], hist.maxima[b]
+        if lo != hi:
+            if hist.kind != "str":
+                if lo == v:
+                    lo = next_value_clamped(v, hist.kind)
+                if hi == v:
+                    hi = previous_value_clamped(v, hist.kind)
+            card, distinct = hist.estimate_cardinality_and_distinct_count("=", v)
+            bins.append(
+                (lo, hi, hist.heights[b] - card, hist.distinct_counts[b] - distinct)
+            )
+        bins.extend(
+            (hist.minima[i], hist.maxima[i], hist.heights[i], hist.distinct_counts[i])
+            for i in range(b + 1, hist.bin_count())
+        )
+        return _builder_to_histogram(bins, hist.kind)
+
+    if cond == "<=":
+        return sliced(hist, "<", next_value_clamped(v, hist.kind, hist.domain))
+
+    if cond == "<":
+        last = hist._bin_for_value(v)
+        if last == INVALID_BIN:
+            nxt = hist._next_bin_for_value(v)
+            last = hist.bin_count() - 1 if nxt == INVALID_BIN else nxt - 1
+        elif v == hist.minima[last]:
+            last -= 1
+        if hist.kind != "str":
+            last_max = min(hist.maxima[last], previous_value_clamped(v, hist.kind))
+        else:
+            last_max = min(hist.maxima[last], v)
+        bins = [
+            (hist.minima[i], hist.maxima[i], hist.heights[i], hist.distinct_counts[i])
+            for i in range(last)
+        ]
+        bins.append(_slice_bin(last, hist.minima[last], last_max))
+        return _builder_to_histogram(bins, hist.kind)
+
+    if cond == ">":
+        return sliced(hist, ">=", next_value_clamped(v, hist.kind, hist.domain))
+
+    if cond == ">=":
+        first = hist._bin_for_value(v)
+        if first == INVALID_BIN:
+            first = hist._next_bin_for_value(v)
+        bins = [_slice_bin(first, max(v, hist.minima[first]), hist.maxima[first])]
+        bins.extend(
+            (hist.minima[i], hist.maxima[i], hist.heights[i], hist.distinct_counts[i])
+            for i in range(first + 1, hist.bin_count())
+        )
+        return _builder_to_histogram(bins, hist.kind)
+
+    if cond == "between":
+        if v2 is None:
+            raise ValueError("between needs two values")
+        lower = sliced(hist, ">=", v)
+        return sliced(lower, "<=", v2) if lower is not None else None
+
+    if cond in ("like", "not like"):
+        return GenericHistogram(
+            list(hist.minima), list(hist.maxima), list(hist.heights),
+            list(hist.distinct_counts), kind=hist.kind, domain=hist.domain,
+        )
+
+    raise ValueError(f"predicate not supported by sliced(): {cond!r}")
 
 
 def estimate_inner_equi_join_of_bins(

@@ -29,6 +29,8 @@ from .estimator import (
     bin_bounds,
     estimate_inner_equi_join,
     estimate_semi_join,
+    scaled,
+    sliced,
     split_at_bin_bounds,
 )
 from .histogram import EqualDistinctCountHistogram, GenericHistogram
@@ -193,6 +195,43 @@ def estimate_scan_cardinality(
     return table.row_count * estimate_scan_selectivity(
         table, column, cond, value, value2, other_column
     )
+
+
+def apply_scan(
+    table: TableStatistics,
+    column: str,
+    cond: str,
+    value=None,
+    value2=None,
+) -> TableStatistics:
+    """Output statistics of `WHERE column <cond> value`
+    (`cardinality_estimator.cpp:548-776`): the scanned column carries the
+    SLICED histogram (bounds trimmed at the value), every other column is
+    scaled by the selectivity, the row count shrinks accordingly. Chain
+    calls to model conjunctions (the reference applies one
+    OperatorScanPredicate at a time, independence-assumed)."""
+    selectivity = estimate_scan_selectivity(table, column, cond, value, value2)
+    out: dict[str, AttributeStatistics] = {}
+    for name, stats in table.column_statistics.items():
+        if name == column and cond in ("is null", "is not null"):
+            # `cardinality_estimator.cpp:574-590`: the surviving side is
+            # all-NULL or NULL-free respectively
+            out[name] = AttributeStatistics(
+                None if cond == "is null" else stats.histogram,
+                1.0 if cond == "is null" else 0.0,
+            )
+        elif name == column and stats.histogram is not None and value is not None:
+            new_hist = sliced(stats.histogram, cond, value, value2)
+            # value predicates never keep NULLs of the scanned column
+            out[name] = AttributeStatistics(new_hist, 0.0)
+        else:
+            hist = (
+                scaled(stats.histogram, selectivity)
+                if stats.histogram is not None
+                else None
+            )
+            out[name] = AttributeStatistics(hist, stats.null_value_ratio)
+    return TableStatistics(table.row_count * selectivity, out)
 
 
 def estimate_join_cardinality(

@@ -4944,3 +4944,28 @@ SELECT q.flag, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN EXISTS (SELE
 SELECT s.s_name FROM supplier s WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey) AND s.s_suppkey <= 30 ORDER BY s.s_name LIMIT 12;
 SELECT d.parity, CAST(SUM(d.len) AS BIGINT) AS chars FROM (SELECT doc_id % 2 AS parity, length(text) AS len FROM documents) d GROUP BY 1 ORDER BY 1;
 SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_line FROM documents WHERE length(text) - length(replace(text, chr(10), '')) >= 2;
+
+-- tranche r5-aj: correlated COALESCE subqueries, UNION type widening,
+-- ratio-of-sums HAVING, palindrome/hash key shapes, grouped median
+SELECT n_name, COALESCE((SELECT MAX(s_acctbal) FROM supplier WHERE s_nationkey = n_nationkey), 0.0) AS best_bal FROM nation WHERE n_nationkey < 8 ORDER BY n_name;
+SELECT t.k, CAST(SUM(t.v) AS BIGINT) AS s FROM (SELECT o_orderkey % (3 + 2) AS k, 1 AS v FROM orders WHERE o_orderkey < 800) t GROUP BY 1 ORDER BY 1;
+SELECT u.x FROM (SELECT CAST(n_nationkey AS DOUBLE) AS x FROM nation UNION SELECT CAST(r_regionkey AS DOUBLE) AS x FROM region) u ORDER BY u.x LIMIT 12;
+SELECT l_returnflag, CAST(SUM(l_extendedprice) / SUM(l_quantity) AS DECIMAL(18,4)) AS price_per_unit FROM lineitem WHERE l_orderkey < 400 GROUP BY 1 HAVING SUM(l_quantity) > 0 ORDER BY 1;
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY 1 HAVING length(c_mktsegment) > 5 ORDER BY 1;
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM part p WHERE p.p_type LIKE '%BRASS%' OR p.p_type LIKE '%STEEL%' GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT s_suppkey, CASE WHEN s_acctbal BETWEEN 0 AND 2500 THEN 'A' WHEN s_acctbal BETWEEN 2500 AND 6000 THEN 'B' ELSE 'C' END AS band FROM supplier WHERE s_suppkey <= 12 ORDER BY s_suppkey;
+SELECT b.lang, b.first_text_len FROM (SELECT lang, length(MIN(text)) AS first_text_len FROM documents WHERE doc_id < 100 GROUP BY lang) b ORDER BY b.lang;
+SELECT CAST(COUNT(*) AS BIGINT) AS palindromic_keys FROM orders WHERE CAST(o_orderkey AS VARCHAR(12)) = reverse(CAST(o_orderkey AS VARCHAR(12))) AND o_orderkey < 3000;
+SELECT e.user_id, CAST(SUM(CASE WHEN e.event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS clicks_views FROM events e WHERE e.user_id < 10 GROUP BY 1 ORDER BY 1;
+SELECT w.r, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(round(c_acctbal / 1000) AS BIGINT) AS r FROM customer WHERE c_acctbal >= 0) w GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT x.g, CAST(MIN(x.d) AS DATE) AS first_d, CAST(MAX(x.d) AS DATE) AS last_d FROM (SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d FROM orders WHERE o_orderkey < 2000) x GROUP BY 1 ORDER BY 1;
+SELECT CAST(SUM(CAST(l_partkey % 1000 AS BIGINT) * CAST(l_suppkey % 100 AS BIGINT)) AS BIGINT) AS mixsum FROM lineitem WHERE l_orderkey < 300;
+SELECT n1.n_name AS nation, n2.n_name AS same_region_peer FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey WHERE n1.n_nationkey = 3 AND n2.n_nationkey <> 3 ORDER BY same_region_peer;
+SELECT q.status, CAST(q.n AS BIGINT) AS n, CAST(q.n - lead(q.n, 1, 0) OVER (ORDER BY q.status) AS BIGINT) AS drop_to_next FROM (SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders WHERE o_orderkey < 1000 GROUP BY 1) q ORDER BY q.status;
+SELECT CAST(AVG(gap) AS DECIMAL(18,4)) AS avg_gap FROM (SELECT o_orderkey - lag(o_orderkey) OVER (ORDER BY o_orderkey) AS gap FROM orders WHERE o_custkey = 1) g WHERE gap IS NOT NULL;
+SELECT d.tri, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT substr(text, 1, 3) AS tri FROM documents WHERE doc_id < 150 AND length(text) >= 3) d GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1 LIMIT 12;
+SELECT CAST(SUM(CASE WHEN t.flag THEN 1 ELSE 0 END) AS BIGINT) AS n_true FROM (SELECT c_acctbal > 0 AND c_nationkey < 10 AS flag FROM customer) t;
+SELECT v.k2, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT (o_orderkey * 2654435761) % 97 AS k2 FROM orders WHERE o_orderkey < 970) v GROUP BY 1 ORDER BY 1 LIMIT 15;
+SELECT z.b, CAST(SUM(z.price) AS DECIMAL(18,2)) AS total FROM (SELECT CASE WHEN p_retailprice IS NULL THEN 'null' WHEN p_retailprice < 1200 THEN 'cheap' ELSE 'dear' END AS b, COALESCE(p_retailprice, 0) AS price FROM part) z GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(DISTINCT CAST(o_totalprice AS BIGINT) % 10) AS BIGINT) AS last_digit_kinds FROM orders WHERE o_orderkey < 500;
+SELECT m.seg, m.med FROM (SELECT c_mktsegment AS seg, CAST(median(c_acctbal) AS DECIMAL(18,2)) AS med FROM customer WHERE c_custkey < 500 GROUP BY 1) m ORDER BY m.seg;

@@ -61,6 +61,51 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(height AS BIGINT) AS n1",
             "CAST(distinct_count AS BIGINT) AS n2",
         ]),
+        # round-5 meta tables (sources/meta.py — the reference's
+        # meta_segments/meta_tables introspection surface,
+        # src/lib/utils/meta_tables/): distributed parquet-footer scan
+        # LIVE-oracled against DuckDB's parquet_metadata() over the same
+        # files, plus the .bin full-fidelity variant (exact segment byte
+        # spans + reference encoding names)
+        ("meta_seg_pq", "meta_segments_parquet", [
+            "CAST(concat(table_name, '/', file_name, ':', "
+            "CAST(chunk_id AS STRING), ':', CAST(column_id AS STRING), ':', "
+            "column_name, ':', column_data_type, ':', encoding_type, ':', "
+            "compression) AS STRING) AS grp",
+            "CAST(size_in_bytes AS DOUBLE) AS v1",
+            "CAST(uncompressed_size_in_bytes AS DOUBLE) AS v2",
+            "CAST(num_values AS BIGINT) AS n1",
+            "CAST(coalesce(null_count, -1) AS BIGINT) AS n2",
+        ]),
+        ("meta_tables_pq", "meta_tables_parquet", [
+            "CAST(table_name AS STRING) AS grp",
+            "CAST(max_chunk_size AS DOUBLE) AS v1",
+            "CAST(NULL AS DOUBLE) AS v2",
+            "CAST(row_count AS BIGINT) AS n1",
+            "CAST(chunk_count * 100000 + column_count * 100 + file_count "
+            "AS BIGINT) AS n2",
+        ]),
+        ("meta_seg_bin", "meta_segments_binary", [
+            "CAST(concat(table_name, ':', CAST(chunk_id AS STRING), ':', "
+            "CAST(column_id AS STRING), ':', column_name, ':', "
+            "column_data_type, ':', encoding_type, ':', "
+            "coalesce(vector_compression_type, '-')) AS STRING) AS grp",
+            "CAST(size_in_bytes AS DOUBLE) AS v1",
+            "CAST(NULL AS DOUBLE) AS v2",
+            "CAST(distinct_value_count AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+        ]),
+        # round-5 encoding advisor (sources/advisor.py — ChunkEncoder's
+        # per-chunk encoding choice as closed-form exact byte sizes,
+        # DuckDB replaying the formulas LIVE at any sf)
+        ("enc_advisor", "encoding_advisor", [
+            "CAST(concat(CAST(chunk_id AS STRING), ':', column_name, ':', "
+            "encoding) AS STRING) AS grp",
+            "CAST(size_in_bytes AS DOUBLE) AS v1",
+            "CAST(NULL AS DOUBLE) AS v2",
+            "CAST(CASE WHEN chosen THEN 1 ELSE 0 END AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+        ]),
     ],
     # LIKE / IS NULL + OR / IN-list scan impls (table_scan.cpp:374-455)
     "g_scan_predicates": [

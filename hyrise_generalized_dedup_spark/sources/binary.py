@@ -528,6 +528,7 @@ def write_binary(
     chunk_size: int = 65535,
     encodings: str | list[str] | None = None,
     vector_compression: str = "fixed",
+    sorted_by: list[list[tuple[int, int]]] | None = None,
 ) -> None:
     """Emit the reference binary format. ``encodings`` selects the
     segment encoding — a single name applied to every column or one name
@@ -537,7 +538,10 @@ def write_binary(
     156-170 _write_segment(ValueSegment)). Type-incompatible picks
     (FrameOfReference on non-int, FixedStringDictionary on non-string)
     fall back to unencoded, like the reference's ChunkEncoder applies
-    type-guarded specs. Verified byte-for-byte against the reference's
+    type-guarded specs. ``sorted_by`` optionally carries per-chunk sort
+    descriptors [(column_id, sort_mode)] into the chunk headers
+    (binary_writer.cpp:136-143; SortMode 0=Ascending 1=Descending,
+    types.hpp:221). Verified byte-for-byte against the reference's
     committed fixtures (tests/test_sources.py)."""
     n_rows = len(columns[0]) if columns else 0
     chunks = [
@@ -574,8 +578,15 @@ def write_binary(
     out += _pack_strings(types)
     out += bytes(bytearray(1 if x else 0 for x in nullables))
     out += _pack_strings(names)
-    for (start, n), encs in zip(chunks, chunk_encodings):
-        out += struct.pack("<II", n, 0)  # row_count, num_sorted_columns
+    if sorted_by is not None and len(sorted_by) != len(chunks):
+        raise ValueError(
+            f"sorted_by: got {len(sorted_by)} chunk descriptors for {len(chunks)} chunks"
+        )
+    for ci, ((start, n), encs) in enumerate(zip(chunks, chunk_encodings)):
+        orders = sorted_by[ci] if sorted_by is not None else []
+        out += struct.pack("<II", n, len(orders))  # row_count, num_sorted_columns
+        for col_id, mode in orders:
+            out += struct.pack("<Hi", col_id, mode)
         for ct, nullable, col, enc in zip(types, nullables, columns, encs):
             vals = col[start : start + n]
             if enc == "dictionary":

@@ -297,3 +297,299 @@ ORDER BY read_kind
 
 SOURCE_QUERIES["iceberg_pruned_reads"] = q_iceberg_pruned_reads
 SOURCE_ORACLES["iceberg_pruned_reads"] = _ICE_PRUNED_ORACLE
+
+
+_META_FIXTURE_DIR = "/tmp/gd_meta_fixture"
+
+
+def q_meta_segments_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta_segments over a parquet warehouse, LIVE-oracled by DuckDB.
+
+    Writes the deterministic two-table fixture warehouse (multi-file,
+    uneven row groups, nulls, nested list column, dictionary-off file,
+    two codecs — sources/meta.py write_meta_fixture), then runs the
+    DISTRIBUTED footer scan (mapInPandas over the file list; no data
+    pages read). The oracle is DuckDB's own ``parquet_metadata()`` over
+    the same files, so every reported field — encodings, codec, value
+    and null censuses, compressed/uncompressed byte spans — is checked
+    against an independent engine's reading of the same footers
+    (reference surface: meta_segments_table.cpp:9-21).
+    """
+    from .meta import parquet_segments, write_meta_fixture
+
+    write_meta_fixture(_META_FIXTURE_DIR)
+    return parquet_segments(spark, _META_FIXTURE_DIR).orderBy(
+        "table_name", "file_name", "chunk_id", "column_id"
+    )
+
+
+_META_SEGMENTS_ORACLE = f"""
+SELECT regexp_extract(file_name, '.*/([^/]+)/[^/]+$', 1) AS table_name,
+       regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+       CAST(row_group_id AS INT) AS chunk_id,
+       CAST(column_id AS INT) AS column_id,
+       replace(path_in_schema, ', ', '.') AS column_name,
+       type AS column_data_type,
+       array_to_string(list_sort(list_distinct(string_split(encodings, ', '))), ',')
+         AS encoding_type,
+       compression,
+       num_values,
+       stats_null_count AS null_count,
+       total_compressed_size AS size_in_bytes,
+       total_uncompressed_size AS uncompressed_size_in_bytes,
+       row_group_num_rows AS row_count
+FROM parquet_metadata('{_META_FIXTURE_DIR}/*/*.parquet')
+ORDER BY table_name, file_name, chunk_id, column_id
+"""
+
+
+def q_meta_tables_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta_tables over the same fixture warehouse (meta_tables_table
+    .cpp:8-12): per-table column/row/chunk/file censuses aggregated from
+    the distributed footer scan, with DuckDB aggregating its own
+    ``parquet_metadata()`` as the oracle."""
+    from .meta import parquet_tables, write_meta_fixture
+
+    write_meta_fixture(_META_FIXTURE_DIR)
+    return parquet_tables(spark, _META_FIXTURE_DIR)
+
+
+_META_TABLES_ORACLE = f"""
+WITH md AS (
+  SELECT regexp_extract(file_name, '.*/([^/]+)/[^/]+$', 1) AS table_name,
+         file_name, row_group_id, row_group_num_rows, column_id
+  FROM parquet_metadata('{_META_FIXTURE_DIR}/*/*.parquet')
+), rg AS (
+  SELECT DISTINCT table_name, file_name, row_group_id, row_group_num_rows FROM md
+), cols AS (
+  SELECT table_name, CAST(MAX(column_id) + 1 AS INT) AS column_count
+  FROM md GROUP BY table_name
+)
+SELECT rg.table_name,
+       cols.column_count,
+       CAST(SUM(rg.row_group_num_rows) AS BIGINT) AS row_count,
+       CAST(COUNT(*) AS INT) AS chunk_count,
+       CAST(COUNT(DISTINCT rg.file_name) AS INT) AS file_count,
+       CAST(MAX(rg.row_group_num_rows) AS BIGINT) AS max_chunk_size
+FROM rg JOIN cols ON rg.table_name = cols.table_name
+GROUP BY rg.table_name, cols.column_count
+ORDER BY rg.table_name
+"""
+
+
+# --- binary meta fixture: deterministic literals, three chunks, every
+# encoded-writer family + sort descriptors in the chunk headers ---------
+_BMETA_A = [None if i % 7 == 0 else ["aa", "bb", "cc"][i % 3] for i in range(20)]
+_BMETA_B = [1, 1, 2, 3, 5, 8, 9, 9, 4, 2, 2, 7, 1, 0, 3, 3, 5, 5, 5, 5]
+_BMETA_C = [i * 1000000007 % 97 for i in range(20)]
+_BMETA_D = [i / 4 for i in range(20)]
+_BMETA_ENCODINGS = [
+    ["dictionary", "frameofreference", "runlength", "unencoded"],
+    ["fixedstringdictionary", "dictionary", "dictionary", "runlength"],
+    ["unencoded", "runlength", "dictionary", "dictionary"],
+]
+# chunk 0 is genuinely ascending in column 1; chunk 2 is constant in
+# column 1 (Descending holds) and ascending in column 3
+_BMETA_SORTS = [[(1, 0)], [], [(1, 1), (3, 0)]]
+
+
+def _write_bmeta_fixture(path: str) -> None:
+    from .binary import write_binary
+
+    write_binary(
+        path,
+        names=["a", "b", "c", "d"],
+        types=["string", "int", "long", "double"],
+        nullables=[True, True, True, True],
+        columns=[_BMETA_A, _BMETA_B, _BMETA_C, _BMETA_D],
+        chunk_size=8,
+        encodings=_BMETA_ENCODINGS,
+        sorted_by=_BMETA_SORTS,
+    )
+
+
+def q_meta_segments_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta_segments_accurate over a reference-format .bin table: exact
+    per-segment byte spans (reconciled to the file size inside
+    scan_binary_meta), reference encoding / vector-compression names,
+    and non-null distinct counts (segment_meta_data.cpp:12-90). The
+    fixture drives every encoded-writer family across three chunks; the
+    oracle transcribes the expected rows, each independently re-derivable
+    from the byte-level layout documented in sources/binary.py (the
+    advisor's closed-form formulas reproduce every size —
+    tests/test_meta.py pins that)."""
+    import tempfile
+
+    from .meta import meta_segments_binary
+
+    path = os.path.join(tempfile.mkdtemp(prefix="gd_bmeta_"), "fixture.bin")
+    _write_bmeta_fixture(path)
+    return meta_segments_binary(spark, {"fixture": path}).orderBy(
+        "chunk_id", "column_id"
+    )
+
+
+_META_BINARY_ORACLE = """
+SELECT * FROM (VALUES
+  ('fixture', 0, 0, 'a', 'string', CAST(3 AS BIGINT), 'Dictionary', 'FixedWidthInteger1Byte', CAST(44 AS BIGINT)),
+  ('fixture', 0, 1, 'b', 'int', CAST(6 AS BIGINT), 'FrameOfReference', 'FixedWidthInteger1Byte', CAST(19 AS BIGINT)),
+  ('fixture', 0, 2, 'c', 'long', CAST(8 AS BIGINT), 'RunLength', NULL, CAST(109 AS BIGINT)),
+  ('fixture', 0, 3, 'd', 'double', CAST(8 AS BIGINT), 'Unencoded', NULL, CAST(66 AS BIGINT)),
+  ('fixture', 1, 0, 'a', 'string', CAST(3 AS BIGINT), 'FixedStringDictionary', 'FixedWidthInteger1Byte', CAST(24 AS BIGINT)),
+  ('fixture', 1, 1, 'b', 'int', CAST(6 AS BIGINT), 'Dictionary', 'FixedWidthInteger1Byte', CAST(38 AS BIGINT)),
+  ('fixture', 1, 2, 'c', 'long', CAST(8 AS BIGINT), 'Dictionary', 'FixedWidthInteger1Byte', CAST(78 AS BIGINT)),
+  ('fixture', 1, 3, 'd', 'double', CAST(8 AS BIGINT), 'RunLength', NULL, CAST(109 AS BIGINT)),
+  ('fixture', 2, 0, 'a', 'string', CAST(3 AS BIGINT), 'Unencoded', NULL, CAST(42 AS BIGINT)),
+  ('fixture', 2, 1, 'b', 'int', CAST(1 AS BIGINT), 'RunLength', NULL, CAST(14 AS BIGINT)),
+  ('fixture', 2, 2, 'c', 'long', CAST(4 AS BIGINT), 'Dictionary', 'FixedWidthInteger1Byte', CAST(42 AS BIGINT)),
+  ('fixture', 2, 3, 'd', 'double', CAST(4 AS BIGINT), 'Dictionary', 'FixedWidthInteger1Byte', CAST(42 AS BIGINT))
+) AS t(table_name, chunk_id, column_id, column_name, column_data_type,
+       distinct_value_count, encoding_type, vector_compression_type,
+       size_in_bytes)
+ORDER BY chunk_id, column_id
+"""
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChunkEncoder's encoding choice as a LIVE-oracled query.
+
+    Runs the encoding advisor (sources/advisor.py) over `documents`
+    chunked by doc_id (256 rows/chunk) on a long, a string, and an int32
+    column: for every (chunk, column) the EXACT encoded byte size every
+    applicable binary-format encoding would produce, plus the advisor's
+    pick. The DuckDB oracle replays the closed-form integer size
+    formulas from the same statistics (lag-window run counts with the
+    writer's NULL-merge rule, distinct censuses, value ranges), so the
+    whole decision surface is hash-checked at any scale factor; the
+    formulas themselves are pinned byte-for-byte against the real
+    writers in tests/test_advisor.py.
+    """
+    from .advisor import advise_encodings
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars_i")
+    )
+    return advise_encodings(
+        docs, "doc_id", 256, {"doc_id": "long", "lang": "string", "n_chars_i": "int"}
+    ).orderBy("chunk_id", "column_name", "encoding")
+
+
+_ADVISOR_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars_i,
+         CAST(FLOOR(doc_id / 256) AS BIGINT) AS chunk_id
+  FROM documents
+), lagged AS (
+  SELECT chunk_id, doc_id, lang, n_chars_i,
+    CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+         WHEN (doc_id IS NULL) <> (LAG(doc_id) OVER w IS NULL) THEN 1
+         WHEN doc_id IS NOT NULL AND doc_id IS DISTINCT FROM LAG(doc_id) OVER w THEN 1
+         ELSE 0 END AS new_doc_id,
+    CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+         WHEN (lang IS NULL) <> (LAG(lang) OVER w IS NULL) THEN 1
+         WHEN lang IS NOT NULL AND lang IS DISTINCT FROM LAG(lang) OVER w THEN 1
+         ELSE 0 END AS new_lang,
+    CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+         WHEN (n_chars_i IS NULL) <> (LAG(n_chars_i) OVER w IS NULL) THEN 1
+         WHEN n_chars_i IS NOT NULL AND n_chars_i IS DISTINCT FROM LAG(n_chars_i) OVER w THEN 1
+         ELSE 0 END AS new_nci
+  FROM base WINDOW w AS (PARTITION BY chunk_id ORDER BY doc_id)
+), stats AS (
+  SELECT chunk_id, COUNT(*) AS n,
+    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS did_nulls,
+    COUNT(DISTINCT doc_id) AS did_distinct,
+    SUM(new_doc_id) AS did_runs,
+    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+    COUNT(DISTINCT lang) AS lang_distinct,
+    SUM(new_lang) AS lang_runs,
+    COALESCE(SUM(strlen(lang)), 0) AS lang_bytes,
+    COALESCE(SUM(CASE WHEN new_lang = 1 AND lang IS NOT NULL
+                      THEN strlen(lang) END), 0) AS lang_runbytes,
+    SUM(CASE WHEN n_chars_i IS NULL THEN 1 ELSE 0 END) AS nci_nulls,
+    COUNT(DISTINCT n_chars_i) AS nci_distinct,
+    SUM(new_nci) AS nci_runs,
+    COALESCE(MAX(n_chars_i) - MIN(n_chars_i), 0) AS nci_range
+  FROM lagged GROUP BY chunk_id
+), lang_dist AS (
+  SELECT chunk_id, SUM(strlen(v)) AS lang_bytes_distinct,
+         MAX(strlen(v)) AS lang_maxlen
+  FROM (SELECT DISTINCT chunk_id, lang AS v FROM base WHERE lang IS NOT NULL)
+  GROUP BY chunk_id
+), full_stats AS (
+  SELECT stats.*, COALESCE(lang_bytes_distinct, 0) AS lang_bytes_distinct,
+         COALESCE(lang_maxlen, 0) AS lang_maxlen
+  FROM stats LEFT JOIN lang_dist USING (chunk_id)
+), sizes AS (
+  SELECT chunk_id, 'doc_id' AS column_name, 'Unencoded' AS encoding,
+         1 + 1 + CASE WHEN did_nulls > 0 THEN n ELSE 0 END + 8 * n AS size_in_bytes
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'doc_id', 'Dictionary',
+         6 + 8 * did_distinct
+           + (CASE WHEN did_distinct <= 255 THEN 1
+                   WHEN did_distinct <= 65535 THEN 2 ELSE 4 END) * n
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'doc_id', 'RunLength', 5 + 8 * did_runs + did_runs + 4 * did_runs
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'lang', 'Unencoded',
+         1 + 1 + CASE WHEN lang_nulls > 0 THEN n ELSE 0 END + 8 * n + lang_bytes
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'lang', 'Dictionary',
+         6 + 8 * lang_distinct + lang_bytes_distinct
+           + (CASE WHEN lang_distinct <= 255 THEN 1
+                   WHEN lang_distinct <= 65535 THEN 2 ELSE 4 END) * n
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'lang', 'RunLength',
+         5 + 8 * lang_runs + lang_runbytes + lang_runs + 4 * lang_runs
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'lang', 'FixedStringDictionary',
+         10 + lang_maxlen * lang_distinct
+            + (CASE WHEN lang_distinct <= 255 THEN 1
+                    WHEN lang_distinct <= 65535 THEN 2 ELSE 4 END) * n
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'n_chars_i', 'Unencoded',
+         1 + 1 + CASE WHEN nci_nulls > 0 THEN n ELSE 0 END + 4 * n
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'n_chars_i', 'Dictionary',
+         6 + 4 * nci_distinct
+           + (CASE WHEN nci_distinct <= 255 THEN 1
+                   WHEN nci_distinct <= 65535 THEN 2 ELSE 4 END) * n
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'n_chars_i', 'RunLength', 5 + 4 * nci_runs + nci_runs + 4 * nci_runs
+  FROM full_stats
+  UNION ALL
+  SELECT chunk_id, 'n_chars_i', 'FrameOfReference',
+         1 + 1 + 4 + 4 * CAST(CEIL(n / 2048.0) AS BIGINT) + 1
+           + CASE WHEN nci_nulls > 0 THEN n ELSE 0 END
+           + (CASE WHEN nci_range <= 255 THEN 1
+                   WHEN nci_range <= 65535 THEN 2 ELSE 4 END) * n
+  FROM full_stats
+)
+SELECT chunk_id, column_name, encoding, CAST(size_in_bytes AS BIGINT) AS size_in_bytes,
+       ROW_NUMBER() OVER (
+         PARTITION BY chunk_id, column_name
+         ORDER BY size_in_bytes,
+           CASE encoding WHEN 'Unencoded' THEN 1 WHEN 'Dictionary' THEN 2
+                WHEN 'RunLength' THEN 3 WHEN 'FixedStringDictionary' THEN 4
+                WHEN 'FrameOfReference' THEN 5 END
+       ) = 1 AS chosen
+FROM sizes
+ORDER BY chunk_id, column_name, encoding
+"""
+
+SOURCE_QUERIES["meta_segments_parquet"] = q_meta_segments_parquet
+SOURCE_ORACLES["meta_segments_parquet"] = _META_SEGMENTS_ORACLE
+SOURCE_QUERIES["meta_tables_parquet"] = q_meta_tables_parquet
+SOURCE_ORACLES["meta_tables_parquet"] = _META_TABLES_ORACLE
+SOURCE_QUERIES["meta_segments_binary"] = q_meta_segments_binary
+SOURCE_ORACLES["meta_segments_binary"] = _META_BINARY_ORACLE
+SOURCE_QUERIES["encoding_advisor"] = q_encoding_advisor
+SOURCE_ORACLES["encoding_advisor"] = _ADVISOR_ORACLE

@@ -63,6 +63,8 @@ HEADLINE = [
     "text_quality_classifier",
     "graph_pagerank_entities",
     "table_edc_histogram",
+    "meta_segments_sfdir",
+    "encoding_advisor",
 ]
 
 

@@ -593,3 +593,41 @@ SOURCE_QUERIES["meta_segments_binary"] = q_meta_segments_binary
 SOURCE_ORACLES["meta_segments_binary"] = _META_BINARY_ORACLE
 SOURCE_QUERIES["encoding_advisor"] = q_encoding_advisor
 SOURCE_ORACLES["encoding_advisor"] = _ADVISOR_ORACLE
+
+
+_SF_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def q_meta_segments_sfdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench surface: the distributed footer scan over the REAL sf_dir
+    warehouse (all ten tables). No static oracle can name the sf-relative
+    paths, so this registry entry is bench/pytest-facing only; the
+    identical code path is LIVE-oracled on the fixture warehouse
+    (meta_segments_parquet) and DuckDB-parity-tested on real testdata
+    files in tests/test_meta.py."""
+    from .meta import parquet_segments
+
+    return parquet_segments(spark, sf_dir, _SF_TABLES)
+
+
+SOURCE_QUERIES["meta_segments_sfdir"] = q_meta_segments_sfdir
+
+
+def q_meta_segments_accurate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta_segments_accurate over the fixture warehouse: the footer
+    surface plus EXACT per-row-group distinct counts read executor-side.
+    LIVE-parity-tested against a DuckDB file_row_number twin in
+    tests/test_meta.py (the twin needs per-file row-group sizes, which a
+    static driver oracle cannot express — registry/pytest surface)."""
+    from .meta import parquet_segments_accurate, write_meta_fixture
+
+    write_meta_fixture(_META_FIXTURE_DIR)
+    return parquet_segments_accurate(spark, _META_FIXTURE_DIR).orderBy(
+        "table_name", "file_name", "chunk_id", "column_id"
+    )
+
+
+SOURCE_QUERIES["meta_segments_accurate"] = q_meta_segments_accurate

@@ -4969,3 +4969,30 @@ SELECT v.k2, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT (o_orderkey * 2654435761
 SELECT z.b, CAST(SUM(z.price) AS DECIMAL(18,2)) AS total FROM (SELECT CASE WHEN p_retailprice IS NULL THEN 'null' WHEN p_retailprice < 1200 THEN 'cheap' ELSE 'dear' END AS b, COALESCE(p_retailprice, 0) AS price FROM part) z GROUP BY 1 ORDER BY 1;
 SELECT CAST(COUNT(DISTINCT CAST(o_totalprice AS BIGINT) % 10) AS BIGINT) AS last_digit_kinds FROM orders WHERE o_orderkey < 500;
 SELECT m.seg, m.med FROM (SELECT c_mktsegment AS seg, CAST(median(c_acctbal) AS DECIMAL(18,2)) AS med FROM customer WHERE c_custkey < 500 GROUP BY 1) m ORDER BY m.seg;
+
+-- tranche r5-ak: levenshtein/md5/bitwise ops, try_cast, ntile,
+-- grouping() rollup flags, full-outer coalesce keys, date_trunc,
+-- position/translate/lpad/repeat string shapes, scalar-subquery HAVING
+-- (dropped: SUM over CAST(double*100 AS BIGINT) — engine-dependent
+-- truncation of the double product)
+SELECT CAST(levenshtein(n1.n_name, n2.n_name) AS BIGINT) AS dist, n1.n_name AS a, n2.n_name AS b FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 6 ORDER BY 1, 2, 3 LIMIT 10;
+SELECT md5(c_name) AS h, c_custkey FROM customer WHERE c_custkey <= 5 ORDER BY c_custkey;
+SELECT CAST(SUM(o_orderkey & 15) AS BIGINT) AS and_sum, CAST(SUM(o_orderkey | 8) AS BIGINT) AS or_sum FROM orders WHERE o_orderkey < 200;
+SELECT s_suppkey, CAST(greatest(s_acctbal, 0) AS DECIMAL(18,2)) AS g, CAST(least(s_acctbal, 1000) AS DECIMAL(18,2)) AS l FROM supplier WHERE s_suppkey <= 10 ORDER BY 1;
+SELECT CAST(COUNT(NULLIF(l_returnflag, 'N')) AS BIGINT) AS n_not_n FROM lineitem WHERE l_orderkey < 400;
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 600 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT lpad(CAST(n_nationkey AS VARCHAR(4)), 4, '0') AS padded FROM nation WHERE n_nationkey < 6 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE position('BRASS' IN p_type) > 0;
+SELECT translate(c_mktsegment, 'AEIOU', 'aeiou') AS t, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(try_cast(substr(c_name, 10, 9) AS BIGINT)) AS BIGINT) AS numeric_suffixes FROM customer WHERE c_custkey < 200;
+SELECT q.tile, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(q.bal) AS DECIMAL(18,2)) AS lo FROM (SELECT ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS tile, c_acctbal AS bal FROM customer WHERE c_custkey < 200) q GROUP BY 1 ORDER BY 1;
+SELECT COALESCE(o_orderstatus, 'ALL') AS st, CAST(grouping(o_orderstatus) AS BIGINT) AS is_total, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 500 GROUP BY ROLLUP(o_orderstatus) ORDER BY 2, 1;
+SELECT chr(ascii(substr(n_name, 1, 1)) + 1) AS nxt, n_name FROM nation WHERE n_nationkey < 5 ORDER BY n_name;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey > 20);
+SELECT COALESCE(a.k, b.k) AS k, CAST(COALESCE(a.n, 0) AS BIGINT) AS from_cust, CAST(COALESCE(b.n, 0) AS BIGINT) AS from_supp FROM (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) a FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n FROM supplier GROUP BY 1) b ON a.k = b.k ORDER BY 1;
+SELECT repeat('ab', n_nationkey % 3 + 1) AS r, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY 1 ORDER BY 1;
+SELECT x FROM (SELECT c_nationkey AS x FROM customer INTERSECT SELECT s_nationkey FROM supplier) t ORDER BY 1 LIMIT 10;
+SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1 HAVING COUNT(*) > (SELECT 2) ORDER BY 2 DESC, 1 LIMIT 10;
+SELECT substr(p_type, 1, position(' ' IN p_type) - 1) AS head, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT o_orderstatus, CAST(SUM(o_totalprice) / COUNT(*) AS DECIMAL(18,4)) AS avg_price FROM orders WHERE o_orderkey < 700 GROUP BY 1 ORDER BY 1;
+SELECT e.event_type, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users, CAST(COUNT(*) AS BIGINT) AS n FROM events e WHERE e.event_id < 900 GROUP BY 1 HAVING COUNT(DISTINCT e.user_id) >= 2 ORDER BY 1;

@@ -569,9 +569,9 @@ def write_binary(
         chunk_encodings = [list(encodings)] * len(chunks)
     for encs in chunk_encodings:
         for e in encs:
-            if e not in _ENCODING_NAMES:
+            if e not in _ENCODING_NAMES and e != "auto":
                 raise ValueError(
-                    f"unknown encoding {e!r}; one of {sorted(_ENCODING_NAMES)}"
+                    f"unknown encoding {e!r}; one of {sorted(_ENCODING_NAMES)} or 'auto'"
                 )
     out = bytearray()
     out += struct.pack("<IIH", chunk_size, len(chunks), len(names))
@@ -589,6 +589,28 @@ def write_binary(
             out += struct.pack("<Hi", col_id, mode)
         for ct, nullable, col, enc in zip(types, nullables, columns, encs):
             vals = col[start : start + n]
+            if enc == "auto":
+                # advisor semantics (sources/advisor.py): smallest encoded
+                # segment wins, ties broken in encoding-id order
+                candidates = [
+                    ("unencoded", _encode_unencoded_segment(vals, ct, nullable)),
+                    ("dictionary", _encode_dictionary_segment(vals, ct, vector_compression)),
+                    ("runlength", _encode_runlength_segment(vals, ct)),
+                ]
+                if ct == "string":
+                    candidates.append((
+                        "fixedstringdictionary",
+                        _encode_dictionary_segment(
+                            vals, ct, vector_compression, fixed_string=True
+                        ),
+                    ))
+                if ct == "int":
+                    candidates.append((
+                        "frameofreference",
+                        _encode_for_segment(vals, ct, vector_compression),
+                    ))
+                out += min(candidates, key=lambda kv: len(kv[1]))[1]
+                continue
             if enc == "dictionary":
                 out += _encode_dictionary_segment(vals, ct, vector_compression)
             elif enc == "fixedstringdictionary" and ct == "string":

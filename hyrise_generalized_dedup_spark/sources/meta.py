@@ -554,6 +554,32 @@ def write_meta_fixture(root: str) -> None:
     )
 
 
+def meta_settings(spark: SparkSession) -> DataFrame:
+    """meta_settings (meta_settings_table.cpp:8-11): the engine's
+    configuration surface as a queryable table — here, the live Spark
+    conf (the Spark-native analog of the reference's setting registry).
+    Values are session state, so this surface is pytest-shape-checked,
+    not value-oracled."""
+    rows = sorted((k, v) for k, v in spark.sparkContext.getConf().getAll())
+    return spark.createDataFrame(
+        [(k, v, "") for k, v in rows], "name string, value string, description string"
+    )
+
+
+def meta_system_information(spark: SparkSession) -> DataFrame:
+    """meta_system_information (meta_system_information_table.cpp:17-19:
+    cpu_count / ram / hostname): the driver-visible execution substrate —
+    default parallelism, executor census from the status tracker, and
+    JVM max memory."""
+    sc = spark.sparkContext
+    jvm_max = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    n_exec = len(sc._jsc.sc().statusTracker().getExecutorInfos())
+    return spark.createDataFrame(
+        [(sc.defaultParallelism, n_exec, jvm_max, sc.master)],
+        "cpu_count int, executor_count int, jvm_max_memory_bytes bigint, master string",
+    )
+
+
 def parquet_columns(
     spark: SparkSession, root: str, tables: list[str] | None = None
 ) -> DataFrame:

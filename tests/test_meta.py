@@ -263,3 +263,59 @@ def test_parquet_segments_accurate_distincts_vs_duckdb(spark, fixture_dir):
             assert [int(x) for x in got["distinct_value_count"]] == [r[1] for r in ora], (
                 fname, col,
             )
+
+
+def test_meta_settings_and_system_information(spark):
+    s = M.meta_settings(spark)
+    assert [f.name for f in s.schema.fields] == ["name", "value", "description"]
+    names = [r["name"] for r in s.collect()]
+    assert "spark.master" in names and names == sorted(names)
+    info = M.meta_system_information(spark).collect()[0]
+    assert info["cpu_count"] >= 1 and info["jvm_max_memory_bytes"] > 0
+    assert info["master"].startswith("local")
+
+
+def test_write_binary_auto_picks_min_and_roundtrips(spark, tmp_path):
+    """encodings='auto' picks the byte-minimal segment per (chunk,
+    column) — never larger than any fixed whole-table choice — and the
+    data round-trips."""
+    cols = {
+        "s": [None if i % 6 == 0 else f"v{i % 3}" for i in range(40)],
+        "vi": [10_000_000 + (i % 5) for i in range(40)],
+        "vl": [i * 10**9 for i in range(40)],
+    }
+    names, types = ["s", "vi", "vl"], ["string", "int", "long"]
+    nullables = [True, False, False]
+    values = [cols["s"], cols["vi"], cols["vl"]]
+
+    def size_of(enc):
+        path = str(tmp_path / f"{enc}.bin")
+        B.write_binary(path, names, types, nullables, values, chunk_size=16,
+                       encodings=enc)
+        return os.path.getsize(path)
+
+    auto = size_of("auto")
+    for fixed in ["unencoded", "dictionary", "runlength"]:
+        assert auto <= size_of(fixed), fixed
+    back = B.read_binary(str(tmp_path / "auto.bin"))
+    assert back.columns[0] == cols["s"] and back.columns[1] == cols["vi"]
+    # auto's per-segment choices match the advisor's chosen encodings
+    meta = M.scan_binary_meta(str(tmp_path / "auto.bin"))
+    from hyrise_generalized_dedup_spark.sources.advisor import advise_encodings
+
+    df = spark.createDataFrame(
+        list(zip(range(40), cols["s"], cols["vi"], cols["vl"])),
+        "rid bigint, s string, vi int, vl bigint",
+    )
+    adv = advise_encodings(
+        df, "rid", 16, {"s": "string", "vi": "int", "vl": "long"},
+        nullable={"s": True, "vi": False, "vl": False},
+    ).toPandas()
+    chosen = {
+        (int(r.chunk_id), r.column_name): r.encoding
+        for r in adv[adv.chosen].itertuples(index=False)
+    }
+    for seg in meta.segments:
+        assert seg.encoding_type == chosen[(seg.chunk_id, seg.column_name)], (
+            seg.chunk_id, seg.column_name,
+        )

@@ -172,6 +172,19 @@ AUDITS = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
     ),
+    # round-5 meta tables: the footer scan is the file list -> one
+    # Arrow-batched map stage — no shuffle, no join, no data pages
+    "meta_segments_sfdir": (
+        ["MapInPandas"],
+        ["Exchange hashpartitioning", "SortMergeJoin", "BroadcastHashJoin",
+         "CartesianProduct"],
+    ),
+    # round-5 encoding advisor: pure JVM Column exprs (lag window over
+    # chunk_id + bounded aggs); zero Python stages, no cartesian joins
+    "encoding_advisor": (
+        ["Window", "HashAggregate"],
+        ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

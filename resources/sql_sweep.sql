@@ -4996,3 +4996,28 @@ SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_orderkey <
 SELECT substr(p_type, 1, position(' ' IN p_type) - 1) AS head, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY 1 LIMIT 12;
 SELECT o_orderstatus, CAST(SUM(o_totalprice) / COUNT(*) AS DECIMAL(18,4)) AS avg_price FROM orders WHERE o_orderkey < 700 GROUP BY 1 ORDER BY 1;
 SELECT e.event_type, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users, CAST(COUNT(*) AS BIGINT) AS n FROM events e WHERE e.event_id < 900 GROUP BY 1 HAVING COUNT(DISTINCT e.user_id) >= 2 ORDER BY 1;
+
+-- tranche r5-al: unbounded-frame first/last/nth_value, dense_rank
+-- censuses, concat_ws/split_part, double NOT EXISTS, date+INTERVAL,
+-- CASE-in-GROUP-BY, rolling-frame AVG, correlated scalar counts,
+-- lag-gap first-event census, nested MAX-of-COUNT
+SELECT q.seg, q.first_bal, q.last_bal FROM (SELECT DISTINCT c_mktsegment AS seg, CAST(first_value(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2)) AS first_bal, CAST(last_value(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2)) AS last_bal FROM customer WHERE c_custkey < 300) q ORDER BY q.seg;
+SELECT p.p_brand, CAST(nth_value(p_retailprice, 2) OVER (PARTITION BY p_brand ORDER BY p_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2)) AS second_price, p.p_partkey FROM part p WHERE p.p_partkey <= 40 ORDER BY p.p_brand, p.p_partkey LIMIT 15;
+SELECT d.r, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT dense_rank() OVER (ORDER BY o_orderstatus) AS r FROM orders WHERE o_orderkey < 300) d GROUP BY 1 ORDER BY 1;
+SELECT concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR(4))) AS tag FROM nation WHERE n_nationkey < 6 ORDER BY 1;
+SELECT split_part(p_type, ' ', 2) AS mid, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT CAST(COUNT(*) AS BIGINT) AS lonely FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey = 0);
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderdate + INTERVAL '90' DAY < DATE '1995-01-01' AND o_orderkey < 2000;
+SELECT CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END AS band, CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS q FROM lineitem WHERE l_orderkey < 500 GROUP BY CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END ORDER BY 1;
+SELECT reverse(n_name) AS rev FROM nation WHERE n_nationkey < 5 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey WHERE a.s_suppkey <= 40 AND b.s_suppkey <= 40;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_orderkey < 200) OR p.p_size > 48;
+SELECT t.k, CAST(t.m AS DECIMAL(18,2)) AS m FROM (SELECT o_orderkey AS k, AVG(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m FROM orders WHERE o_orderkey < 60) t ORDER BY t.k;
+SELECT u.v, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation UNION ALL SELECT s_suppkey FROM supplier WHERE s_suppkey < 10) u GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1;
+SELECT l_linestatus, CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS mn FROM lineitem WHERE l_orderkey < 300 GROUP BY 1 HAVING MIN(l_quantity) <= 5 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE CAST(ts AS DATE) IN (SELECT MIN(CAST(ts AS DATE)) FROM events);
+SELECT n_name, CAST((SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS BIGINT) AS n_supp FROM nation n WHERE n_nationkey < 10 ORDER BY n_name;
+SELECT CAST(SUM((l_partkey % 7) * (l_suppkey % 5) + l_linenumber) AS BIGINT) AS mix FROM lineitem WHERE l_orderkey < 250;
+SELECT CAST(COUNT(DISTINCT substr(c_name, 10, 3)) AS BIGINT) AS prefixes FROM customer WHERE c_custkey < 300;
+SELECT CAST(COUNT(*) AS BIGINT) AS first_events FROM (SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events WHERE user_id < 20) g WHERE gap IS NULL;
+SELECT CAST(MAX(cnt) AS BIGINT) AS peak FROM (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey) t;

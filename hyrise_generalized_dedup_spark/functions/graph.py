@@ -191,3 +191,103 @@ def pagerank_oracle_sql(iters: int = ITERS) -> str:
            d AS degree, r AS rank
     FROM r{iters}"""
     )
+
+
+# --- exact triangle census ----------------------------------------------
+#
+# Clique-density analytics over entity / similarity graphs (the
+# transitivity check for dedup cluster QA: near-dup graphs whose
+# components are triangle-dense are clique-like; sparse components are
+# chains worth re-verifying). Degree-orientation algorithm (Suri &
+# Vassilvitskii 2011; Cohen 2009 — the standard distributed pattern):
+# orient every undirected edge from its (degree, id)-smaller endpoint to
+# the larger, bounding every out-neighborhood by O(sqrt(2m)); wedges are
+# a self-join of the oriented list on source, and a wedge (b, c) closes
+# iff the oriented edge b -> c exists. All joins are equi-joins under
+# AQE; the census is exact integers, so the driver slot is LIVE-oracled
+# (the DuckDB twin counts the same triangles by id-order 3-way join —
+# a different orientation of the SAME triangle set).
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Per-node exact triangle counts over an undirected simple graph.
+
+    ``edges``: two columns ``u, v`` (bigint); rows are deduplicated and
+    canonicalized internally, self-loops dropped. Returns
+    ``(node, n_triangles)`` for every node in at least one triangle.
+    """
+    e = (
+        edges.selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.selectExpr("u AS node")
+        .unionAll(e.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): src = smaller endpoint under that order
+    keyed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .selectExpr(
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN u ELSE v END AS src",
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN v ELSE u END AS dst",
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN du ELSE dv END AS dsrc",
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN dv ELSE du END AS ddst",
+        )
+    )
+    oriented = keyed.select("src", "dst", "dsrc", "ddst")
+    # wedges centered at src: unordered out-neighbor pairs (b, c) with
+    # (deg, id)-order b < c, so each wedge appears exactly once
+    left = oriented.selectExpr("src AS a", "dst AS b", "ddst AS db")
+    right = oriented.selectExpr("src AS a", "dst AS c", "ddst AS dc")
+    wedges = left.join(right, "a").filter(
+        F.expr("struct(db, b) < struct(dc, c)")
+    )
+    closing = oriented.selectExpr("src AS b", "dst AS c")
+    triangles = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        triangles.selectExpr("a AS node")
+        .unionAll(triangles.selectExpr("b AS node"))
+        .unionAll(triangles.selectExpr("c AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def codate_customer_edges(orders: DataFrame, max_custkey: int = 600) -> DataFrame:
+    """Deterministic demo graph for the census: customers (key below
+    ``max_custkey``) who ordered on the same date. Bounded at any scale
+    factor by C(max_custkey, 2) edges."""
+    co = (
+        orders.filter(F.col("o_custkey") < max_custkey)
+        .select("o_custkey", "o_orderdate")
+        .distinct()
+    )
+    a = co.selectExpr("o_custkey AS u", "o_orderdate AS d")
+    b = co.selectExpr("o_custkey AS v", "o_orderdate AS d")
+    return a.join(b, "d").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+
+
+def triangle_oracle_sql(max_custkey: int = 600) -> str:
+    """DuckDB twin: same graph, triangles via the id-order 3-way join."""
+    return f"""
+WITH co AS (
+  SELECT DISTINCT o_custkey, o_orderdate FROM orders
+  WHERE o_custkey < {max_custkey}
+), e AS (
+  SELECT DISTINCT a.o_custkey AS u, b.o_custkey AS v
+  FROM co a JOIN co b
+    ON a.o_orderdate = b.o_orderdate AND a.o_custkey < b.o_custkey
+), t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), nodes AS (
+  SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node ORDER BY node
+"""

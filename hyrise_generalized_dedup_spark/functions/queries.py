@@ -2862,3 +2862,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, probe_queries(docs, n_queries=8, n_terms=6), k=5)
+
+
+from .graph import triangle_oracle_sql as _triangle_oracle_sql  # noqa: E402
+
+
+@_register("graph_triangle_census", _triangle_oracle_sql())
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts (functions/graph.py) over the
+    bounded same-order-date customer graph — the degree-orientation
+    wedge-join census (Suri & Vassilvitskii 2011). Counts are exact
+    integers, so the slot is LIVE-oracled: the DuckDB twin recounts the
+    SAME triangle set via an id-order 3-way join."""
+    from .graph import codate_customer_edges, triangle_census
+
+    edges = codate_customer_edges(load_table(spark, sf_dir, "orders"))
+    return triangle_census(edges).orderBy("node")

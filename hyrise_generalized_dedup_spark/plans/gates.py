@@ -449,6 +449,14 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(n_rows AS BIGINT) AS n1",
             "CAST(sum_ids AS BIGINT) AS n2",
         ]),
+        # round-5 exact triangle census (functions/graph.py — degree-
+        # orientation wedge join, Suri & Vassilvitskii 2011): per-node
+        # counts LIVE vs a DuckDB id-order 3-way-join recount
+        ("triangles", "graph_triangle_census", [
+            "CAST(node AS BIGINT) AS k",
+            "CAST(n_triangles AS BIGINT) AS n1",
+            "CAST(NULL AS BIGINT) AS n2",
+        ]),
     ],
 }
 

@@ -509,3 +509,20 @@ def text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_key="train_id", eval_key="eval_id",
         text_col="text", threshold_pm=850,
     )
+
+
+from .allpairs import all_pairs_oracle_sql as _allpairs_oracle  # noqa: E402
+
+
+@_register("text_allpairs_jaccard", _allpairs_oracle(850))
+def text_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs token-Jaccard join (dedup/allpairs.py, Bayardo et
+    al. 2007 prefix filtering) over `documents` — LIVE-oracled against a
+    DuckDB brute-force twin that never saw the filter, so a hash-exact
+    match proves zero missed pairs and zero invented pairs at this sf."""
+    import os
+
+    from .allpairs import all_pairs_jaccard
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return all_pairs_jaccard(docs, threshold_pm=850).orderBy("doc_a", "doc_b")

@@ -362,6 +362,16 @@ MERGED_GATES: dict[str, list[Branch]] = {
             "CAST(rank AS BIGINT) AS n2",
             "CAST(NULL AS BIGINT) AS n3",
         ]),
+        # round-5 exact all-pairs Jaccard join (dedup/allpairs.py,
+        # Bayardo et al. 2007 prefix filtering): LIVE vs a DuckDB
+        # brute-force twin that never saw the filter — hash-exact means
+        # zero missed pairs, zero invented pairs
+        ("allpairs", "text_allpairs_jaccard", [
+            "CAST(doc_a * 1000000 + doc_b AS BIGINT) AS k",
+            "CAST(inter_tokens AS BIGINT) AS n1",
+            "CAST(union_tokens AS BIGINT) AS n2",
+            "CAST(jaccard_pm AS BIGINT) AS n3",
+        ]),
     ],
     # Windowed streaming jobs (both REAL readStream->sink runs with a
     # batch-recomputed DuckDB oracle): event-window aggregation + the

@@ -5021,3 +5021,29 @@ SELECT CAST(SUM((l_partkey % 7) * (l_suppkey % 5) + l_linenumber) AS BIGINT) AS 
 SELECT CAST(COUNT(DISTINCT substr(c_name, 10, 3)) AS BIGINT) AS prefixes FROM customer WHERE c_custkey < 300;
 SELECT CAST(COUNT(*) AS BIGINT) AS first_events FROM (SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events WHERE user_id < 20) g WHERE gap IS NULL;
 SELECT CAST(MAX(cnt) AS BIGINT) AS peak FROM (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey) t;
+
+-- tranche r5-am: FILTER clause aggregates, GROUP BY ALL, boolean
+-- aggregates, EXISTS-in-CASE, grouped-HAVING correlated EXISTS,
+-- LIMIT OFFSET, explicit CROSS JOIN, IN (ordered LIMIT subquery),
+-- window min/max ranges, YEAR*100+MONTH censuses
+-- (dropped: lag(...) IGNORE NULLS — DuckDB parser rejects the
+-- inline IGNORE NULLS syntax)
+SELECT o_orderstatus, CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS big, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 900 GROUP BY 1 ORDER BY 1;
+SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS q FROM lineitem WHERE l_orderkey < 400 GROUP BY ALL ORDER BY 1, 2;
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS p, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS s FROM lineitem WHERE l_orderkey < 600;
+SELECT c_mktsegment, bool_and(c_acctbal > -1000) AS all_ok, bool_or(c_acctbal > 9000) AS any_big FROM customer GROUP BY 1 ORDER BY 1;
+SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5 OFFSET 7;
+SELECT n_name, CASE WHEN EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000) THEN 'rich' ELSE 'plain' END AS tag FROM nation n WHERE n_nationkey < 8 ORDER BY n_name;
+SELECT l_orderkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS s FROM lineitem WHERE l_orderkey < 800 GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) >= 3 ORDER BY 1 LIMIT 12;
+SELECT CAST(COUNT(*) AS BIGINT) AS combos FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s;
+SELECT CAST(MAX(y.s) AS DECIMAL(18,2)) AS mx FROM (SELECT x.g, SUM(x.b) AS s FROM (SELECT c_nationkey % 5 AS g, c_acctbal AS b FROM customer) x GROUP BY 1) y;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer ORDER BY c_acctbal DESC LIMIT 10);
+SELECT CAST(COUNT(*) AS BIGINT) AS heavy_parts FROM part p WHERE EXISTS (SELECT l_partkey FROM lineitem l WHERE l.l_partkey = p.p_partkey GROUP BY l_partkey HAVING SUM(l.l_quantity) > 200);
+SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY 1;
+SELECT t.seg, t.rng FROM (SELECT DISTINCT c_mktsegment AS seg, CAST(MAX(c_custkey) OVER (PARTITION BY c_mktsegment) - MIN(c_custkey) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS rng FROM customer WHERE c_custkey < 250) t ORDER BY t.seg;
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 400 GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_orderkey < 100);
+SELECT rpad(substr(n_name, 1, 3), 6, '.') AS p FROM nation WHERE n_nationkey < 5 ORDER BY 1;
+SELECT o_custkey, CAST(any_value(o_custkey % 7) AS BIGINT) AS cmod, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey < 15 GROUP BY 1 ORDER BY 1;
+SELECT 'orders' AS src, CAST(COUNT(*) AS BIGINT) AS n FROM orders UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem ORDER BY src;

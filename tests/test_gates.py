@@ -70,6 +70,7 @@ def test_golden_merged_gate_shape(spark, sf_tiny):
         "repo_census",
         "zorder",
         "iceberg_pruned",
+        "triangles",
     }
     assert {c for c in rows[0].asDict()} == {"gate_op", "k", "n1", "n2"}
 

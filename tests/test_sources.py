@@ -250,6 +250,8 @@ def test_binary_gate_matches_duckdb(spark, sf_tiny):
     from hyrise_generalized_dedup_spark.testing import compare_to_duckdb
 
     for name, fn in SOURCE_QUERIES.items():
+        if name not in SOURCE_ORACLES:
+            continue  # bench/pytest-only registry entries (e.g. sf-dir meta scan)
         ok, msg = compare_to_duckdb(fn(spark, sf_tiny), SOURCE_ORACLES[name], sf_tiny)
         assert ok, f"{name}: {msg}"
 

@@ -5047,3 +5047,51 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier WHERE s_suppkey NOT IN (SELEC
 SELECT rpad(substr(n_name, 1, 3), 6, '.') AS p FROM nation WHERE n_nationkey < 5 ORDER BY 1;
 SELECT o_custkey, CAST(any_value(o_custkey % 7) AS BIGINT) AS cmod, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey < 15 GROUP BY 1 ORDER BY 1;
 SELECT 'orders' AS src, CAST(COUNT(*) AS BIGINT) AS n FROM orders UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem ORDER BY src;
+
+-- tranche r5-an: shifted-key equi-joins, EXISTS+NOT-EXISTS conjunction,
+-- integer percent-of-total, lead() defaults, self-EXCEPT empties,
+-- overlapping-range UNION dedup, HAVING with OR, ORDER BY agg DESC
+-- tie-broken, nested-EXISTS scalar counts, sum-of-squared group sizes,
+-- adjacent-key region peers (empty-result shape)
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem a JOIN orders b ON a.l_orderkey = b.o_orderkey + 1 WHERE b.o_orderkey < 300;
+SELECT t.grp, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 'industrial' ELSE 'other' END AS grp FROM customer) t GROUP BY 1 ORDER BY 1;
+SELECT q.seg, q.rnk FROM (SELECT c_mktsegment AS seg, RANK() OVER (ORDER BY SUM(c_acctbal) DESC, c_mktsegment) AS rnk FROM customer GROUP BY c_mktsegment) q ORDER BY q.rnk;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P');
+SELECT n_regionkey, CAST(100 * COUNT(*) / (SELECT COUNT(*) FROM nation) AS BIGINT) AS pct FROM nation GROUP BY 1 ORDER BY 1;
+SELECT t.k, t.nxt FROM (SELECT n_nationkey AS k, lead(n_nationkey, 1, -1) OVER (ORDER BY n_nationkey) AS nxt FROM nation WHERE n_nationkey < 6) t ORDER BY t.k;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT r_regionkey FROM region EXCEPT SELECT r_regionkey FROM region) t;
+SELECT x FROM (SELECT c_nationkey AS x FROM customer WHERE c_custkey < 50 UNION SELECT c_nationkey FROM customer WHERE c_custkey BETWEEN 25 AND 75) u ORDER BY 1 LIMIT 12;
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 900 GROUP BY 1 HAVING COUNT(*) > 50 OR MIN(o_totalprice) < 10000 ORDER BY 1;
+SELECT p_size / 10 AS band, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 5;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier WHERE s_suppkey > (SELECT MIN(s_suppkey) + 5 FROM supplier);
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderdate BETWEEN DATE '1994-03-01' AND DATE '1994-06-30';
+SELECT l_returnflag, CASE WHEN SUM(l_quantity) > 500 THEN 'hi' ELSE 'lo' END AS vol FROM lineitem WHERE l_orderkey < 300 GROUP BY 1 ORDER BY 1;
+SELECT n_name FROM nation n WHERE (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_orderkey < 150)) >= 1 ORDER BY n_name LIMIT 10;
+SELECT e.event_type, CAST(MIN(e.event_id) AS BIGINT) AS first_id, CAST(MAX(e.event_id) AS BIGINT) AS last_id FROM events e GROUP BY 1 ORDER BY 1;
+SELECT d.lang, CAST(SUM(CASE WHEN d.n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS longdocs FROM documents d GROUP BY 1 HAVING SUM(CASE WHEN d.n_chars > 300 THEN 1 ELSE 0 END) > 0 ORDER BY 1;
+SELECT CAST(SUM(sub.cnt * sub.cnt) AS BIGINT) AS sq FROM (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey) sub;
+SELECT a.n_name, b.n_name AS peer FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey + 1 = b.n_nationkey WHERE a.n_nationkey < 10 ORDER BY 1;
+
+-- tranche r5-ao: day-of-month week buckets, derived-count joins,
+-- ROW_NUMBER top-1-per-group sums, correlated scalar counts per region,
+-- UNION-with-total rollups, MAX-size subquery keys, lag gap censuses,
+-- per-source doc rollups, FILTER neg/pos splits, argmax-by-count HAVING
+-- (dropped: CAST(double AS BIGINT) bucketing — DuckDB rounds, Spark
+-- truncates)
+SELECT w.wk, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) / 7 AS wk FROM orders WHERE o_orderkey < 500) w GROUP BY 1 ORDER BY 1;
+SELECT s.s_name, c.cnt FROM supplier s JOIN (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem WHERE l_orderkey < 400 GROUP BY 1) c ON c.l_suppkey = s.s_suppkey WHERE s.s_suppkey <= 12 ORDER BY s.s_name;
+SELECT CAST(SUM(CASE WHEN t.r = 1 THEN t.price ELSE 0 END) AS DECIMAL(18,2)) AS top_per_status FROM (SELECT o_totalprice AS price, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS r FROM orders WHERE o_orderkey < 600) t;
+SELECT v.band, CAST(COUNT(DISTINCT v.sup) AS BIGINT) AS sups FROM (SELECT l_quantity / 10 AS band, l_suppkey AS sup FROM lineitem WHERE l_orderkey < 700) v GROUP BY 1 ORDER BY 1;
+SELECT r_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS nations FROM region r ORDER BY r_name;
+SELECT u.st, CAST(u.n AS BIGINT) AS n FROM (SELECT o_orderstatus AS st, COUNT(*) AS n FROM orders GROUP BY 1 UNION ALL SELECT 'TOTAL', COUNT(*) FROM orders) u ORDER BY u.st;
+SELECT x.pk FROM (SELECT p_partkey AS pk FROM part WHERE p_size = (SELECT MAX(p_size) FROM part)) x ORDER BY x.pk LIMIT 8;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gap_orders FROM (SELECT o_orderkey, lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev FROM orders WHERE o_orderkey < 2000) g WHERE g.prev IS NOT NULL AND g.o_orderkey - g.prev > 3;
+SELECT t.mod3, CAST(MAX(t.len) AS BIGINT) AS longest FROM (SELECT doc_id % 3 AS mod3, length(text) AS len FROM documents WHERE doc_id < 200) t GROUP BY 1 ORDER BY 1;
+SELECT c.c_mktsegment, CAST(COUNT(*) FILTER (WHERE c.c_acctbal < 0) AS BIGINT) AS neg, CAST(COUNT(*) FILTER (WHERE c.c_acctbal >= 0) AS BIGINT) AS pos FROM customer c GROUP BY 1 ORDER BY 1;
+SELECT q.k FROM (SELECT l_orderkey AS k FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) = (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey) m)) q ORDER BY q.k LIMIT 10;
+SELECT CAST(COUNT(*) AS BIGINT) AS mixed_case FROM part WHERE lower(p_type) <> p_type AND upper(p_type) <> p_type;
+SELECT e.user_id, CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS kinds FROM events e WHERE e.user_id < 12 GROUP BY 1 HAVING COUNT(DISTINCT e.event_type) >= 3 ORDER BY 1;
+SELECT n1.n_name FROM nation n1 WHERE n1.n_nationkey IN (SELECT n2.n_nationkey FROM nation n2 WHERE n2.n_regionkey = n1.n_regionkey AND n2.n_nationkey <> n1.n_nationkey UNION SELECT 0) ORDER BY 1 LIMIT 10;
+SELECT CAST(COUNT(*) AS BIGINT) AS palindrome_free FROM nation WHERE n_name <> reverse(n_name);
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_brand IS NOT NULL AND p_size BETWEEN 10 AND 20 AND p_type NOT LIKE '%BRASS%';
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(d.n_chars) AS BIGINT) AS chars FROM documents d GROUP BY d.source ORDER BY 1;

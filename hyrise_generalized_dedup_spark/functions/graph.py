@@ -291,3 +291,43 @@ WITH co AS (
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY node ORDER BY node
 """
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node, exact-integer per-mille:
+    ``coeff_pm = (1000 * 2 * triangles(n)) div (deg(n) * (deg(n) - 1))``
+    for nodes of degree >= 2 (degree-1 nodes have no wedge to close and
+    report 0). The transitivity QA companion to triangle_census — a
+    dedup cluster whose members all show coeff_pm near 1000 is
+    clique-like; low coefficients flag chain-shaped components whose
+    ends were merged through intermediates."""
+    e = (
+        edges.selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.selectExpr("u AS node")
+        .unionAll(e.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_census(e)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(1000 * 2 * coalesce(n_triangles, 0))"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("coeff_pm"),
+        )
+    )

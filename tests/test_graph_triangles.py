@@ -87,3 +87,38 @@ def test_triangle_plan_no_cartesian(spark):
     df = spark.range(100).selectExpr("id AS u", "id % 37 AS v")
     plan = triangle_census(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clustering_coefficients_exact(spark):
+    from hyrise_generalized_dedup_spark.functions.graph import (
+        clustering_coefficients,
+    )
+
+    # triangle 0-1-2 plus pendant 2-3: nodes 0,1 close their only wedge
+    # (coeff 1000); node 2 has degree 3 -> 2*1/(3*2) = 333; node 3 deg 1
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "u bigint, v bigint"
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coeff_pm"])
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got == {
+        0: (2, 1, 1000),
+        1: (2, 1, 1000),
+        2: (3, 1, 333),
+        3: (1, 0, 0),
+    }
+
+
+def test_clustering_coefficients_clique_is_1000(spark):
+    from hyrise_generalized_dedup_spark.functions.graph import (
+        clustering_coefficients,
+    )
+
+    k = 6
+    clique = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    rows = clustering_coefficients(
+        spark.createDataFrame(clique, "u bigint, v bigint")
+    ).collect()
+    assert all(r["coeff_pm"] == 1000 for r in rows) and len(rows) == k

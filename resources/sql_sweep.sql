@@ -5095,3 +5095,25 @@ SELECT n1.n_name FROM nation n1 WHERE n1.n_nationkey IN (SELECT n2.n_nationkey F
 SELECT CAST(COUNT(*) AS BIGINT) AS palindrome_free FROM nation WHERE n_name <> reverse(n_name);
 SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_brand IS NOT NULL AND p_size BETWEEN 10 AND 20 AND p_type NOT LIKE '%BRASS%';
 SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(d.n_chars) AS BIGINT) AS chars FROM documents d GROUP BY d.source ORDER BY 1;
+
+-- tranche r5-ap: equal-count segment self-pairs, window-in-subquery
+-- group rollups, correlated date comparisons, scalar-subquery BETWEEN
+-- bounds, VALUES-join lookups, NOT-EXISTS quantity guards, cents
+-- fixed-point sums, ntile tiers, fraction-of-corpus HAVING
+-- (dropped: '> ALL (subquery)' — Spark parser rejects ALL/ANY
+-- comparisons, the known single-engine trap)
+SELECT t.dow, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) % 7 AS dow FROM orders WHERE o_orderkey < 700) t GROUP BY 1 ORDER BY 1;
+SELECT a.seg, b.seg AS other, CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1) a JOIN (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1) b ON a.n = b.n AND a.seg < b.seg ORDER BY 1, 2;
+SELECT CAST(SUM(len_mod) AS BIGINT) AS s FROM (SELECT length(p_name) % 11 AS len_mod FROM part WHERE p_partkey < 300) t;
+SELECT v.grp, CAST(MIN(v.mn) AS DECIMAL(18,2)) AS mn, CAST(MAX(v.mx) AS DECIMAL(18,2)) AS mx FROM (SELECT s_nationkey % 4 AS grp, MIN(s_acctbal) OVER (PARTITION BY s_nationkey) AS mn, MAX(s_acctbal) OVER (PARTITION BY s_nationkey) AS mx FROM supplier) v GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l WHERE l.l_shipdate > (SELECT o.o_orderdate FROM orders o WHERE o.o_orderkey = l.l_orderkey) AND l.l_orderkey < 500;
+SELECT g.gk, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT COALESCE(NULLIF(l_returnflag, 'N'), l_linestatus) AS gk FROM lineitem WHERE l_orderkey < 400) g GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_between FROM customer WHERE c_acctbal BETWEEN (SELECT MIN(s_acctbal) FROM supplier) AND (SELECT MAX(s_acctbal) FROM supplier);
+SELECT w.b, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(n_chars AS BIGINT) / 100 AS b FROM documents WHERE lang = 'en') w GROUP BY 1 ORDER BY 1 LIMIT 12;
+SELECT t.flag, CAST(SUM(t.qty) AS DECIMAL(18,2)) AS q FROM (SELECT l_returnflag AS flag, l_quantity AS qty FROM lineitem WHERE l_orderkey < 200 UNION ALL SELECT l_returnflag, -l_quantity FROM lineitem WHERE l_orderkey < 100) t GROUP BY 1 ORDER BY 1;
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey WHERE l.l_orderkey < 250 GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 8;
+SELECT x.k, x.v FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS x(k, v) JOIN region r ON r.r_regionkey = x.k ORDER BY x.k;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) AND o.o_orderkey < 900;
+SELECT s.s_nationkey, CAST(SUM(CAST(s.s_acctbal * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents FROM supplier s GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT ntile(3) OVER (ORDER BY o_totalprice, o_orderkey) AS tier FROM orders WHERE o_orderkey < 300) t GROUP BY 1 ORDER BY 1;
+SELECT m.lang, m.n FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang) m WHERE m.n >= (SELECT CAST(COUNT(*) AS BIGINT) / 10 FROM documents) ORDER BY m.lang;

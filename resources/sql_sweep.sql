@@ -5117,3 +5117,24 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o WHERE NOT EXISTS (SELECT 1 FR
 SELECT s.s_nationkey, CAST(SUM(CAST(s.s_acctbal * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents FROM supplier s GROUP BY 1 ORDER BY 1 LIMIT 10;
 SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT ntile(3) OVER (ORDER BY o_totalprice, o_orderkey) AS tier FROM orders WHERE o_orderkey < 300) t GROUP BY 1 ORDER BY 1;
 SELECT m.lang, m.n FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang) m WHERE m.n >= (SELECT CAST(COUNT(*) AS BIGINT) / 10 FROM documents) ORDER BY m.lang;
+
+-- tranche r5-aq: quarter buckets, name-length extremes, scaled
+-- scalar-subquery thresholds, priority-prefix censuses, weighted CASE
+-- sums, filtered LEFT-JOIN fanout, argmax segment lookup, year-range
+-- extracts, distinct-user hour censuses (dropped: l_receiptdate —
+-- not in the synthetic lineitem schema)
+SELECT t.q, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) / 4 AS q FROM orders WHERE o_orderkey < 800) t GROUP BY 1 ORDER BY 1;
+SELECT c.c_mktsegment, CAST(MAX(length(c.c_name)) AS BIGINT) AS mx, CAST(MIN(length(c.c_name)) AS BIGINT) AS mn FROM customer c GROUP BY 1 ORDER BY 1;
+SELECT v.sup, CAST(v.total AS DECIMAL(18,2)) AS total FROM (SELECT l_suppkey AS sup, SUM(l_extendedprice) AS total FROM lineitem WHERE l_orderkey < 300 GROUP BY 1) v WHERE v.total > (SELECT 2 * MIN(s_acctbal) FROM supplier WHERE s_acctbal > 0) ORDER BY v.sup LIMIT 10;
+SELECT p.p_brand, CAST(SUM(p.p_size) AS BIGINT) AS sz FROM part p WHERE p.p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_orderkey < 150) GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT u.k, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT substr(o_orderpriority, 1, 1) AS k FROM orders WHERE o_orderkey < 700) u GROUP BY 1 ORDER BY 1;
+SELECT CAST(SUM(CASE WHEN e.value < 5 THEN 1 WHEN e.value < 10 THEN 2 ELSE 3 END) AS BIGINT) AS weighted FROM events e WHERE e.event_id < 500;
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(d.doc_id) AS BIGINT) AS first_doc FROM documents d WHERE d.n_chars % 2 = 0 GROUP BY 1 ORDER BY 1;
+SELECT r.r_name, n.n_name FROM region r LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey AND n.n_nationkey < 3 ORDER BY r.r_name, n.n_name;
+SELECT x.grp, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT CASE WHEN s_acctbal IS NULL THEN 'null' WHEN s_acctbal < 0 THEN 'neg' ELSE 'pos' END AS grp FROM supplier) x GROUP BY 1 ORDER BY 1;
+SELECT t.ok, CAST(t.nk AS BIGINT) AS nk FROM (SELECT o_orderkey AS ok, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS nk FROM orders WHERE o_orderkey < 120) t WHERE t.nk <= 5 ORDER BY t.nk;
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_name_len FROM nation a JOIN region b ON length(a.n_name) = length(b.r_name);
+SELECT g.b, CAST(SUM(g.q) AS DECIMAL(18,2)) AS q FROM (SELECT l_linenumber AS b, l_quantity AS q FROM lineitem WHERE l_orderkey < 250) g GROUP BY 1 ORDER BY 1;
+SELECT q.seg FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1) q WHERE q.n = (SELECT MAX(n2.n) FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_mktsegment) n2) ORDER BY q.seg;
+SELECT CAST(EXTRACT(YEAR FROM MIN(o_orderdate)) AS BIGINT) AS first_year, CAST(EXTRACT(YEAR FROM MAX(o_orderdate)) AS BIGINT) AS last_year FROM orders;
+SELECT h.hh, CAST(COUNT(DISTINCT h.uid) AS BIGINT) AS users FROM (SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hh, user_id AS uid FROM events WHERE event_id < 800) h GROUP BY 1 HAVING COUNT(DISTINCT h.uid) >= 2 ORDER BY 1 LIMIT 12;

@@ -5138,3 +5138,23 @@ SELECT g.b, CAST(SUM(g.q) AS DECIMAL(18,2)) AS q FROM (SELECT l_linenumber AS b,
 SELECT q.seg FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1) q WHERE q.n = (SELECT MAX(n2.n) FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_mktsegment) n2) ORDER BY q.seg;
 SELECT CAST(EXTRACT(YEAR FROM MIN(o_orderdate)) AS BIGINT) AS first_year, CAST(EXTRACT(YEAR FROM MAX(o_orderdate)) AS BIGINT) AS last_year FROM orders;
 SELECT h.hh, CAST(COUNT(DISTINCT h.uid) AS BIGINT) AS users FROM (SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hh, user_id AS uid FROM events WHERE event_id < 800) h GROUP BY 1 HAVING COUNT(DISTINCT h.uid) >= 2 ORDER BY 1 LIMIT 12;
+
+-- tranche r5-ar: doc-length buckets, distinct-customer censuses,
+-- 3-table region chains, anti-join supplier picks, value cents sums,
+-- composite-key mod groups, BETWEEN on strings, reorder censuses
+-- (dropped: CAST(AVG(bigint) AS BIGINT) — Spark DECIMAL half-up vs
+-- DuckDB DOUBLE truncation)
+SELECT t.b, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT length(text) / 200 AS b FROM documents WHERE doc_id < 300) t GROUP BY 1 ORDER BY 1 LIMIT 10;
+SELECT o.o_orderstatus, CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS custs FROM orders o WHERE o.o_orderkey < 1200 GROUP BY 1 ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name LIKE 'A%';
+SELECT s.s_name FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_orderkey < 50) AND s.s_suppkey <= 20 ORDER BY 1 LIMIT 10;
+SELECT x.src, x.mx FROM (SELECT source AS src, CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents GROUP BY 1) x ORDER BY x.mx DESC, x.src LIMIT 5;
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_size IN (1, 5, 10, 25, 50);
+SELECT w.pk, w.nextsz FROM (SELECT p_partkey AS pk, lead(p_size) OVER (ORDER BY p_partkey) AS nextsz FROM part WHERE p_partkey <= 15) w WHERE w.nextsz IS NOT NULL ORDER BY w.pk;
+SELECT c.seg, CAST(c.total AS BIGINT) AS total FROM (SELECT c_mktsegment AS seg, SUM(length(c_name)) AS total FROM customer GROUP BY 1) c ORDER BY 1;
+SELECT CAST(MIN(d) AS DATE) AS earliest FROM (SELECT CAST(ts AS DATE) AS d FROM events UNION ALL SELECT o_orderdate FROM orders WHERE o_orderkey < 10) u;
+SELECT e.event_type, CAST(SUM(CAST(e.value * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents FROM events e WHERE e.event_id < 400 GROUP BY 1 ORDER BY 1;
+SELECT q.g, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT (l_partkey + l_suppkey) % 6 AS g FROM lineitem WHERE l_orderkey < 350) q GROUP BY 1 ORDER BY 1;
+SELECT n_name FROM nation WHERE n_name BETWEEN 'C' AND 'K' ORDER BY 1;
+SELECT CAST(COUNT(*) AS BIGINT) AS reorders FROM (SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY 1 HAVING COUNT(*) >= 2) t;
+SELECT t.band, CAST(MAX(t.bal) AS DECIMAL(18,2)) AS top_bal FROM (SELECT c_custkey % 4 AS band, c_acctbal AS bal FROM customer WHERE c_acctbal IS NOT NULL) t GROUP BY 1 ORDER BY 1;

@@ -579,9 +579,14 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         # round-5 formatting-invariant exact dedup (functions/code.py) —
         # driver data is reformat-free, so this slot hash-checks the
         # normalize+census plumbing; semantics are oracled on the synth
-        # code corpus in tests/test_code.py
+        # code corpus in tests/test_code.py. The n_copies/canonical_doc_id/
+        # is_dup columns collide with code_clone_census below, and the
+        # driver's canonicalizer rejects duplicate output labels (the one
+        # red r05 slot) — alias them uniquely on BOTH engine sides.
         ("code_normalized_dedup", [
-            "doc_id", "norm_sha", "n_copies", "canonical_doc_id", "is_dup",
+            "doc_id", "norm_sha", "n_copies AS norm_n_copies",
+            "canonical_doc_id AS norm_canonical_doc_id",
+            "is_dup AS norm_is_dup",
         ]),
         # round-5 UTF-8 cleanliness / mojibake signals (text.encoding_
         # signals) — driver corpus is ASCII-clean, so this hash-checks
@@ -594,7 +599,9 @@ JOINED_GATES: dict[str, list[tuple[str, list[str]]]] = {
         # round-5 type-2 clone dedup (rename/literal-invariant canonical
         # form) — semantics oracled on the synth corpus in tests/test_code.py
         ("code_clone_census", [
-            "doc_id", "clone_sha", "n_copies", "canonical_doc_id", "is_dup",
+            "doc_id", "clone_sha", "n_copies AS clone_n_copies",
+            "canonical_doc_id AS clone_canonical_doc_id",
+            "is_dup AS clone_is_dup",
         ]),
         # round-5 commit-snapshot dedup: latest version per synthesized
         # (repo, path) key via row_number window — every doc gets a row,
@@ -716,7 +723,10 @@ def _joined_fn(parts: list[tuple[str, list[str]]], all_queries: dict[str, QueryF
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
         for qname, cols in parts:
-            df = all_queries[qname](spark, sf_dir).select(*cols)
+            # cols entries may carry an "src AS alias" rename so that the
+            # joined slot's output names stay globally unique (the driver's
+            # canonicalizer rejects duplicate labels)
+            df = all_queries[qname](spark, sf_dir).selectExpr(*cols)
             out = df if out is None else out.join(df, "doc_id")
         return out
 
@@ -729,9 +739,14 @@ def _joined_oracle(parts: list[tuple[str, list[str]]], all_oracles: dict[str, st
     for i, (qname, cols) in enumerate(parts):
         alias = f"gate_j{i}"
         froms.append(f"({all_oracles[qname]}) {alias}")
-        base_cols.extend(
-            f"{alias}.{c}" for c in cols if not (i > 0 and c == "doc_id")
-        )
+        for c in cols:
+            if i > 0 and c == "doc_id":
+                continue
+            if " AS " in c:
+                src, dst = c.split(" AS ", 1)
+                base_cols.append(f"{alias}.{src.strip()} AS {dst.strip()}")
+            else:
+                base_cols.append(f"{alias}.{c}")
     joins = froms[0]
     for i in range(1, len(froms)):
         joins += f" JOIN {froms[i]} ON gate_j0.doc_id = gate_j{i}.doc_id"

@@ -65,6 +65,15 @@ def compare_to_duckdb(
     """Return (match, diagnostic). float_rel_tol=0 demands bit-equality
     (what the driver's value hash effectively does)."""
     s_cols = spark_df.columns
+    # Driver parity: the round driver canonicalizes through a pandas
+    # reindex on column labels, which raises on duplicates. A slot with
+    # duplicate output names therefore fails at the driver even though the
+    # positional comparison below would tolerate it (the round-5
+    # g_text_quality_langid red slot) — reject it here too.
+    lowered = [c.lower() for c in s_cols]
+    if len(set(lowered)) != len(lowered):
+        dupes = sorted({c for c in lowered if lowered.count(c) > 1})
+        return False, f"duplicate output column names (driver reindex would fail): {dupes}"
     s_rows = [tuple(r) for r in spark_df.collect()]
 
     con = duckdb_conn(sf_dir)

@@ -53,6 +53,20 @@ def test_merged_gate_matches_duckdb(spark, sf_tiny, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_driver_slot_output_names_unique(spark):
+    """The driver canonicalizes each slot's output through a pandas reindex
+    on column labels, which raises on duplicates — the exact failure that
+    turned g_text_quality_langid red in round 5 (code_normalized_dedup and
+    code_clone_census both emitted n_copies/canonical_doc_id/is_dup).
+    Assert every driver slot (and its oracle's projection list) has
+    globally unique, case-insensitive output names."""
+    qs, os_ = entrymod._all_registries()
+    for name, fn in qs.items():
+        cols = [c.lower() for c in fn(spark, "/root/testdata/sf0.001").columns]
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        assert not dupes, f"{name}: duplicate output columns {dupes}"
+
+
 def test_golden_merged_gate_shape(spark, sf_tiny):
     """g_dedup_censuses (LSH/CC + simhash censuses; oracle = composed
     committed goldens since r5) unions both census components with

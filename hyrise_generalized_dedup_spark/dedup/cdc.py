@@ -108,6 +108,32 @@ def cdc_boundaries(content: bytes) -> list[int]:
     return _select_cuts(candidates, len(buf))
 
 
+def _batch_gear_hashes(blobs: list[bytes]) -> tuple[np.ndarray, list[int]]:
+    """Gear hashes for a whole batch in ONE 64-pass sweep.
+
+    Concatenates the gear-mapped byte values with a 64-entry ZERO pad
+    between docs: h_i only sees the last 64 positions, zero gear entries
+    contribute nothing, so every in-doc position's hash is bit-identical
+    to ``gear_hashes`` run on that doc alone — while the 64 shifted adds
+    run once per batch instead of once per document (the dominant cost of
+    the CDC census was numpy call overhead on per-doc 2 KB arrays).
+    Returns ``(h_all, offsets)``; doc i's hashes are
+    ``h_all[offsets[i] : offsets[i] + len(blobs[i])]``."""
+    total = sum(len(b) for b in blobs) + _WINDOW * len(blobs)
+    g = np.zeros(total, dtype=np.uint64)
+    offs: list[int] = []
+    pos = 0
+    for blob in blobs:
+        offs.append(pos)
+        if blob:
+            g[pos : pos + len(blob)] = _GEAR[np.frombuffer(blob, np.uint8)]
+        pos += len(blob) + _WINDOW
+    h = np.zeros(total, dtype=np.uint64)
+    for k in range(min(_WINDOW, total)):
+        h[k:] += g[: total - k] << np.uint64(k)
+    return h, offs
+
+
 def cdc_boundaries_oracle(content: bytes) -> list[int]:
     """Byte-at-a-time reference implementation (int arithmetic only) —
     the independent oracle the vectorized kernel is tested against."""
@@ -177,15 +203,24 @@ def cdc_chunk_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
             idxs: list[int] = []
             lens: list[int] = []
             fps: list[bytes] = []
-            for doc_id, txt in zip(pdf["doc_id"], pdf["_txt"]):
-                blob = (txt if isinstance(txt, str) else "").encode("utf-8")
+            blobs = [
+                (txt if isinstance(txt, str) else "").encode("utf-8")
+                for txt in pdf["_txt"]
+            ]
+            # one 64-pass gear sweep for the whole batch (bit-identical to
+            # per-doc cdc_boundaries — see _batch_gear_hashes)
+            h_all, offs = _batch_gear_hashes(blobs)
+            for doc_id, blob, off in zip(pdf["doc_id"], blobs, offs):
+                if not blob:
+                    continue
+                h = h_all[off : off + len(blob)]
+                candidates = np.nonzero((h & _MASK) == 0)[0]
                 start = 0
-                for j, end in enumerate(cdc_boundaries(blob)):
-                    chunk = blob[start:end]
+                for j, end in enumerate(_select_cuts(candidates, len(blob))):
                     ids.append(doc_id)
                     idxs.append(j)
                     lens.append(end - start)
-                    fps.append(hashlib.sha256(chunk).digest()[:16])
+                    fps.append(hashlib.sha256(blob[start:end]).digest()[:16])
                     start = end
             yield pd.DataFrame(
                 {"doc_id": ids, "seg_idx": idxs, "seg_len": lens, "chunk_fp": fps}

@@ -82,8 +82,12 @@ def decontaminate_table_bloom(
     same per-doc partial aggregation as the exact path. Document
     content never shuffles, and nothing string-valued is broadcast."""
     spark = docs.sparkSession
+    # token split projected separately so the gram lambda slices a
+    # materialized array (one split per doc, not per gram — text.tokens_lower)
     per_doc = docs.select(
-        "doc_id", "is_eval", T.word_ngrams(F.col("text"), n).alias("grams")
+        "doc_id", "is_eval", T.tokens_lower(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", "is_eval", T.ngrams_of_tokens(F.col("toks"), n).alias("grams")
     )
     h1c, h2c = _hash_cols(F.col("gram"))
     eval_hashes = (
@@ -92,13 +96,17 @@ def decontaminate_table_bloom(
         .distinct()
         .select(h1c.alias("h1"), h2c.alias("h2"))
     )
-    n_eval = eval_hashes.count()
+    # One evaluation of the eval subtree instead of two: collect directly
+    # and enforce the driver-collect cap on the collected length (sizes
+    # that would not even fit the collect are caught earlier by
+    # spark.driver.maxResultSize).
+    pdf = eval_hashes.toPandas()
+    n_eval = len(pdf)
     if n_eval > MAX_EVAL_GRAMS:
         raise ValueError(
             f"eval split has {n_eval} distinct grams > MAX_EVAL_GRAMS "
             f"({MAX_EVAL_GRAMS}); use the exact decontaminate_table join"
         )
-    pdf = eval_hashes.toPandas()
     packed, m = build_bloom_bits(
         pdf["h1"].to_numpy(np.int64),
         pdf["h2"].to_numpy(np.int64),

@@ -85,10 +85,24 @@ def hashed_grams(
     (multiplicities kept — the models need them). The hash is the
     cross-engine md5-prefix trick, so a DuckDB oracle reproduces every
     bucket id bit-for-bit."""
-    g = F.explode(_gram_strings(F.col(text_col))).alias("g")
+    # Token split projected first so the bigram lambda's element_at reads a
+    # materialized array (text.tokens_lower rationale); _gram_strings over
+    # the column then costs one split per doc instead of one per bigram.
+    w = F.col("__toks")
+    bigrams = F.when(
+        F.size(w) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda t, i: F.concat(t, F.lit(" "), F.element_at(w, i + 2)),
+        )
+    )
+    g = F.explode(F.concat(w, bigrams)).alias("g")
     h = F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10).cast("long")
-    return docs.select("doc_id", g).select(
-        "doc_id", (h % F.lit(buckets)).alias("bucket")
+    return (
+        docs.select("doc_id", _tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", g)
+        .select("doc_id", (h % F.lit(buckets)).alias("bucket"))
     )
 
 

@@ -61,7 +61,10 @@ def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``(doc_id, w1, w2)``, one row per bigram occurrence (duplicates kept —
     the LM needs multiplicities). Docs with < 2 tokens produce no rows.
     Pure array HOFs inside the scan stage; the explode is map-side."""
-    w = _tokens(F.col(text_col))
+    # Project the token split as its own column so the transform lambda's
+    # element_at reads a materialized array instead of re-splitting the
+    # document per element (text.tokens_lower rationale).
+    w = F.col("__toks")
     pairs = F.when(
         F.size(w) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
     ).otherwise(
@@ -70,8 +73,10 @@ def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda t, i: F.struct(t.alias("w1"), F.element_at(w, i + 2).alias("w2")),
         )
     )
-    return docs.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    return (
+        docs.select("doc_id", _tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
 

@@ -368,9 +368,13 @@ def decontaminate_table(docs: DataFrame, n: int = 5) -> DataFrame:
     Scale shape for 10^12 docs: the eval-gram set is benchmark-sized
     (tiny) -> broadcast; train grams are per-doc map work (explode inside
     the scan stage) -> broadcast-hash probe, then one partial-agg count
-    per doc_id. Document content never shuffles."""
+    per doc_id. Document content never shuffles. The token split is
+    projected separately so the gram lambda slices a materialized array
+    (one split per doc, not one per gram — see text.tokens_lower)."""
     per_doc = docs.select(
-        "doc_id", "is_eval", T.word_ngrams(F.col("text"), n).alias("grams")
+        "doc_id", "is_eval", T.tokens_lower(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", "is_eval", T.ngrams_of_tokens(F.col("toks"), n).alias("grams")
     )
     eval_grams = (
         per_doc.filter("is_eval")
@@ -757,7 +761,8 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over the bounded pair domain."""
     docs = load_table(spark, sf_dir, "documents")
     sg = (
-        docs.select("source", F.explode(T.word_ngrams(F.col("text"), 5)).alias("gram"))
+        docs.select("source", T.tokens_lower(F.col("text")).alias("toks"))
+        .select("source", F.explode(T.ngrams_of_tokens(F.col("toks"), 5)).alias("gram"))
         .distinct()
     )
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
@@ -934,9 +939,21 @@ def code_clone_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     (alpha-renamed clones collide, structural edits do not) is oracled
     on the synth code corpus in tests/test_code.py. Scale shape is
     identical to dedup_exact: one map pass + one groupBy on a 64-hex
-    key."""
+    key. The normalized-sha table is materialized to a per-invocation
+    temp parquet first: it feeds BOTH the census groupBy and the join
+    probe side, and without the barrier the 7-regex canonicalization
+    chain (the dominant cost) executes twice per document (same
+    durable-barrier pattern as neardup_cluster_sizes' signatures)."""
+    import atexit
+    import shutil
+    import tempfile
+
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select("doc_id", C.clone_sha(F.col("text")).alias("clone_sha"))
+    tmp = tempfile.mkdtemp(prefix="gd_clone_norm_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    norm.write.mode("overwrite").parquet(tmp)
+    norm = spark.read.parquet(tmp)
     census = norm.groupBy("clone_sha").agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("canonical_doc_id"),
@@ -2104,7 +2121,11 @@ def contamination_spans_table(
     superset clustering key), so no further exchange. Content never
     shuffles."""
     per_doc = docs.select(
-        "doc_id", "is_eval", T.word_ngrams_all(F.col("text"), n).alias("grams")
+        "doc_id", "is_eval", T.tokens_lower(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "is_eval",
+        T.ngrams_of_tokens(F.col("toks"), n, distinct=False).alias("grams"),
     )
     eval_grams = (
         per_doc.filter("is_eval")

@@ -230,41 +230,60 @@ def ellipsis_line_ratio(col: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
 
 
+def tokens_lower(col: Column) -> Column:
+    """Guarded whitespace tokens of ``trim(lower(col))`` (empty array for
+    blank docs) — the shared token base for the word-n-gram family.
+
+    Materialize this as its OWN projected column before applying
+    ``ngrams_of_tokens``: inside a higher-order-function lambda Spark
+    re-evaluates inlined subexpressions per array element, so an n-gram
+    expression built directly over text re-splits the whole document for
+    EVERY gram (O(words^2) per doc — measured as the dominant cost of the
+    decontamination/overlap queries). A separate projection pins the split
+    to one evaluation per row; CollapseProject keeps it separate because
+    the gram expression references the array more than once."""
+    trimmed = F.trim(F.lower(col))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def ngrams_of_tokens(words: Column, n: int, distinct: bool = True) -> Column:
+    """Space-joined word ``n``-grams over an already-materialized token
+    array column (see ``tokens_lower``). ``distinct=True`` matches
+    ``word_ngrams`` (set semantics), ``distinct=False`` matches
+    ``word_ngrams_all`` (positional). Guarded-sequence caveat: sequence
+    DESCENDS when the upper bound < 1, so short docs short-circuit to the
+    empty array via the outer ``when``."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n) + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    out = F.array_distinct(grams) if distinct else grams
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(out)
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Distinct space-joined lowercase word ``n``-grams of the document
     (empty array when it has fewer than ``n`` tokens) — the unit of
     benchmark-decontamination matching (an eval doc and a train doc
-    "overlap" when they share any such gram). Pure array HOFs: per-doc
-    map work inside the scan stage. Same guarded-sequence caveat as
-    dup_bigram_ratio: sequence DESCENDS when the upper bound < 1, so
-    short docs short-circuit to the empty array."""
-    trimmed = F.trim(F.lower(col))
-    w = F.split(trimmed, r"\s+")
-    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(w))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_tok - F.lit(n) + 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
-    return F.when(n_tok < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    "overlap" when they share any such gram).
+
+    NOTE (perf): composed inline like this the token split is re-evaluated
+    per gram inside the transform lambda; hot paths should project
+    ``tokens_lower`` first and call ``ngrams_of_tokens`` on the column
+    (bit-identical output, linear instead of quadratic per-doc work)."""
+    return ngrams_of_tokens(tokens_lower(col), n, distinct=True)
 
 
 def word_ngrams_all(col: Column, n: int) -> Column:
     """Positional (non-distinct, document-ordered) space-joined lowercase
     word ``n``-grams — the unit of SPAN-level contamination measurement,
     where consecutive gram indices must stay adjacent (word_ngrams'
-    array_distinct would destroy positions). Same guarded-sequence caveat:
-    sequence DESCENDS when the upper bound < 1, so short docs
-    short-circuit to the empty array."""
-    trimmed = F.trim(F.lower(col))
-    w = F.split(trimmed, r"\s+")
-    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(w))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_tok - F.lit(n) + 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
-    return F.when(n_tok < n, F.array().cast("array<string>")).otherwise(grams)
+    array_distinct would destroy positions). Same perf note as
+    ``word_ngrams``: hot paths should use ``tokens_lower`` +
+    ``ngrams_of_tokens(..., distinct=False)``."""
+    return ngrams_of_tokens(tokens_lower(col), n, distinct=False)
 
 
 def lang_guess(col: Column) -> Column:

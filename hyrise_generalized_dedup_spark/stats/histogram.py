@@ -88,6 +88,12 @@ def edc_histogram_bins(df: DataFrame, column: str, max_bins: int) -> DataFrame:
         df.where(F.col(column).isNotNull())
         .groupBy(F.col(column).alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
+        # repartitionByRange evaluates its input twice (boundary sampling
+        # pass + the real exchange); persisting the census makes the
+        # second pass a cache read instead of a repeat of the base-table
+        # shuffle. Bin assignment depends only on exact global ranks, so
+        # the result is identical for any sampled boundaries.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_parts = max(2, shuffle_partitions(spark))
     ranked_src = (
@@ -154,6 +160,7 @@ def edc_histogram_bins(df: DataFrame, column: str, max_bins: int) -> DataFrame:
         return spark.createDataFrame(rows, schema=agg.schema)
     finally:
         ranked_src.unpersist()
+        census.unpersist()
 
 
 def edc_oracle_sql(table: str, column: str, max_bins: int, where: str = "") -> str:

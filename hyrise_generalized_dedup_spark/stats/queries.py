@@ -63,10 +63,24 @@ def table_edc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EqualDistinctCountHistogram bins for three columns spanning the
     int/string/float histogram domains; bit-exact vs the DuckDB window
     restatement (heights/distincts are exact integers, bin edges are
-    untouched source values)."""
+    untouched source values).
+
+    The three builds are independent eager jobs (census shuffle + range
+    repartition + bounded collects each), so they run from a small driver
+    thread pool — Spark schedules concurrent jobs FIFO and the later
+    builds back-fill the earlier ones' stragglers (guide-standard overlap
+    of independent jobs); results are exact regardless of interleaving."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(spec):
+        _tag, table, column, _numeric, max_bins = spec
+        return edc_histogram_bins(load_table(spark, sf_dir, table), column, max_bins)
+
+    with ThreadPoolExecutor(max_workers=len(_HIST_COLUMNS)) as pool:
+        built = list(pool.map(_build, _HIST_COLUMNS))
+
     out = None
-    for tag, table, column, numeric, max_bins in _HIST_COLUMNS:
-        bins = edc_histogram_bins(load_table(spark, sf_dir, table), column, max_bins)
+    for (tag, table, column, numeric, max_bins), bins in zip(_HIST_COLUMNS, built):
         part = bins.select(
             F.lit(tag).alias("col_name"),
             F.col("bin_id").cast("long"),

@@ -149,3 +149,34 @@ def test_empty_and_tiny_inputs():
     assert cdc_boundaries(b"") == []
     assert cdc_chunks(b"z") == [b"z"]
     assert cdc_boundaries(b"q" * MIN_SIZE) == [MIN_SIZE]
+
+
+def test_batch_gear_hashes_match_per_doc():
+    """r6 batched kernel: one 64-pass sweep over the padded concat must
+    reproduce gear_hashes per doc bit-for-bit (zero-pad isolation)."""
+    import random
+
+    import numpy as np
+
+    from hyrise_generalized_dedup_spark.dedup.cdc import (
+        _batch_gear_hashes,
+        gear_hashes,
+    )
+
+    rng = random.Random(3)
+    blobs = [
+        b"",
+        bytes([7]) * 5,
+        bytes(rng.randrange(256) for _ in range(300)),
+        bytes(rng.randrange(256) for _ in range(63)),
+        bytes(rng.randrange(256) for _ in range(64)),
+        bytes(rng.randrange(256) for _ in range(65)),
+        bytes(rng.randrange(256) for _ in range(2048)),
+    ]
+    h_all, offs = _batch_gear_hashes(blobs)
+    for blob, off in zip(blobs, offs):
+        if not blob:
+            continue
+        ref = gear_hashes(np.frombuffer(blob, dtype=np.uint8))
+        got = h_all[off : off + len(blob)]
+        assert np.array_equal(got, ref), len(blob)

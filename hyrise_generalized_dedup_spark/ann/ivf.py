@@ -25,7 +25,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from .brute import cosine
+from .brute import cosine_vec
 
 
 def train_centroids(
@@ -169,7 +169,7 @@ def ann_topk_ivf(
     scored = (
         cand.join(F.broadcast(q_vec), "query_id")
         .join(c_vec, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select("query_id", "neighbor_id", cosine_vec(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

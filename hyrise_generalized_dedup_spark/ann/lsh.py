@@ -19,7 +19,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .brute import cosine
+from .brute import cosine_vec
 
 
 def hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
@@ -149,7 +149,7 @@ def ann_topk_lsh(
     scored = (
         cand.join(F.broadcast(q_vec), "query_id")
         .join(c_vec, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select("query_id", "neighbor_id", cosine_vec(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -108,29 +108,49 @@ def cdc_boundaries(content: bytes) -> list[int]:
     return _select_cuts(candidates, len(buf))
 
 
+# Cap on concatenated payload bytes per gear sweep group: bounds the
+# kernel working set (~2 uint64 arrays of this length) for corpora of
+# large files while still amortizing the 64 shifted adds over many docs.
+_SWEEP_BYTES = 1 << 21  # 2 MiB
+
+
 def _batch_gear_hashes(blobs: list[bytes]) -> tuple[np.ndarray, list[int]]:
-    """Gear hashes for a whole batch in ONE 64-pass sweep.
+    """Gear hashes for a whole batch in 64-pass sweeps over bounded groups.
 
     Concatenates the gear-mapped byte values with a 64-entry ZERO pad
     between docs: h_i only sees the last 64 positions, zero gear entries
     contribute nothing, so every in-doc position's hash is bit-identical
     to ``gear_hashes`` run on that doc alone — while the 64 shifted adds
-    run once per batch instead of once per document (the dominant cost of
-    the CDC census was numpy call overhead on per-doc 2 KB arrays).
+    run once per sweep group instead of once per document (the dominant
+    cost of the CDC census was numpy call overhead on per-doc 2 KB
+    arrays). Groups are capped at ``_SWEEP_BYTES`` of payload so the
+    working set stays bounded when documents are large.
     Returns ``(h_all, offsets)``; doc i's hashes are
     ``h_all[offsets[i] : offsets[i] + len(blobs[i])]``."""
     total = sum(len(b) for b in blobs) + _WINDOW * len(blobs)
-    g = np.zeros(total, dtype=np.uint64)
-    offs: list[int] = []
-    pos = 0
-    for blob in blobs:
-        offs.append(pos)
-        if blob:
-            g[pos : pos + len(blob)] = _GEAR[np.frombuffer(blob, np.uint8)]
-        pos += len(blob) + _WINDOW
     h = np.zeros(total, dtype=np.uint64)
-    for k in range(min(_WINDOW, total)):
-        h[k:] += g[: total - k] << np.uint64(k)
+    offs: list[int] = []
+    g0 = 0
+    base = 0
+    while g0 < len(blobs):
+        g1 = g0 + 1
+        group_payload = len(blobs[g0])
+        while g1 < len(blobs) and group_payload + len(blobs[g1]) <= _SWEEP_BYTES:
+            group_payload += len(blobs[g1])
+            g1 += 1
+        span = group_payload + _WINDOW * (g1 - g0)
+        g = np.zeros(span, dtype=np.uint64)
+        pos = 0
+        for blob in blobs[g0:g1]:
+            offs.append(base + pos)
+            if blob:
+                g[pos : pos + len(blob)] = _GEAR[np.frombuffer(blob, np.uint8)]
+            pos += len(blob) + _WINDOW
+        hg = h[base : base + span]
+        for k in range(min(_WINDOW, span)):
+            hg[k:] += g[: span - k] << np.uint64(k)
+        base += span
+        g0 = g1
     return h, offs
 
 

@@ -136,113 +136,6 @@ def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(sig_a == sig_b))
 
 
-# Cap on the total shingle count processed per vectorized group inside the
-# batched kernel: bounds the (num_hashes x G) minhash matrix (~64 MB at
-# 128 x 65536 x 8 B) and the unpacked simhash bit matrix.
-_GROUP_SHINGLES = 65536
-
-
-def _batch_shingle_sets(
-    blobs: list[bytes], k: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc DISTINCT shingle hashes for a whole batch.
-
-    Returns ``(concat, lens)``: the concatenation of every doc's sorted
-    unique shingle-hash array and the per-doc lengths. Bit-identical to
-    calling ``shingle_hashes`` per doc — the FNV window values are
-    computed once over the concatenated byte buffer (k shifted passes per
-    BATCH instead of per doc) and windows crossing a doc boundary are
-    simply never selected; docs shorter than one shingle take the per-doc
-    sentinel path (same code)."""
-    total = sum(len(b) for b in blobs)
-    buf = np.empty(total, dtype=np.uint8)
-    offs = np.empty(len(blobs) + 1, dtype=np.int64)
-    pos = 0
-    for i, blob in enumerate(blobs):
-        offs[i] = pos
-        buf[pos : pos + len(blob)] = np.frombuffer(blob, np.uint8)
-        pos += len(blob)
-    offs[-1] = pos
-    n_all = total - k + 1
-    if n_all > 0:
-        with np.errstate(over="ignore"):
-            h_all = np.full(n_all, _FNV_OFFSET, dtype=np.uint64)
-            for j in range(k):
-                h_all = (h_all ^ buf[j : j + n_all].astype(np.uint64)) * _FNV_PRIME
-    else:
-        h_all = np.empty(0, dtype=np.uint64)
-    parts: list[np.ndarray] = []
-    lens = np.empty(len(blobs), dtype=np.int64)
-    for i, blob in enumerate(blobs):
-        n = len(blob) - k + 1
-        if n <= 0:
-            sh = shingle_hashes(blob, k)  # sentinel path, per-doc
-        else:
-            sh = np.unique(h_all[offs[i] : offs[i] + n])
-        parts.append(sh)
-        lens[i] = sh.size
-    concat = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
-    return concat, lens
-
-
-def _batch_minhash_simhash(
-    concat: np.ndarray, lens: np.ndarray, a: np.ndarray, b: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """(n_docs, num_hashes) uint64 minhash matrix + (n_docs,) uint64
-    simhashes over concatenated per-doc distinct-shingle segments.
-
-    Segmented twins of ``minhash_signature`` / ``simhash64`` via
-    ``ufunc.reduceat`` — min/sum are order-free exact reductions, so every
-    output bit matches the per-doc loops. Docs are processed in groups of
-    at most ``_GROUP_SHINGLES`` total shingles to bound the matrices."""
-    n_docs = len(lens)
-    H = a.size
-    sig_mat = np.empty((n_docs, H), dtype=np.uint64)
-    sims = np.empty(n_docs, dtype=np.uint64)
-    starts = np.concatenate(([0], np.cumsum(lens)))
-    d0 = 0
-    while d0 < n_docs:
-        if lens[d0] > _GROUP_SHINGLES:
-            # One huge doc: the group matrix would not fit — use the
-            # per-doc reference path (itself chunked for huge inputs).
-            sh = concat[starts[d0] : starts[d0 + 1]]
-            sig_mat[d0] = minhash_signature(sh, a, b)
-            sims[d0] = np.uint64(simhash64(sh))
-            d0 += 1
-            continue
-        d1 = d0 + 1
-        while d1 < n_docs and starts[d1 + 1] - starts[d0] <= _GROUP_SHINGLES:
-            d1 += 1
-        seg = concat[starts[d0] : starts[d1]]
-        seg_starts = (starts[d0:d1] - starts[d0]).astype(np.int64)
-        with np.errstate(over="ignore"):
-            m = a[:, None] * seg[None, :] + b[:, None]
-        sig_mat[d0:d1] = np.minimum.reduceat(m, seg_starts, axis=1).T
-        av = _avalanche(seg)
-        bits = np.unpackbits(
-            av.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
-        ).astype(np.int64)
-        counts = np.add.reduceat(bits, seg_starts, axis=0)
-        votes = counts * 2 - lens[d0:d1, None]
-        packed = np.packbits(votes > 0, axis=1)
-        sims[d0:d1] = packed.view(">u8").ravel().astype("=u8")
-        d0 = d1
-    return sig_mat, sims
-
-
-def _batch_band_hashes(sig_mat: np.ndarray, bands: int) -> np.ndarray:
-    """(n_docs, bands) int64 — vectorized twin of ``band_hashes`` (same
-    FNV fold + avalanche per band, applied across all docs at once)."""
-    n_docs, H = sig_mat.shape
-    rows = sig_mat.reshape(n_docs, bands, H // bands)
-    with np.errstate(over="ignore"):
-        h = np.full((n_docs, bands), _FNV_OFFSET, dtype=np.uint64)
-        for j in range(rows.shape[2]):
-            h = (h ^ rows[:, :, j]) * _FNV_PRIME
-            h = (h ^ (h >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
-    return h.astype(np.int64)
-
-
 def signatures(
     df: DataFrame,
     cfg: GDConfig,
@@ -253,12 +146,7 @@ def signatures(
 
     Map-only single pass; downstream LSH/SimHash stages are pure DataFrame
     ops over these columns. minhash stored as int64 (bit-reinterpreted
-    uint64) — comparisons downstream are equality-only so sign is moot.
-
-    The kernel is whole-batch vectorized (shingling over one concatenated
-    buffer, segmented minhash/simhash via reduceat, band fold across all
-    docs) — bit-identical to the per-doc reference functions above, which
-    remain the tested spec (tests/test_minhash_batch.py)."""
+    uint64) — comparisons downstream are equality-only so sign is moot."""
     a, b = _hash_params(cfg)
     k, bands = cfg.shingle_k, cfg.bands
 
@@ -277,20 +165,23 @@ def signatures(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            blobs = [(text or "").encode("utf-8") for text in pdf[text_col]]
-            concat, lens = _batch_shingle_sets(blobs, k)
-            sig_mat, sims = _batch_minhash_simhash(concat, lens, a, b)
-            band_mat = _batch_band_hashes(sig_mat, bands)
-            sig32 = sig_mat.astype(np.uint32).astype(np.int32)
+            keys, sigs, sims, bandks, nsh = [], [], [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                blob = (text or "").encode("utf-8")
+                sh = shingle_hashes(blob, k)
+                sig = minhash_signature(sh, a, b)
+                keys.append(key)
+                sigs.append(sig.astype(np.uint32).astype(np.int32).tolist())
+                sims.append(simhash64(sh))
+                bandks.append(band_hashes(sig, bands).tolist())
+                nsh.append(sh.size)
             yield pd.DataFrame(
                 {
-                    key_col: pdf[key_col].to_numpy(),
-                    "minhash": sig32.tolist(),
-                    "simhash": sims.astype(np.int64),
-                    "band": band_mat.tolist(),
-                    "n_shingles": lens,
+                    key_col: keys,
+                    "minhash": sigs,
+                    "simhash": np.array(sims, dtype=np.uint64).astype(np.int64),
+                    "band": bandks,
+                    "n_shingles": nsh,
                 }
             )
 

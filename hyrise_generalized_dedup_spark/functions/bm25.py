@@ -92,6 +92,29 @@ def term_df(posts: DataFrame) -> DataFrame:
     return posts.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
 
+def query_postings(
+    docs: DataFrame, queries: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Postings restricted to the query term set, filtered BEFORE the
+    (term, doc_id) aggregation: the exploded token stream probes the
+    broadcast query-term set map-side, so the one corpus-wide shuffle
+    carries only query-term occurrences instead of every posting in the
+    corpus. tf/dl (and any df computed from the result) for the
+    surviving terms are identical to the full ``postings`` values —
+    dropping other terms cannot change a term's own counts."""
+    qterms = queries.select("term").distinct()
+    toks = doc_tokens(docs, text_col)
+    return (
+        toks.select("doc_id", "dl", F.explode("w").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.min("dl").cast("long").alias("dl"),
+        )
+    )
+
+
 def probe_queries(
     docs: DataFrame, n_queries: int = 8, n_terms: int = 6, text_col: str = "text"
 ) -> DataFrame:
@@ -120,14 +143,16 @@ def bm25_match_stats(
     in bm25_topk is a deterministic scalar function of these plus N and
     avgdl. ``max_df_frac`` (0..1] prunes terms with df > frac * N —
     the hot-term skew cap for corpus scale."""
-    posts = postings(docs, text_col)
+    # r6: postings restricted to query terms BEFORE the corpus-wide
+    # shuffle (see query_postings) — identical tf/df/dl values, a
+    # corpus-sized exchange replaced by a query-term-sized one.
+    posts = query_postings(docs, queries, text_col)
     dfreq = term_df(posts)
     if max_df_frac is not None:
         n_docs = docs.count()
         dfreq = dfreq.filter(F.col("df") <= F.lit(float(max_df_frac)) * n_docs)
     matched = posts.join(F.broadcast(queries), "term").join(
-        F.broadcast(dfreq.join(F.broadcast(queries.select("term").distinct()), "term")),
-        "term",
+        F.broadcast(dfreq), "term"
     )
     return matched.groupBy("query_id", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_match_terms"),
@@ -155,7 +180,9 @@ def bm25_topk(
     folded in sorted term order so the double is bit-stable under any
     partitioning. N and sum(dl) are one 1-row aggregate (the only
     driver-side collect); avgdl = sum_dl / N in exact-integer inputs."""
-    posts = postings(docs, text_col)
+    # r6: postings restricted to query terms BEFORE the corpus-wide
+    # shuffle (see query_postings) — identical tf/df/dl values.
+    posts = query_postings(docs, queries, text_col)
     dfreq = term_df(posts)
 
     stats = doc_tokens(docs, text_col).agg(
@@ -181,8 +208,7 @@ def bm25_topk(
 
     matched = (
         posts.join(F.broadcast(queries), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(queries.select("term").distinct()), "term")),
-              "term")
+        .join(F.broadcast(dfreq), "term")  # dfreq already query-term-only
         .select("query_id", "doc_id", "term", contrib)
     )
     scored = matched.groupBy("query_id", "doc_id").agg(

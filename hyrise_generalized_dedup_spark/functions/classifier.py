@@ -159,6 +159,13 @@ def packed_features(
     training iteration, scoring) runs without a single exchange. Bucket
     ids are the shared md5 trick — bit-equal to the JVM/DuckDB
     expression (parity-tested)."""
+    if buckets > 32767:
+        # csr_blobs ships bucket ids as int16; a larger modulus would wrap
+        # negative and silently index weights from the end of the vector
+        # (ADVICE r5). Widen the wire type before raising this modulus.
+        raise ValueError(
+            f"buckets={buckets} exceeds the int16 wire format (max 32767)"
+        )
     base = docs.select(
         "doc_id",
         label_col.cast("int").alias("y"),
@@ -274,6 +281,12 @@ def csr_blobs(packed: DataFrame) -> DataFrame:
             # ints per doc; x and row ids are rebuilt in-worker from the
             # SAME integers, so every float is bit-identical to the row
             # path while per-iteration traffic drops ~2.3x.
+            if total and int(idx.max()) > 32767:
+                raise ValueError(
+                    "bucket id exceeds the int16 wire format (max 32767); "
+                    "packed_features guards this — widen idx before raising "
+                    "the modulus"
+                )
             bundle = {
                 "lens": lens.astype(np.int32),
                 "idx": idx.astype(np.int16),  # bucket modulus << 2^15
@@ -431,12 +444,26 @@ def classify_quality(
     ``stopword_weak_label``), hashed-unigram logistic regression.
     Returns ``(doc_id, label, margin_fp, pred)`` for every input
     document — unlabeled docs (label = -1) are scored, not trained on."""
-    blobs = csr_blobs(
-        packed_features(
-            docs, stopword_weak_label(text_col), text_col=text_col,
-            buckets=buckets,
+    # Spread the (small: one pickled bundle per Arrow batch) blob rows
+    # across the cluster before caching: the corpus often scans as ONE
+    # input partition (a few-MB parquet file), which would serialize every
+    # training iteration and the scoring pass into single-task jobs. The
+    # trained weights and scores are bit-identical under any partitioning
+    # (module invariant, probed), so the repartition only changes wall
+    # time — at sf1.0 it took the 24-iteration loop from serial to
+    # cluster-parallel.
+    spark = docs.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    blobs = (
+        csr_blobs(
+            packed_features(
+                docs, stopword_weak_label(text_col), text_col=text_col,
+                buckets=buckets,
+            )
         )
-    ).persist()
+        .repartition(n_parts)
+        .persist()
+    )
     w = train_logreg(blobs, buckets=buckets, iters=iters, lr=lr)
     # The returned plan still reads `blobs`; the cache stays pinned until
     # the caller's action runs (Spark releases it on context GC). Callers

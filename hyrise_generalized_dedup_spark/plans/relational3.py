@@ -27,7 +27,7 @@ New operator content vs tranches 1-2:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table, load_tables
 from .relational import _dsum, _register
@@ -56,21 +56,30 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS-agg with IN-ENGINE interval arithmetic on
     both the range bound and the correlated predicate (reference:
     interval_expression.hpp; 'commit<receipt' becomes 'shipped >60 days
-    after order' on the reduced schema)."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT o_orderpriority, COUNT(*) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP_NTZ'1996-07-01'
-          AND o_orderdate < TIMESTAMP_NTZ'1996-07-01' + INTERVAL '3' MONTH
-          AND EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey
-                        AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
-        GROUP BY o_orderpriority
-        """,
+    after order' on the reduced schema).
+
+    r6 plan rewrite (results identical, oracle unchanged): the SQL EXISTS
+    planned as a LeftSemi join that can only build its RIGHT side, so the
+    whole lineitem table was shuffled against the ~4%-selective filtered
+    orders. Restated as broadcast(filtered orders) INNER join lineitem +
+    distinct-on-orderkey: lineitem never shuffles (map-side broadcast
+    probe), only the matched (o_orderkey, o_orderpriority) pairs cross
+    one exchange."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-07-01").cast("timestamp_ntz")
+    orders_f = t["orders"].filter(
+        (F.col("o_orderdate") >= lo)
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ'1996-07-01' + INTERVAL '3' MONTH"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    hits = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate")
+        .join(F.broadcast(orders_f), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL '60' DAY"))
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
     )
+    return hits.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
 @_register(
@@ -409,29 +418,58 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: double correlated EXISTS + NOT EXISTS self-join on
     the (flagged) lineitem — the only supplier late on a multi-supplier
     order. 'Late' = shipped >90 days after order date (in-engine interval
-    arithmetic), replacing receipt>commit on the reduced schema."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        WITH flagged AS (
-          SELECT l_orderkey, l_suppkey,
-                 CASE WHEN l_shipdate > o_orderdate + INTERVAL '90' DAY THEN 1 ELSE 0 END AS late
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE o_orderstatus = 'F')
-        SELECT s_name, COUNT(*) AS numwait
-        FROM flagged l1
-        JOIN supplier ON s_suppkey = l1.l_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE l1.late = 1
-          AND n_regionkey = 1
-          AND EXISTS (SELECT 1 FROM flagged l2
-                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM flagged l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
-        GROUP BY s_name
-        """,
+    arithmetic), replacing receipt>commit on the reduced schema.
+
+    r6 plan rewrite (results identical, oracle unchanged): Spark inlines
+    the ``flagged`` CTE at all three references, so the SQL form paid the
+    lineitem-orders join THREE times plus two self-join shuffles. The
+    per-order facts the EXISTS pair actually tests are "some other
+    supplier on the order" and "no other LATE supplier", i.e. distinct
+    supplier counts — computed here with window aggregates over
+    l_orderkey that reuse the join's own output partitioning: ONE
+    lineitem-orders shuffle total, zero self-joins."""
+    t = load_tables(spark, sf_dir)
+    flagged = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.expr("o_orderdate + INTERVAL '90' DAY")
+            ).cast("int").alias("late"),
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_row = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late_supp"),
+    )
+    qualifying = per_row.filter(
+        (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_regionkey") == 1)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 

@@ -47,7 +47,10 @@ class JoinEdge:
     right_column: str
 
 
-# A plan is a nested tuple: ("scan", vertex) | ("join", left, right, edge)
+# A plan is a nested tuple: ("scan", vertex) |
+# ("join", left, right, edge[, residual_edges]) — residual_edges (r6) are
+# the OTHER edges connecting the two sides of a cyclic graph, applied as
+# post-join filters by execute_plan (4-tuples remain accepted).
 Plan = tuple
 
 
@@ -168,9 +171,20 @@ def greedy_operator_ordering(
         _, e, ma, mb, est = best
         (plan_a, st_a), (plan_b, st_b) = clusters.pop(ma), clusters.pop(mb)
         total_cost += _join_cost(st_a.row_count, st_b.row_count, est.row_count)
-        clusters[ma | mb] = (("join", plan_a, plan_b, e), est)
-        # drop edges now internal to the merged cluster
         merged = ma | mb
+        # Cyclic graphs: every OTHER remaining edge that connects the two
+        # merged clusters becomes internal here — the reference applies
+        # ALL predicates between the two sets (greedy_operator_ordering
+        # .cpp:144-156 _add_predicates_to_plan); carry them on the plan
+        # node as post-join filters instead of silently dropping them
+        # (ADVICE r5: a dropped triangle edge returned violating rows).
+        residual = [
+            x
+            for x in remaining
+            if x is not e and not (s.edge_mask(x) & ~merged)
+        ]
+        clusters[merged] = (("join", plan_a, plan_b, e, residual), est)
+        # drop edges now internal to the merged cluster
         remaining = [x for x in remaining if s.edge_mask(x) & ~merged]
     (plan, stats), = clusters.values()
     return plan, stats, total_cost
@@ -216,7 +230,12 @@ def dp_ccp(
                             + _join_cost(sta.row_count, stb.row_count, est.row_count)
                         )
                         if mask not in best or cost < best[mask][0]:
-                            best[mask] = (cost, ("join", pa, pb, e), est)
+                            # join on e, apply every other edge between the
+                            # two halves as a post-join predicate (the
+                            # reference's find_join_predicates applies ALL
+                            # of them — dp_ccp.cpp:111-114)
+                            residual = [x for x in conn if x is not e]
+                            best[mask] = (cost, ("join", pa, pb, e, residual), est)
                 sub = (sub - 1) & mask
     full = (1 << n) - 1
     if full not in best:
@@ -227,16 +246,34 @@ def dp_ccp(
 
 def execute_plan(plan: Plan, frames: dict[str, DataFrame]) -> DataFrame:
     """Materialize the chosen join tree in Spark — the tree fixes the
-    logical order; Catalyst still picks broadcast vs shuffle per join."""
-    kind = plan[0]
-    if kind == "scan":
-        return frames[plan[1]]
-    _, left, right, e = plan
-    ldf = execute_plan(left, frames)
-    rdf = execute_plan(right, frames)
-    lcol = e.left_column if e.left_column in ldf.columns else e.right_column
-    rcol = e.right_column if e.right_column in rdf.columns else e.left_column
-    return ldf.join(rdf, ldf[lcol] == rdf[rcol], "inner")
+    logical order; Catalyst still picks broadcast vs shuffle per join.
+
+    Every scan is aliased with its vertex name and every edge column is
+    resolved as ``vertex.column`` against its DECLARED vertex (ADVICE r5:
+    name-membership lookup picked the wrong side when both subtrees
+    carried a same-named column). Join nodes may carry residual edges
+    (cycle predicates) applied as post-join filters."""
+    import pyspark.sql.functions as F
+
+    def build(p: Plan) -> DataFrame:
+        if p[0] == "scan":
+            return frames[p[1]].alias(p[1])
+        left, right, e = p[1], p[2], p[3]
+        residual = p[4] if len(p) > 4 else []
+        ldf = build(left)
+        rdf = build(right)
+
+        def cond(edge: JoinEdge):
+            return F.col(f"{edge.left_vertex}.{edge.left_column}") == F.col(
+                f"{edge.right_vertex}.{edge.right_column}"
+            )
+
+        out = ldf.join(rdf, cond(e), "inner")
+        for x in residual:
+            out = out.filter(cond(x))
+        return out
+
+    return build(plan)
 
 
 def plan_order(plan: Plan) -> list[str]:

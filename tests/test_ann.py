@@ -191,3 +191,37 @@ def test_ivf_train_accepts_precounted_n(spark):
     a = train_centroids(df, k=4, iters=4, seed=42)
     b = train_centroids(df, k=4, iters=4, seed=42, n=80)
     assert np.array_equal(a, b)
+
+
+def test_cosine_vec_matches_catalyst(spark):
+    """r6: the vectorized numpy left-fold cosine must reproduce the
+    Catalyst F.aggregate fold bit-for-bit (same IEEE op order)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from hyrise_generalized_dedup_spark.ann.brute import cosine, cosine_vec
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], [rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(300)
+    ]
+    # (zero-norm vectors are not tested: the Catalyst reference itself
+    # raises DIVIDE_BY_ZERO under ANSI mode, so the engine never sees them)
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {
+        r["id"]: (r["c1"], r["c2"])
+        for r in df.select(
+            "id",
+            cosine(F.col("a"), F.col("b")).alias("c1"),
+            cosine_vec(F.col("a"), F.col("b")).alias("c2"),
+        ).collect()
+    }
+    import math
+
+    for i, (c1, c2) in got.items():
+        if c1 is None or (isinstance(c1, float) and math.isnan(c1)):
+            assert c2 is None or math.isnan(c2), i
+        else:
+            assert c1 == c2, (i, c1.hex(), c2.hex())

@@ -211,3 +211,60 @@ class TestEndToEnd:
         ]
         counts = {execute_plan(p, frames).count() for p in plans}
         assert len(counts) == 1
+
+
+def test_cyclic_graph_keeps_all_predicates(spark):
+    """ADVICE r5 (high): a triangle-shaped join graph must apply ALL
+    three edges — GOO/DpCcp previously dropped the edge that became
+    internal to a merged cluster, returning rows that violate it. The
+    correct row set is the one DuckDB-equivalent three-way equi-join with
+    all three predicates."""
+    import pyspark.sql.functions as F
+
+    from hyrise_generalized_dedup_spark.stats.ordering import (
+        JoinEdge,
+        dp_ccp,
+        execute_plan,
+        greedy_operator_ordering,
+    )
+    from hyrise_generalized_dedup_spark.stats.table import analyze_table
+
+    a = spark.createDataFrame([(i, i % 3) for i in range(30)], "ka long, va long")
+    b = spark.createDataFrame([(i % 5, i % 3) for i in range(40)], "kb long, vb long")
+    c = spark.createDataFrame([(i % 7, i % 5) for i in range(50)], "kc long, vc long")
+    frames = {"a": a, "b": b, "c": c}
+    edges = [
+        JoinEdge("a", "b", "va", "vb"),
+        JoinEdge("b", "c", "kb", "vc"),
+        JoinEdge("c", "a", "kc", "ka"),  # closes the cycle
+    ]
+    expected = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.va") == F.col("b.vb"))
+        .join(
+            c.alias("c"),
+            (F.col("b.kb") == F.col("c.vc")) & (F.col("c.kc") == F.col("a.ka")),
+        )
+        .count()
+    )
+    stats = {n: analyze_table(frames[n], max_bins=8) for n in frames}
+    for planner in (greedy_operator_ordering, dp_ccp):
+        plan, _st, _cost = planner(stats, edges)
+        assert execute_plan(plan, frames).count() == expected, planner.__name__
+
+
+def test_execute_plan_resolves_same_named_columns_by_vertex(spark):
+    """ADVICE r5 (low): edge columns resolve against their DECLARED
+    vertex even when both subtrees carry a column of that name."""
+    from hyrise_generalized_dedup_spark.stats.ordering import (
+        JoinEdge,
+        execute_plan,
+    )
+
+    a = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b = spark.createDataFrame([(10, 7), (99, 8)], "k long, w long")
+    # edge joins a.v (not a.k!) to b.k — both frames carry a column 'k',
+    # so the old name-membership lookup picked a.k and returned 0 rows
+    plan = ("join", ("scan", "a"), ("scan", "b"), JoinEdge("a", "b", "v", "k"))
+    got = execute_plan(plan, {"a": a, "b": b}).count()
+    assert got == 1

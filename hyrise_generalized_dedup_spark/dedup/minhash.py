@@ -136,6 +136,37 @@ def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(sig_a == sig_b))
 
 
+def shingle_counts(
+    df: DataFrame,
+    cfg: GDConfig,
+    text_col: str = "content",
+    key_col: str = "doc_key",
+) -> DataFrame:
+    """-> (key, n_shingles): the distinct-shingle census WITHOUT the
+    minhash/simhash/band computation. ``n_shingles`` is bit-identical to
+    ``signatures(...)``'s column (same ``shingle_hashes`` kernel); use
+    this when only the census is consumed — the 128-hash signature
+    matrix is ~2/3 of the full kernel's work (guide §1.2: don't compute
+    what you throw away)."""
+    k = cfg.shingle_k
+    out_schema = StructType(
+        [
+            StructField(key_col, df.schema[key_col].dataType, False),
+            StructField("n_shingles", LongType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = [
+                shingle_hashes((text or "").encode("utf-8"), k).size
+                for text in pdf[text_col]
+            ]
+            yield pd.DataFrame({key_col: pdf[key_col], "n_shingles": counts})
+
+    return df.select(key_col, text_col).mapInPandas(compute, out_schema)
+
+
 def signatures(
     df: DataFrame,
     cfg: GDConfig,

@@ -244,12 +244,13 @@ def minhash_shingle_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash stage, recomputed by DuckDB over raw substrings. Verifies the
     vectorized FNV shingling end to end (64-bit collisions are measure-zero
     at this scale). Docs shorter than k yield one sentinel shingle on both
-    sides."""
-    from .minhash import signatures
+    sides. r6: uses the census-only kernel — the minhash/simhash/band
+    work the full signature pass also does was discarded here (identical
+    n_shingles values, ~2/3 less per-doc work)."""
+    from .minhash import shingle_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = signatures(docs, CANON_CFG, text_col="text", key_col="doc_id")
-    return sigs.select("doc_id", "n_shingles")
+    return shingle_counts(docs, CANON_CFG, text_col="text", key_col="doc_id")
 
 
 @_register(

@@ -464,13 +464,22 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas themselves are pinned byte-for-byte against the real
     writers in tests/test_advisor.py.
     """
-    from .advisor import advise_encodings
+    from .advisor import _FOR_BLOCK, advise_encodings
 
+    # The registered DuckDB oracle states the FrameOfReference range as
+    # whole-chunk MAX-MIN; the Spark advisor (like the writer, and its
+    # multi-block pytest pins) uses per-_FOR_BLOCK ranges. They coincide
+    # only while the chunk fits in one FoR block — assert the invariant
+    # so a future chunk-size bump cannot diverge the gate spuriously
+    # (ADVICE r5). The advisor itself supports larger chunks.
+    chunk_size = 256
+    assert chunk_size <= _FOR_BLOCK, "oracle assumes single-FoR-block chunks"
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars_i")
     )
     return advise_encodings(
-        docs, "doc_id", 256, {"doc_id": "long", "lang": "string", "n_chars_i": "int"}
+        docs, "doc_id", chunk_size,
+        {"doc_id": "long", "lang": "string", "n_chars_i": "int"},
     ).orderBy("chunk_id", "column_name", "encoding")
 
 

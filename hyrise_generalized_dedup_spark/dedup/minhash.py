@@ -172,12 +172,18 @@ def signatures(
     cfg: GDConfig,
     text_col: str = "content",
     key_col: str = "doc_key",
+    with_simhash: bool = True,
 ) -> DataFrame:
     """-> (key, minhash array<long>, simhash long, band array<long>, n_shingles).
 
     Map-only single pass; downstream LSH/SimHash stages are pure DataFrame
     ops over these columns. minhash stored as int64 (bit-reinterpreted
-    uint64) — comparisons downstream are equality-only so sign is moot."""
+    uint64) — comparisons downstream are equality-only so sign is moot.
+
+    ``with_simhash=False`` emits 0 in the simhash column (schema
+    unchanged) and skips its per-doc bit-unpack + vote pass — for
+    consumers that only use the minhash/band columns (the LSH-only gates
+    and cross-corpus decontamination), ~25% of the kernel."""
     a, b = _hash_params(cfg)
     k, bands = cfg.shingle_k, cfg.bands
 
@@ -203,7 +209,7 @@ def signatures(
                 sig = minhash_signature(sh, a, b)
                 keys.append(key)
                 sigs.append(sig.astype(np.uint32).astype(np.int32).tolist())
-                sims.append(simhash64(sh))
+                sims.append(simhash64(sh) if with_simhash else 0)
                 bandks.append(band_hashes(sig, bands).tolist())
                 nsh.append(sh.size)
             yield pd.DataFrame(

@@ -289,40 +289,66 @@ def run_pipeline(
         suffix = None
 
     # --- summary ---
-    stats = dedup_stats(segments).collect()[0].asDict()
-    # one job for both cluster statistics (count + multi-doc count), not two
-    cstats = (
-        clusters.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .agg(
-            F.count(F.lit(1)).alias("n_clusters"),
-            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi"),
+    # The five summary aggregations are independent small jobs over
+    # already-checkpointed parquet — run them from a driver thread pool so
+    # later jobs back-fill the earlier ones' straggler tails (guide §2.6
+    # overlap of independent jobs; results are exact regardless of order).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stats():
+        return dedup_stats(segments).collect()[0].asDict()
+
+    def _cstats():
+        # one job for both cluster statistics (count + multi-doc count)
+        return (
+            clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    n_clusters, n_multi = cstats["n_clusters"], int(cstats["n_multi"] or 0)
-    # One job for candidate-pair stats (total + how many came from the
-    # hot-bucket star path), one for edges-by-source — the star-edge
-    # approximation is auditable from the summary alone (ADVICE r2):
-    # star candidates - kept lsh_star edges = stars dropped by the
-    # relaxed verification floor.
-    pstats = pairs.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("is_star").alias("n_star")
-    ).collect()[0]
-    by_source = {
-        r["source"]: r["n"]
-        for r in edges.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_star_kept = int(by_source.get("lsh_star", 0))
-    n_star_cand = int(pstats["n_star"] or 0)
-    # One groupBy("source") job gives both suffix summary counts (edges +
-    # overflows) — same pattern as the edges-by-source job above, instead
-    # of two separate filtered .count() scans over the suffix output.
-    if suffix is not None:
-        suffix_by_source = {
+
+    def _pstats():
+        # candidate-pair stats: total + how many came from the hot-bucket
+        # star path — the star-edge approximation stays auditable from the
+        # summary alone (ADVICE r2)
+        return pairs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("is_star").alias("n_star")
+        ).collect()[0]
+
+    def _by_source():
+        return {
+            r["source"]: r["n"]
+            for r in edges.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    def _suffix_by_source():
+        # one groupBy("source") job gives both suffix summary counts
+        # (edges + overflows) instead of two filtered .count() scans
+        if suffix is None:
+            return None
+        return {
             r["source"]: r["n"]
             for r in suffix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_stats = pool.submit(_stats)
+        f_cstats = pool.submit(_cstats)
+        f_pstats = pool.submit(_pstats)
+        f_by_source = pool.submit(_by_source)
+        f_sfx = pool.submit(_suffix_by_source)
+        stats = f_stats.result()
+        cstats = f_cstats.result()
+        pstats = f_pstats.result()
+        by_source = f_by_source.result()
+        suffix_by_source = f_sfx.result()
+    n_clusters, n_multi = cstats["n_clusters"], int(cstats["n_multi"] or 0)
+    n_star_kept = int(by_source.get("lsh_star", 0))
+    n_star_cand = int(pstats["n_star"] or 0)
+    if suffix_by_source is not None:
         n_suffix_edges = int(suffix_by_source.get("suffix", 0))
         n_suffix_overflows = int(suffix_by_source.get("suffix_overflow", 0))
     else:

@@ -279,7 +279,9 @@ def neardup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "doc_key", F.col("doc_id").cast("string")
     )
-    sigs = signatures(docs, CANON_CFG, text_col="text", key_col="doc_key")
+    # the gate consumes only the minhash/band columns (LSH + exact
+    # verification; no simhash edges here) — skip the simhash pass
+    sigs = signatures(docs, CANON_CFG, text_col="text", key_col="doc_key", with_simhash=False)
     # The gate's result is collected by the driver after this function
     # returns, so an executor-storage persist could never be released in
     # time (leak-free-session rule). A TEMP PARQUET checkpoint gives the
@@ -339,7 +341,8 @@ def suffix_shared_substrings_query(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "doc_key", F.col("doc_id").cast("string")
     )
-    sigs = signatures(docs, cfg, text_col="text", key_col="doc_key")
+    # LSH-only clustering feeds the suffix pass here — skip simhash
+    sigs = signatures(docs, cfg, text_col="text", key_col="doc_key", with_simhash=False)
     pairs = candidate_pairs(band_table(sigs), cfg, persist=False)
     edges = verified_edges(pairs, sigs, cfg).filter(
         F.col("jaccard_est") >= cfg.jaccard_threshold

@@ -88,8 +88,9 @@ def fuzzy_pairs(
     if train_key == eval_key:
         raise ValueError("train_key and eval_key must differ (pair columns)")
 
-    sig_t = signatures(train, cfg, text_col=text_col, key_col=train_key)
-    sig_e = signatures(eval_df, cfg, text_col=text_col, key_col=eval_key)
+    # simhash is never consumed on the cross-corpus path — skip its pass
+    sig_t = signatures(train, cfg, text_col=text_col, key_col=train_key, with_simhash=False)
+    sig_e = signatures(eval_df, cfg, text_col=text_col, key_col=eval_key, with_simhash=False)
 
     bands_t = band_table(sig_t, key_col=train_key)
     bands_e = band_table(sig_e, key_col=eval_key)

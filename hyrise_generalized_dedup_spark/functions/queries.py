@@ -760,9 +760,17 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubiquity cap) — then JVM array-HOF pair expansion and a partial-agg
     groupBy over the bounded pair domain."""
     docs = load_table(spark, sf_dir, "documents")
+    # Shuffle 8-byte gram HASHES, not ~40-byte gram strings (guide §2.3
+    # "narrower types"): every downstream op (distinct, per-source size,
+    # per-gram source set) only tests gram identity, never reads the gram
+    # text, so xxhash64 keys preserve all counts (64-bit collisions are
+    # measure-zero at corpus scale — the same argument the hash-exact
+    # minhash_shingle_stats slot already rests on, and the result stays
+    # oracle-checked against DuckDB's true-string recount).
     sg = (
         docs.select("source", T.tokens_lower(F.col("text")).alias("toks"))
         .select("source", F.explode(T.ngrams_of_tokens(F.col("toks"), 5)).alias("gram"))
+        .select("source", F.xxhash64("gram").alias("gram"))
         .distinct()
     )
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))

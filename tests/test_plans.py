@@ -32,10 +32,17 @@ def test_dim_joins_broadcast_no_cartesian(spark, sf_tiny):
     assert "CartesianProduct" not in plan
 
 
-def test_exists_decorrelates_to_semi_join(spark, sf_tiny):
+def test_q4_broadcasts_filtered_orders(spark, sf_tiny):
+    """r6 plan rewrite: the EXISTS is stated as broadcast(filtered
+    orders) inner join + distinct-on-orderkey, so lineitem is neither
+    shuffled nor broadcast (the LeftSemi form could only build its
+    right side and at sf1.0 broadcast the whole lineitem scan). The
+    EXISTS->LeftSemi decorrelation capability stays plan-asserted via
+    the semi-join gates (g_join_filter_modes / q20)."""
     plan = _executed(RELATIONAL_QUERIES["q4_order_priority"](spark, sf_tiny))
-    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_scan_reads_pruned_schema(spark, sf_tiny):

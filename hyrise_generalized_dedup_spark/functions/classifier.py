@@ -453,7 +453,18 @@ def classify_quality(
     # time — at sf1.0 it took the 24-iteration loop from serial to
     # cluster-parallel.
     spark = docs.sparkSession
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    # Half the parallelism measured best at both bench scales (full
+    # parallelism pays per-task dispatch on the 26 tiny sequential jobs;
+    # fewer partitions serialize the grad compute). Parameterised for
+    # cluster-scale tuning like the other scale-dependent knobs.
+    import os
+
+    n_parts = int(
+        os.environ.get(
+            "SPARK_GRAFT_CLF_PARTS",
+            max(2, spark.sparkContext.defaultParallelism // 2),
+        )
+    )
     blobs = (
         csr_blobs(
             packed_features(

@@ -102,9 +102,13 @@ def query_postings(
     corpus. tf/dl (and any df computed from the result) for the
     surviving terms are identical to the full ``postings`` values —
     dropping other terms cannot change a term's own counts."""
+    import atexit
+    import shutil
+    import tempfile
+
     qterms = queries.select("term").distinct()
     toks = doc_tokens(docs, text_col)
-    return (
+    qposts = (
         toks.select("doc_id", "dl", F.explode("w").alias("term"))
         .join(F.broadcast(qterms), "term")
         .groupBy("term", "doc_id")
@@ -113,6 +117,15 @@ def query_postings(
             F.min("dl").cast("long").alias("dl"),
         )
     )
+    # The result is query-term-sized (tiny) but feeds BOTH the df census
+    # and the match join; a per-invocation temp-parquet barrier pins the
+    # corpus tokenize+probe pass to ONE evaluation (same pattern as the
+    # clone census / xcorpus barriers — removed at interpreter exit,
+    # nothing persists across runs).
+    tmp = tempfile.mkdtemp(prefix="gd_bm25_qposts_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    qposts.write.mode("overwrite").parquet(tmp)
+    return docs.sparkSession.read.parquet(tmp)
 
 
 def probe_queries(
